@@ -1,0 +1,132 @@
+"""CDC replay driver: tail the change log in micro-batch windows.
+
+The Ray-Data analog of the reference's batch ingest loop
+(server/logfiles/uploader.go:50-151 — glob closed log files, process
+each once, mark status, archive): here a "file" is a commit_seq window
+of the Parquet change log, "status" is the lake's checkpoint ledger,
+and processing is one streaming Dataset pipeline per window:
+
+    read_parquet(log, filter=seq ∈ (lo, hi])      # pruned at the read
+      -> map_batches(enrichment chain)            # M1..M5 equivalents
+      -> lake.apply_window(...)                   # shuffle by key-hash,
+                                                  # per-partition LWW delta
+
+Resume: the next window starts after the ledger's max committed hi;
+re-running a committed window is a no-op (apply_window skips), and a
+window that crashed mid-apply is invisible and simply re-runs —
+replay from any checkpoint reproduces identical table state because the
+merge is idempotent and order-independent.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sinks.lake import SEQ_COL, LakeTable
+
+EnrichFn = Callable[[pa.Table], pa.Table]
+
+
+def changelog_max_seq(log_path: str) -> int:
+    """Max commit_seq from parquet footer stats — no data scan."""
+    import glob
+    import os
+
+    files = (
+        sorted(glob.glob(os.path.join(log_path, "*.parquet")))
+        if os.path.isdir(log_path)
+        else [log_path]
+    )
+    hi = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(SEQ_COL)
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.max is not None:
+                hi = max(hi, stats.max)
+    return hi
+
+
+class Replayer:
+    def __init__(
+        self,
+        changelog_path: str,
+        lake: LakeTable,
+        window_size: int = 100_000,
+        enrichers: list[EnrichFn] | None = None,
+        read_concurrency: int | None = None,
+    ):
+        self.changelog_path = changelog_path
+        self.lake = lake
+        self.window_size = window_size
+        self.enrichers = enrichers or []
+
+    def window_dataset(self, lo: int, hi: int) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(
+            self.changelog_path,
+            filter=(pc.field(SEQ_COL) > lo) & (pc.field(SEQ_COL) <= hi),
+        )
+        for fn in self.enrichers:
+            ds = ds.map_batches(fn, batch_format="pyarrow")
+        return ds
+
+    def run(
+        self,
+        max_seq: int | None = None,
+        compact_every: int = 8,
+        compact_at_end: bool = True,
+    ) -> dict:
+        """Replay all uncommitted windows; returns run metrics."""
+        if max_seq is None:
+            max_seq = changelog_max_seq(self.changelog_path)
+        start_hi = self.lake.last_committed_hi()
+        lo = start_hi
+        t0 = time.perf_counter()
+        n_windows = 0
+        while lo < max_seq:
+            hi = min(lo + self.window_size, max_seq)
+            tw = time.perf_counter()
+            ds = self.window_dataset(lo, hi)
+            self.lake.apply_window(
+                ds, lo, hi, extra_metrics={"window_sec": None}
+            )
+            n_windows += 1
+            # seq-range windows: nothing below `hi` can arrive later, so
+            # compaction may drop tombstones up to the committed watermark
+            if compact_every and n_windows % compact_every == 0:
+                self.lake.compact(min_files=4, tombstone_watermark=hi)
+            lo = hi
+            _ = tw  # per-window timing lives in the ledger metrics
+        if compact_at_end:
+            self.lake.compact(min_files=2, tombstone_watermark=self.lake.last_committed_hi())
+        wall = time.perf_counter() - t0
+        events = max_seq - start_hi
+        return {
+            "windows": n_windows,
+            "events": events,
+            "wall_sec": wall,
+            "events_per_sec": events / wall if wall > 0 else float("inf"),
+        }
+
+
+def replay_changelog(
+    changelog_path: str,
+    lake_dir: str,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    num_partitions: int = 64,
+    window_size: int = 100_000,
+    enrichers: list[EnrichFn] | None = None,
+    **run_kw,
+) -> tuple[LakeTable, dict]:
+    """One-call convenience: create/open lake, replay to head, return both."""
+    lake = LakeTable.create(lake_dir, list(key_cols), num_partitions)
+    rep = Replayer(changelog_path, lake, window_size, enrichers)
+    metrics = rep.run(**run_kw)
+    return lake, metrics

@@ -1,0 +1,111 @@
+"""Shared vectorized helpers: stable hashing, schema padding/casting.
+
+All hashes here are deterministic across processes and runs (fixed
+seeds, no PYTHONHASHSEED dependence) — a hard requirement for the
+replay-equality invariant (FIXTURES.md "Determinism rules") and for
+stable partition assignment of a persistent lake table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from .types import DataType, cast_array, from_arrow
+
+HASH_SEED = 42
+HASH_ALGO = "polars-xxhash64-seed42"  # recorded in lake _meta.json
+
+
+def hash_mod_column(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Array:
+    """Deterministic int32 bucket id from the concatenation of key columns.
+
+    Uses polars' xxhash64 (vectorized, seeded). Keys are joined with a
+    NUL separator so ("ab","c") != ("a","bc"). Each (repo, path) key maps
+    to exactly one bucket for the lifetime of a lake table — hashing the
+    full composite key spreads a hot repo's paths across buckets, which
+    is the salting strategy SURVEY.md §7.3 calls for with the salt map
+    degenerated to "always salt by path".
+    """
+    df = pl.from_arrow(tbl.select(cols))
+    expr = pl.concat_str(
+        [x for c in cols for x in (pl.col(c).fill_null(""), pl.lit("\x00"))]
+    )
+    h = df.select((expr.hash(seed=HASH_SEED) % num_buckets).cast(pl.Int32).alias("h"))
+    return h.to_arrow()["h"].combine_chunks()
+
+
+def hash64_column(tbl: pa.Table, cols: list[str]) -> pa.Array:
+    """Full-width deterministic 64-bit hash (as int64) of key columns."""
+    df = pl.from_arrow(tbl.select(cols))
+    expr = pl.concat_str(
+        [x for c in cols for x in (pl.col(c).fill_null(""), pl.lit("\x00"))]
+    )
+    h = df.select(expr.hash(seed=HASH_SEED).reinterpret(signed=True).alias("h"))
+    return h.to_arrow()["h"].combine_chunks()
+
+
+def md5_hex_column(*arrays: pa.ChunkedArray | pa.Array, sep: str = "|") -> pa.Array:
+    """Deterministic md5 hex digest per row of `sep`-joined column values.
+
+    Analog of the reference's key-hash event id (server/uuid/uuid.go:36-46:
+    md5 of sorted key values). Row-at-a-time by necessity (no vectorized
+    md5 kernel); keep off the hot path — merge dedup uses (key, seq)
+    directly, which is equivalent because the id is a pure function of
+    those columns.
+    """
+    cols = []
+    for a in arrays:
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        cols.append(a.to_pylist())
+    out = [
+        hashlib.md5(sep.join("" if v is None else str(v) for v in row).encode()).hexdigest()
+        for row in zip(*cols)
+    ]
+    return pa.array(out, pa.string())
+
+
+def sha256_hex_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """sha256 hex per row (the per-row content invariant, BASELINE.json)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.to_pylist()
+    out = [
+        None if v is None else hashlib.sha256(str(v).encode()).hexdigest() for v in vals
+    ]
+    return pa.array(out, pa.string())
+
+
+def pad_and_cast(tbl: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project a batch onto `target`: missing columns become nulls, present
+    columns are cast through the logical lattice rules (types.cast_array).
+    Extra columns not in `target` are dropped.
+
+    This is the writer-side half of additive schema evolution
+    (reference: server/adapters/table.go:52-87 — ALTER ADD COLUMN only,
+    never retype; readers of old files null-pad).
+    """
+    n = tbl.num_rows
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if not col.type.equals(field.type):
+                col = cast_array(col, from_arrow(field.type))
+                if not col.type.equals(field.type):  # e.g. string width
+                    col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def np_view(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy-ish numpy view of a numeric arrow column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)

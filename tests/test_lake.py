@@ -1,0 +1,188 @@
+"""Jitsu-analog lake scenarios (FIXTURES.md F3): dedup, out-of-order LWW,
+tombstones + resurrection, resume/idempotent replay, skew spreading."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jitsu_ray.sinks.lake import LakeTable
+from jitsu_ray.util import hash_mod_column
+
+
+def ev(seq, op, repo, path, commit=None, lang=None, content=None):
+    return {
+        "commit_seq": seq,
+        "op": op,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+    }
+
+
+def make_ds(rows):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array([r["commit_seq"] for r in rows], pa.int64()),
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "commit": pa.array([r["commit"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.large_string()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def read_rows(lake):
+    rows = lake.read().take_all()
+    return {(r["repo"], r["path"]): r for r in rows}
+
+
+def new_lake(tmp_path, parts=4):
+    return LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], parts)
+
+
+def test_dedup_same_event_five_times(ray_session, tmp_path):
+    # postgres_primary_keys_test.go:23-89 analog: 5 deliveries of the same
+    # event (same key, same seq) across two windows => exactly 1 row.
+    lake = new_lake(tmp_path)
+    e = ev(1, "insert", "r", "p", "c1", "py", "body-v1")
+    lake.apply_window(make_ds([e, e, e]), 0, 1)
+    lake.apply_window(make_ds([e, e]), 1, 2)
+    rows = read_rows(lake)
+    assert len(rows) == 1
+    assert rows[("r", "p")]["content"] == "body-v1"
+
+
+def test_out_of_order_within_and_across_windows(ray_session, tmp_path):
+    lake = new_lake(tmp_path)
+    # window 1 delivers seqs shuffled; window 2 delivers a LOWER seq late
+    w1 = [
+        ev(5, "update", "r", "p", "c5", "py", "v5"),
+        ev(2, "update", "r", "p", "c2", "py", "v2"),
+        ev(4, "update", "r", "p", "c4", "py", "v4"),
+    ]
+    w2 = [ev(3, "update", "r", "p", "c3", "py", "v3")]  # late, stale
+    lake.apply_window(make_ds(w1), 0, 1)
+    lake.apply_window(make_ds(w2), 1, 2)
+    rows = read_rows(lake)
+    assert rows[("r", "p")]["content"] == "v5"
+    assert rows[("r", "p")]["commit_seq"] == 5
+
+
+def test_tombstone_and_resurrection(ray_session, tmp_path):
+    lake = new_lake(tmp_path)
+    lake.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r", "a", "c1", "py", "a1"),
+                ev(2, "insert", "r", "b", "c2", "py", "b1"),
+            ]
+        ),
+        0,
+        1,
+    )
+    lake.apply_window(
+        make_ds([ev(3, "delete", "r", "a"), ev(4, "delete", "r", "b")]), 1, 2
+    )
+    rows = read_rows(lake)
+    assert rows == {} or ("r", "a") not in rows and ("r", "b") not in rows
+    # resurrection: later re-insert wins over the tombstone
+    lake.apply_window(make_ds([ev(5, "insert", "r", "a", "c5", "py", "a2")]), 2, 3)
+    rows = read_rows(lake)
+    assert set(rows) == {("r", "a")}
+    assert rows[("r", "a")]["content"] == "a2"
+
+
+def test_late_update_does_not_resurrect_after_compaction(ray_session, tmp_path):
+    # delete at seq 10 compacted with watermark 0 (disorder possible):
+    # a late stale update (seq 5) must NOT resurrect the key.
+    lake = new_lake(tmp_path)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "p", "c1", "py", "v1")]), 0, 1)
+    lake.apply_window(make_ds([ev(10, "delete", "r", "p")]), 1, 2)
+    lake.compact(min_files=1, tombstone_watermark=0)  # keeps the tombstone
+    lake.apply_window(make_ds([ev(5, "update", "r", "p", "c5", "py", "v5")]), 2, 3)
+    assert read_rows(lake) == {}
+
+
+def test_resume_is_idempotent(ray_session, tmp_path):
+    lake = new_lake(tmp_path)
+    w1 = [ev(1, "insert", "r", "p", "c1", "py", "v1")]
+    w2 = [ev(2, "update", "r", "p", "c2", "py", "v2")]
+    lake.apply_window(make_ds(w1), 0, 1)
+    lake.apply_window(make_ds(w2), 1, 2)
+    before = read_rows(lake)
+    # simulated restart: re-apply both windows (ledger skips), then a fresh
+    # LakeTable.open sees identical state
+    assert lake.apply_window(make_ds(w1), 0, 1).get("skipped")
+    assert lake.apply_window(make_ds(w2), 1, 2).get("skipped")
+    lake2 = LakeTable.open(lake.dir)
+    assert read_rows(lake2) == before
+    assert lake2.last_committed_hi() == 2
+
+
+def test_crash_before_commit_invisible(ray_session, tmp_path):
+    # a delta staged without a ledger row must not be readable
+    lake = new_lake(tmp_path, parts=2)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "p", "c1", "py", "v1")]), 0, 1)
+    # simulate a crashed window: orphan delta file on disk, no ledger row
+    part_dir = os.path.join(lake.dir, "part=00000")
+    os.makedirs(part_dir, exist_ok=True)
+    orphan = pa.table(
+        {
+            "__part": pa.array([0], pa.int32()),
+            "op": pa.array(["insert"], pa.string()),
+            "commit_seq": pa.array([99], pa.int64()),
+            "repo": pa.array(["r"], pa.large_string()),
+            "path": pa.array(["p"], pa.large_string()),
+            "commit": pa.array(["cx"], pa.large_string()),
+            "lang": pa.array(["py"], pa.large_string()),
+            "content": pa.array(["ORPHAN"], pa.large_string()),
+        }
+    )
+    pq.write_table(orphan, os.path.join(part_dir, "delta-000000000001-000000000099.parquet"))
+    rows = read_rows(lake)
+    assert rows[("r", "p")]["content"] == "v1"  # orphan invisible
+
+
+def test_compaction_preserves_state(ray_session, tmp_path):
+    lake = new_lake(tmp_path)
+    for i in range(1, 6):
+        lake.apply_window(
+            make_ds([ev(i, "update" if i > 1 else "insert", "r", "p", f"c{i}", "py", f"v{i}")]),
+            i - 1,
+            i,
+        )
+    before = read_rows(lake)
+    entry = lake.compact(min_files=2, tombstone_watermark=5)
+    assert entry["parts"]
+    assert read_rows(lake) == before
+    files = lake.live_files()
+    assert all(len(fs) == 1 for fs in files.values())
+
+
+def test_skew_spread_and_equivalence(ray_session, tmp_path):
+    # one hot repo owning most events still spreads across partitions
+    # because the partition key hashes (repo, path) — SURVEY §7.3 salting.
+    rows = [
+        ev(i, "insert", "hot/repo", f"f{i}.py", f"c{i}", "py", f"v{i}")
+        for i in range(1, 101)
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows]),
+            "path": pa.array([r["path"] for r in rows]),
+        }
+    )
+    parts = set(hash_mod_column(tbl, ["repo", "path"], 8).to_pylist())
+    assert len(parts) >= 6  # spread over most of 8 buckets
+    lake = new_lake(tmp_path, parts=8)
+    lake.apply_window(make_ds(rows), 0, 100)
+    assert len(read_rows(lake)) == 100
