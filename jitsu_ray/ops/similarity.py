@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the (small) query
+matrix is broadcast via ray.put once, each map_batches actor does one
+numpy matmul per batch and emits per-batch top-k partials; a final tiny
+top-k folds the partials. The corpus streams — nothing materializes.
+
+Scale path: IVF — a deterministic k-means-lite coarse quantizer
+assigns each vector to a centroid bucket; queries probe the nearest
+`n_probe` buckets only. Partitioning assumption: bucket sizes are
+roughly balanced (re-train centroids on a sample when skewed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor: holds the normalized query matrix (fetched from the object
+    store once per actor); per batch emits top-k candidates."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids, qmat = q
+        self.q = _normalize(qmat.astype(np.float32))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        sims = self.q @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(self.qids[qi])
+                out_n.append(int(vids[j]))
+                out_c.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def knn_cosine(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
+               exclude_self: bool = True) -> pa.Table:
+    """Exact top-k cosine neighbors for each query over the dataset.
+
+    Final fold is driver-side over per-batch partials (k × n_batches ×
+    n_queries rows — tiny relative to the corpus by construction).
+    """
+    ref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
+    ).take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        if exclude_self and r["neighbor_id"] == r["query_id"]:
+            continue
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    out_q, out_n, out_c = [], [], []
+    for q in sorted(by_q):
+        # deterministic tie-break: (-cosine, neighbor_id)
+        top = sorted(by_q[q], key=lambda t: (-t[0], t[1]))[:k]
+        for c, n in top:
+            out_q.append(q)
+            out_n.append(n)
+            out_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+# -- IVF (scale path) --------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic k-means-lite: evenly-strided init over the sample,
+    `iters` Lloyd passes. Good enough as a coarse quantizer."""
+    sample = _normalize(sample.astype(np.float32))
+    stride = max(1, len(sample) // n_centroids)
+    cents = sample[::stride][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IVFAssigner:
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch["embedding"]))
+        assign = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign, pa.int32()))
+
+
+def ann_ivf(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
+            n_probe: int = 4, sample_size: int = 2048, exclude_self: bool = True) -> pa.Table:
+    """IVF approximate top-k: assign corpus to centroid buckets, search
+    only the `n_probe` buckets nearest each query. Trades recall for a
+    1/(n_centroids/n_probe) scan fraction."""
+    import pyarrow.compute as pc
+
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b.select(["embedding"]) for b in ds.limit(sample_size).iter_batches(
+                batch_format="pyarrow", batch_size=sample_size)]
+        )["embedding"]
+    )
+    cents = train_centroids(sample, n_centroids)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(
+        IVFAssigner, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"cents_ref": cents_ref},
+    )
+    q = _normalize(np.asarray(query_mat).astype(np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    filtered = assigned.map_batches(
+        lambda t, _w=wanted: t.filter(pc.is_in(t["bucket"], value_set=pa.array(_w, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    # per-query bucket masking happens at the final fold: a neighbor only
+    # counts if its bucket is probed by that query
+    ref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
+    partials = filtered.map_batches(
+        _IVFScorer, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
+    ).take_all()
+    probe_sets = {int(qid): {int(b) for b in probe[i]} for i, qid in enumerate(query_ids)}
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        if r["bucket"] not in probe_sets[r["query_id"]]:
+            continue
+        if exclude_self and r["neighbor_id"] == r["query_id"]:
+            continue
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    out_q, out_n, out_c = [], [], []
+    for qid in sorted(by_q):
+        for c, n in sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]:
+            out_q.append(qid)
+            out_n.append(n)
+            out_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+class _IVFScorer(BruteForceScorer):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        # carry neighbor bucket for per-query probe filtering
+        buckets = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
+        col = pa.array([buckets[n] for n in out["neighbor_id"].to_pylist()], pa.int32())
+        return out.append_column("bucket", col)

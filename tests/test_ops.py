@@ -1,0 +1,176 @@
+"""Training-data ops: dedup family (planted near-dups), knn vs naive
+numpy oracle, IVF recall, text stats, multimodal stub plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jitsu_ray.ops.dedup import (
+    MinHasher,
+    SimHasher,
+    cluster_pairs,
+    exact_dedup_hash_stage,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+from jitsu_ray.ops.similarity import ann_ivf, knn_cosine, train_centroids
+from jitsu_ray.ops.text import Fingerprint, LangId, QualityScore, TextStats, TokenCount
+
+
+def docs_table():
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+    near = base.replace("warm", "cold")  # near-dup of base
+    other = "import numpy as np def main print hello world return zero exit code done finished complete stop"
+    texts = [base, near, other, base, "totally different short text here"]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    out = minhash_dedup(ds, threshold=0.6)
+    clusters = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+    # 0, 1 (near) and 3 (exact copy of 0) share a cluster; 2 and 4 don't appear
+    assert clusters[0] == clusters[1] == clusters[3] == 0
+    assert 2 not in clusters and 4 not in clusters
+
+
+def test_minhash_signature_deterministic():
+    m1, m2 = MinHasher(seed=42), MinHasher(seed=42)
+    s1, s2 = m1.signature("hello world code"), m2.signature("hello world code")
+    assert np.array_equal(s1, s2)
+    # similar texts agree on most permutations, dissimilar on few
+    a = m1.signature("the quick brown fox jumps over the lazy dog")
+    b = m1.signature("the quick brown fox jumps over the lazy cat")
+    c = m1.signature("import numpy pandas polars pyarrow ray data")
+    assert (a == b).mean() > (a == c).mean()
+
+
+def test_simhash_close_for_near_dups():
+    df = pd.DataFrame({"text": [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy cat again and again today",
+        "completely unrelated content about database internals and query planning",
+    ]})
+    out = SimHasher()(df.copy())
+    h = out["simhash"].tolist()
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02
+    assert SimHasher()(df.copy())["simhash"].tolist() == h  # deterministic
+
+
+def test_ngram_jaccard(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.5)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (0, 3) in got  # exact copy
+    assert all(a < b for a, b in got)
+
+
+def test_cluster_pairs_union_find():
+    pairs = pa.table({"a": pa.array([1, 2, 10], pa.int64()), "b": pa.array([2, 3, 11], pa.int64())})
+    c = cluster_pairs(pairs)
+    assert c[1] == c[2] == c[3] == 1
+    assert c[10] == c[11] == 10
+
+
+def test_exact_dedup_stage():
+    out = exact_dedup_hash_stage()(docs_table())
+    h = out["text_md5"].to_pylist()
+    assert h[0] == h[3] and h[0] != h[2]
+
+
+def embeddings_ds(n=200, dim=16, seed=0):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(tbl), m
+
+
+def naive_topk(m, qids, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[qids] @ mn.T
+    out = {}
+    for i, q in enumerate(qids):
+        order = sorted(
+            ((sims[i, j], j) for j in range(len(m)) if j != q), key=lambda t: (-t[0], t[1])
+        )
+        out[q] = [j for _, j in order[:k]]
+    return out
+
+
+def test_knn_matches_naive(ray_session):
+    ds, m = embeddings_ds()
+    qids = [0, 1, 2]
+    out = knn_cosine(ds, np.array(qids), m[qids], k=5)
+    got = {}
+    for q, n in zip(out["query_id"].to_pylist(), out["neighbor_id"].to_pylist()):
+        got.setdefault(q, []).append(n)
+    assert got == naive_topk(m, qids, 5)
+
+
+def test_ivf_recall(ray_session):
+    ds, m = embeddings_ds(n=300, dim=16, seed=1)
+    qids = [0, 5, 9]
+    exact = naive_topk(m, qids, 5)
+    out = ann_ivf(ds, np.array(qids), m[qids], k=5, n_centroids=8, n_probe=4)
+    got = {}
+    for q, n in zip(out["query_id"].to_pylist(), out["neighbor_id"].to_pylist()):
+        got.setdefault(q, []).append(n)
+    recalls = [len(set(got.get(q, [])) & set(exact[q])) / 5 for q in qids]
+    assert np.mean(recalls) >= 0.5  # probing half the buckets
+
+
+def test_train_centroids_deterministic():
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal((100, 8)).astype(np.float32)
+    assert np.array_equal(train_centroids(s, 4), train_centroids(s, 4))
+
+
+def test_text_stats_and_quality():
+    t = pa.table({"text": pa.array(["a bb ccc", "hello"])})
+    out = TextStats()(t)
+    assert out["n_tokens"].to_pylist() == [3, 1]
+    assert out["n_chars2"].to_pylist() == [8, 5]
+    df = pd.DataFrame({"text": ["the cat and the dog of the house", "zxq wvu"]})
+    q = QualityScore()(df.copy())
+    assert q["stopword_ratio"][0] > q["stopword_ratio"][1]
+    li = LangId()(pd.DataFrame({"text": ["the quick fox is on the hill", "el perro y la casa en un dia", ""]}))
+    assert li["lang_pred"].tolist() == ["en", "es", "und"]
+    tc = TokenCount()(pd.DataFrame({"text": ["a,b c!"]}))
+    assert tc["n_bpe_tokens"].tolist() == [5]
+    fp = Fingerprint()(pd.DataFrame({"text": ["x y z", "x y z", "z y x"]}))
+    assert fp["fingerprint"][0] == fp["fingerprint"][1] != fp["fingerprint"][2]
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.multimodal import FakeDecoder, decode_media
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([b"\x89PNGfake", b"RIFFfake"], pa.large_binary()),
+            "mime": pa.array(["image/png", "audio/wav"]),
+        }
+    )
+    out = decode_media(ray.data.from_arrow(tbl), concurrency=1).take_all()
+    assert {r["media_id"] for r in out} == {1, 2}
+    r1 = next(r for r in out if r["media_id"] == 1)
+    assert r1["n_bytes"] == 8 and 64 <= r1["width"] <= 2047
+    # deterministic across calls
+    again = FakeDecoder().decode_one(b"\x89PNGfake", "image/png")
+    assert again["width"] == r1["width"] and again["content_sha1"] == r1["content_sha1"]
