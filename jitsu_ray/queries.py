@@ -1,0 +1,506 @@
+"""Driver-facing query implementations (one per SURVEY.md §2 operator
+family) + their DuckDB oracle SQL.
+
+Each `q_*` takes `sf_dir` and returns a lazy `ray.data.Dataset` (or a
+small pyarrow Table for driver-side folds). Column names and value
+definitions are shared EXACTLY with the oracle SQL — including
+float-to-int cent conversion via floor(x*100+0.5) so aggregate
+comparisons are exact integer math on both sides.
+
+None of these call ray.init(); the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from .ops.dedup import exact_dedup_hash_stage, minhash_dedup, ngram_jaccard_pairs, SimHasher
+from .ops.multimodal import decode_media
+from .ops.similarity import ann_ivf, knn_cosine
+from .ops.text import Fingerprint, LangId, QualityScore, TextStats
+from .stages.enrich import hash_pii
+from .stages.flatten import explode_json_column
+from .stages.mapping import compile_mapping
+from .stages.router import TABLE_COL, route_stage
+from .types import DataType
+
+CACHE_DIR = "/tmp/jitsu_ray_cache"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Jitsu-parity operators over the events/customer tables
+
+
+def q_lww_latest_by_user(sf_dir: str):
+    """K4/J3/O1: last-writer-wins upsert state — per user the max-(ts,
+    event_id) event. Per-batch combiner collapses to one row per user
+    per batch before the shuffle."""
+
+    def reduce_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.sort(["ts", "event_id"], descending=True).unique(
+            subset=["user_id"], keep="first", maintain_order=True
+        )
+        return out.to_arrow().cast(batch.schema)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value", "event_id"]
+    )
+    return (
+        ds.map_batches(reduce_batch, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(reduce_batch, batch_format="pyarrow")
+    )
+
+
+SQL_LWW = """
+WITH r AS (
+  SELECT user_id, ts, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+)
+SELECT user_id, ts, event_type, value, event_id FROM r WHERE rn = 1
+"""
+
+
+def q_dedup_exact_events(sf_dir: str):
+    """D1: exact dedup by natural key, keep lowest event_id + dup count.
+    Partial (per-batch polars groupby) then final Sum/Min — the shuffle
+    carries one row per key per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.group_by(["user_id", "event_type", "value"]).agg(
+            pl.min("event_id").alias("event_id"), pl.len().cast(pl.Int64).alias("n")
+        )
+        return out.to_arrow()
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value", "event_id"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type", "value"])
+        .aggregate(Min("event_id", alias_name="event_id"), Sum("n", alias_name="n"))
+    )
+
+
+SQL_DEDUP_EVENTS = """
+SELECT user_id, event_type, value, min(event_id) AS event_id, count(*) AS n
+FROM events GROUP BY user_id, event_type, value
+"""
+
+
+def q_route_tables(sf_dir: str):
+    """M6+A2: template routing with empty-name skip ('error' events are
+    unroutable, as the reference's ErrTableNameParse) + per-table counts."""
+
+    def router(batch: pa.Table) -> pa.Array:
+        et = pc.cast(batch["event_type"], pa.string())
+        prefix = pa.array(["evt_"] * batch.num_rows, pa.string())
+        joined = pc.binary_join_element_wise(prefix, et, "")
+        out = pc.if_else(pc.equal(et, "error"), pa.scalar("", pa.string()), joined)
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([TABLE_COL]))
+        out = df.group_by(TABLE_COL).agg(pl.len().cast(pl.Int64).alias("n"))
+        return out.rename({TABLE_COL: "table_name"}).to_arrow()
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return (
+        ds.map_batches(route_stage(router), batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("table_name")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_ROUTE = """
+SELECT 'evt_' || event_type AS table_name, count(*) AS n
+FROM events WHERE event_type <> 'error' GROUP BY 1
+"""
+
+
+def q_mapping_project(sf_dir: str):
+    """M2: mapping DSL — move/constant/cast with keep_unmapped=false."""
+    fn = compile_mapping(
+        [
+            {"action": "move", "src": "/user_id", "dst": "/uid"},
+            {"action": "constant", "dst": "/src", "value": "api"},
+            {"action": "move", "src": "/event_id", "dst": "/event_id_f", "type": "float64"},
+            {"action": "move", "src": "/event_type", "dst": "/etype"},
+        ],
+        keep_unmapped=False,
+    )
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "event_type"]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_MAPPING = """
+SELECT user_id AS uid, 'api' AS src, CAST(event_id AS DOUBLE) AS event_id_f,
+       event_type AS etype
+FROM events
+"""
+
+
+def q_flatten_props(sf_dir: str):
+    """M3/M4/S4: JSON props column exploded to a typed column."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    return ds.map_batches(
+        explode_json_column("props", {"k": DataType.INT64}), batch_format="pyarrow"
+    ).select_columns(["event_id", "props_k"])
+
+
+SQL_FLATTEN = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events
+"""
+
+
+def q_pii_hash(sf_dir: str):
+    """M9/K8: lowercase+trim+sha256 PII normalizer."""
+    stage = hash_pii(["c_name"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = stage(batch)
+        return pa.table(
+            {"c_custkey": out["c_custkey"], "email_hash": out["c_name"]}
+        )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_PII = """
+SELECT c_custkey, sha256(trim(lower(c_name))) AS email_hash FROM customer
+"""
+
+
+def q_anti_join_inactive_customers(sf_dir: str):
+    """M8/J4 anti-join: customers with no events — broadcast the (small)
+    distinct-user set, filter per batch. At 100 TB the broadcast side is
+    a Bloom filter via ray.put; same shape."""
+    seen = set(
+        ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"]).unique("user_id")
+    )
+    value_set = pa.array(sorted(seen), pa.int64())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=value_set)))
+
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+"""
+
+
+def q_top_events_recent(sf_dir: str):
+    """O2: time-range + limit (events-cache debug query)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+    return ds.sort(["ts", "event_id"], descending=True).limit(100)
+
+
+SQL_TOP = """
+SELECT event_id, ts, user_id, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    """A1-family aggregate machinery (TPC-H Q1 shape) in exact integer
+    cents: cent(x) = floor(x*100 + 0.5), identical IEEE ops on both
+    sides, so value-hash comparison is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                (pl.col("l_quantity") * 100 + 0.5).floor().cast(pl.Int64).alias("q"),
+                (pl.col("l_extendedprice") * 100 + 0.5).floor().cast(pl.Int64).alias("p"),
+                ((pl.col("l_extendedprice") * (1 - pl.col("l_discount"))) * 100 + 0.5)
+                .floor()
+                .cast(pl.Int64)
+                .alias("d"),
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.sum("q").alias("sum_qty_c"),
+                pl.sum("p").alias("sum_base_c"),
+                pl.sum("d").alias("sum_disc_c"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
+        )
+        return out.to_arrow()
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
+       sum(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents / embeddings
+
+
+def q_doc_text_stats(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(TextStats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars2", "n_tokens"]
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(exact_dedup_hash_stage(), batch_format="pyarrow")
+        .select_columns(["text_md5", "doc_id"])
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+    )
+
+
+SQL_DEDUP_DOCS = """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_embedding_label_counts(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n"))
+
+
+SQL_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+def _load_queries(sf_dir: str, n: int = 10):
+    tbl = (
+        ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n}")
+        .take_all()
+    )
+    tbl.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in tbl])
+    qmat = np.array([r["embedding"] for r in tbl], dtype=np.float32)
+    return qids, qmat
+
+
+def q_knn_cosine_topk(sf_dir: str):
+    """Brute-force exact cosine top-5 for the first 10 vectors (ids only:
+    cosine values differ in ulps between numpy and duckdb summation)."""
+    qids, qmat = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_cosine(ds, qids, qmat, k=5)
+    return out.select(["query_id", "neighbor_id"])
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, d.embedding) AS c
+  FROM q, embeddings d WHERE d.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) rn FROM s)
+WHERE rn <= 5
+"""
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q_cdc_replay(sf_dir: str):
+    """Flagship: deterministic synthetic changelog scaled to sf, replayed
+    through the lake; returns the converged table with sha256(content).
+    Non-SQL (input is the generated log, not a registered view) —
+    correctness is pinned by tests/test_replay_golden.py instead."""
+    from .pipelines.replay import replay_changelog
+    from .testgen import ensure_changelog
+    from .util import sha256_hex_column
+
+    sf = _sf_of(sf_dir)
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    lake_dir = os.path.join(CACHE_DIR, f"lake_q_{n_events}_{os.getpid()}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake, _ = replay_changelog(
+        log_dir, lake_dir, num_partitions=32, window_size=max(n_events // 8, 2000)
+    )
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "content_sha256", sha256_hex_column(batch["content"])
+        ).drop_columns(["content"])
+
+    return lake.read().map_batches(add_sha, batch_format="pyarrow")
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.8)
+
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.6)
+
+
+def q_simhash_docs(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2).select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+        .map_batches(LangId, batch_format="pandas", concurrency=2)
+        .map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+        .select_columns(
+            ["doc_id", "stopword_ratio", "punct_ratio", "quality_ok", "lang_pred", "fingerprint"]
+        )
+    )
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    qids, qmat = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ann_ivf(ds, qids, qmat, k=5, n_centroids=16, n_probe=8)
+    return out.select(["query_id", "neighbor_id"])
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-media plumbing: documents' text bytes stand in for image
+    payloads; FakeDecoder derives deterministic metadata (ops/multimodal
+    docstring: codec stubbed, Ray plumbing real)."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "media": pc.cast(batch["text"], pa.large_binary()),
+                "mime": pa.array(["image/png"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return decode_media(ds.map_batches(to_media, batch_format="pyarrow"), batch_size=128)
+
+
+def q_schema_infer(sf_dir: str):
+    """M5/A1: logical-schema inference over two tables (metadata result)."""
+    from .types import from_arrow
+
+    rows = []
+    for name in ("events", "documents"):
+        schema = ray.data.read_parquet(_t(sf_dir, name)).schema().base_schema
+        for f in schema:
+            try:
+                lt = from_arrow(f.type).name
+            except TypeError:
+                lt = "NESTED"
+            rows.append({"table_name": name, "column": f.name, "logical_type": lt})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["table_name"], r["column"])))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lww_latest_by_user": q_lww_latest_by_user,
+    "dedup_exact_events": q_dedup_exact_events,
+    "route_tables": q_route_tables,
+    "mapping_project": q_mapping_project,
+    "flatten_props": q_flatten_props,
+    "pii_hash": q_pii_hash,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "top_events_recent": q_top_events_recent,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "doc_text_stats": q_doc_text_stats,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "embedding_label_counts": q_embedding_label_counts,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    # rows-only checks (non-SQL-expressible):
+    "cdc_replay": q_cdc_replay,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_quality": q_doc_quality,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "schema_infer": q_schema_infer,
+}
+
+ORACLES = {
+    "lww_latest_by_user": SQL_LWW,
+    "dedup_exact_events": SQL_DEDUP_EVENTS,
+    "route_tables": SQL_ROUTE,
+    "mapping_project": SQL_MAPPING,
+    "flatten_props": SQL_FLATTEN,
+    "pii_hash": SQL_PII,
+    "anti_join_inactive_customers": SQL_ANTI,
+    "top_events_recent": SQL_TOP,
+    "q1_pricing_summary": SQL_Q1,
+    "doc_text_stats": SQL_TEXT_STATS,
+    "dedup_exact_docs": SQL_DEDUP_DOCS,
+    "embedding_label_counts": SQL_LABEL_COUNTS,
+    "knn_cosine_topk": SQL_KNN,
+}

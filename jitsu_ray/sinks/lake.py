@@ -26,10 +26,19 @@ shuffle-free because every key hashes to exactly one partition for the
 table's lifetime.
 
 Scale notes (the 100 TB design points):
-  * The only all-to-all exchange per window is the hash partition
-    (``groupby("__part")``) of the window's events — after a per-batch
-    combiner has already collapsed duplicate keys, so the shuffle
-    carries at most (unique keys in window) rows.
+  * The only all-to-all exchange per window is the hash partition of
+    the window's events — after a per-batch combiner has already
+    collapsed duplicate keys, so the shuffle carries at most (unique
+    keys in window) rows. The exchange is an EXPLICIT hash exchange
+    into a pool of stateful merger actors rather than
+    ``groupby("__part")``: Ray 2.49's sort-based shuffle partitions
+    blocks into zero-copy slices whose serialization ships the whole
+    parent block per slice — on wide large_string rows that is a
+    ~40x shuffle write amplification (measured: 2M x 800B rows took
+    30s at 32 CPUs and anti-scaled vs 8 CPUs), and the hash-shuffle
+    strategy crashes on empty partitions in this version. The manual
+    exchange sends trimmed ``take()`` copies directly to the actor
+    that owns the partition, so bytes moved = bytes needed.
   * Hot repos are handled by hashing the full (repo, path) key: a
     Zipf-heavy repo's files spread uniformly over partitions. A single
     hot *key* is irreducible (its events must meet in one group) but
@@ -75,9 +84,94 @@ def resolve_polars(df: pl.DataFrame, key_cols: list[str]) -> pl.DataFrame:
 
 
 def resolve_arrow(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Read-side resolution: per-key LWW winners with tombstones dropped."""
     if tbl.num_rows == 0:
         return tbl
-    return resolve_polars(pl.from_arrow(tbl), key_cols).to_arrow().cast(tbl.schema)
+    win = resolve_keep_tombstones(tbl, key_cols)
+    return win.filter(pc.not_equal(win[OP_COL], TOMBSTONE))
+
+
+@ray.remote(num_cpus=0, max_restarts=0)
+class PartitionMerger:
+    """Stateful merger actor: owns a fixed set of lake partitions for the
+    lifetime of a replay run (T4/J3 analog — the reference's per-table
+    upsert writer behind an etcd lock; here the partition assignment IS
+    the lock). Receives trimmed per-partition sub-tables during a
+    window, folds them incrementally (LWW keep-tombstones), and on
+    ``finish`` writes one delta file per touched partition.
+
+    num_cpus=0: ingest work is tiny and finish-time work is write-IO
+    bound; reserving whole CPUs would starve the read/prep stages
+    (actor-pool sizing note in SURVEY §7.2).
+    """
+
+    FOLD_ROWS = 500_000  # buffered rows before an incremental LWW fold
+
+    def __init__(self, lake_dir: str, key_cols: list[str], my_parts: list[int]):
+        self.lake_dir = lake_dir
+        self.key_cols = key_cols
+        self.my_parts = sorted(my_parts)
+        self.buf: list[pa.Table] = []
+        self.buf_rows = 0
+
+    def ingest_block(self, block: pa.Table) -> int:
+        """Take THIS merger's rows out of a shared prepped block.
+
+        The same block ref is sent to every merger; on one node plasma
+        reads are zero-copy shared memory, and on a multi-node cluster
+        this becomes the one necessary network transfer. ``take`` copies
+        only the owned rows into the actor heap."""
+        import numpy as np
+
+        pvals = block[PART_COL].to_numpy(zero_copy_only=False)
+        idx = np.nonzero(np.isin(pvals, self.my_parts))[0]
+        if idx.size == 0:
+            return 0
+        self.buf.append(block.take(idx))
+        self.buf_rows += idx.size
+        if self.buf_rows >= self.FOLD_ROWS:
+            folded = resolve_keep_tombstones(
+                pa.concat_tables(self.buf), self.key_cols
+            )
+            self.buf = [folded]
+            self.buf_rows = folded.num_rows
+        return int(idx.size)
+
+    def finish(self, window_tag: str) -> list[dict]:
+        import numpy as np
+
+        out = []
+        if self.buf:
+            all_mine = resolve_keep_tombstones(
+                pa.concat_tables(self.buf), self.key_cols
+            )
+            pvals = all_mine[PART_COL].to_numpy(zero_copy_only=False)
+            for p in self.my_parts:
+                idx = np.nonzero(pvals == p)[0]
+                if idx.size == 0:
+                    continue
+                merged = all_mine.take(idx)
+                part_dir = os.path.join(self.lake_dir, f"part={p:05d}")
+                os.makedirs(part_dir, exist_ok=True)
+                rel = f"part={p:05d}/delta-{window_tag}.parquet"
+                final = os.path.join(self.lake_dir, rel)
+                fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(merged, tmp)
+                os.replace(tmp, final)  # deterministic path => idempotent retry
+                n_tomb = merged.filter(pc.equal(merged[OP_COL], TOMBSTONE)).num_rows
+                out.append(
+                    {
+                        "part": p,
+                        "file": rel,
+                        "rows": merged.num_rows,
+                        "tombstones": n_tomb,
+                        "bytes": os.path.getsize(final),
+                    }
+                )
+        self.buf = []
+        self.buf_rows = 0
+        return out
 
 
 class LakeTable:
@@ -90,6 +184,28 @@ class LakeTable:
         self.schema_dir = os.path.join(lake_dir, "_schema")
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
         self.schema = LakeSchema.load(self.schema_dir)
+        self._mergers: list | None = None
+
+    def _merger_pool(self) -> list:
+        """Merger actors, created once per LakeTable instance and reused
+        across windows (actor startup amortized; buffers cleared at each
+        window's finish). Pool size = min(partitions, cluster CPUs)."""
+        if self._mergers is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            # cap at half the CPUs: a pool of exactly `cpus` zero-cpu actors
+            # 1:1 with `cpus` blocked exchange tasks collapses throughput
+            # (measured 15x on a 2M-row window); half leaves slots for the
+            # read/prep/split stages to stream concurrently
+            m = max(1, min(self.num_partitions, cpus // 2))
+            self._mergers = [
+                PartitionMerger.remote(
+                    self.dir,
+                    self.key_cols,
+                    [p for p in range(self.num_partitions) if p % m == a],
+                )
+                for a in range(m)
+            ]
+        return self._mergers
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -159,45 +275,40 @@ class LakeTable:
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         num_parts = self.num_partitions
-        lake_dir = self.dir
         window_tag = f"{lo:012d}-{hi:012d}"
 
         def prep(batch: pa.Table) -> pa.Table:
             # combiner: partition id + within-batch per-key pre-reduce, so
-            # the shuffle moves at most one row per (key, batch)
+            # the exchange moves at most one row per (key, batch)
             batch = pad_and_cast(batch, target)
             part = hash_mod_column(batch, key_cols, num_parts)
             batch = batch.set_column(0, PART_COL, part)
             return resolve_keep_tombstones(batch, key_cols)
 
-        def write_delta(group: pa.Table) -> pa.Table:
-            part = group.column(PART_COL)[0].as_py()
-            merged = resolve_keep_tombstones(group, key_cols)
-            part_dir = os.path.join(lake_dir, f"part={part:05d}")
-            os.makedirs(part_dir, exist_ok=True)
-            rel = f"part={part:05d}/delta-{window_tag}.parquet"
-            final = os.path.join(lake_dir, rel)
-            fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
-            os.close(fd)
-            pq.write_table(merged, tmp)
-            os.replace(tmp, final)  # deterministic path => idempotent retry
-            n_tomb = merged.filter(pc.equal(merged[OP_COL], TOMBSTONE)).num_rows
-            return pa.table(
-                {
-                    "part": pa.array([part], pa.int32()),
-                    "file": pa.array([rel], pa.string()),
-                    "rows": pa.array([merged.num_rows], pa.int64()),
-                    "tombstones": pa.array([n_tomb], pa.int64()),
-                    "bytes": pa.array([os.path.getsize(final)], pa.int64()),
-                }
-            )
+        handles = self._merger_pool()
+        prepped = ds.map_batches(prep, batch_format="pyarrow")
 
-        stats_rows = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby(PART_COL)
-            .map_groups(write_delta, batch_format="pyarrow")
-            .take_all()
-        )
+        # Explicit hash exchange (module docstring): stream prepped blocks
+        # out of the Dataset as they materialize and hand EACH block ref to
+        # EVERY merger; each merger takes only its own partitions' rows
+        # (plasma reads of a shared block are zero-copy on a node; across
+        # nodes this is the one necessary transfer). No intermediate split
+        # tasks -> no CPU-slot contention with the read stage, and the
+        # in-flight ack cap backpressures the read.
+        acks: list = []
+        max_in_flight = 8 * len(handles)
+        for bundle in prepped.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                acks.extend(h.ingest_block.remote(block_ref) for h in handles)
+                if len(acks) >= max_in_flight:
+                    _, pending = ray.wait(acks, num_returns=len(acks) - max_in_flight // 2)
+                    acks = list(pending)
+        ray.get(acks)  # every block acknowledged by every merger
+        stats_rows = [
+            r
+            for rows in ray.get([h.finish.remote(window_tag) for h in handles])
+            for r in rows
+        ]
 
         entry = {
             "kind": "window",
@@ -248,7 +359,9 @@ class LakeTable:
             return resolve_arrow(group, key_cols).drop_columns([PART_COL, OP_COL])
 
         ds = (
-            ray.data.read_parquet(files, schema=target)
+            # partitioning=None: `part=NNNNN` dirs are OUR layout, not a
+            # hive partition column to infer
+            ray.data.read_parquet(files, schema=target, partitioning=None)
             .groupby(PART_COL)
             .map_groups(resolve_group, batch_format="pyarrow")
         )
@@ -323,11 +436,65 @@ class LakeTable:
 
 def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     """Per-key argmax(commit_seq) keeping tombstone winners (needed while
-    later windows may still merge against this state)."""
+    later windows may still merge against this state).
+
+    Implemented as an int64 key-hash lexsort instead of a string-keyed
+    sort+unique: the hot loop touches (hash, seq) int columns only
+    (~16 B/row) rather than row-encoded string keys, and the final
+    ``take`` gathers winner rows once. Exactness is preserved under hash
+    collisions: any sort run whose adjacent rows hash equal but compare
+    key-unequal (a real 64-bit collision, ~2^-64 per pair) is re-resolved
+    exactly via polars on just those rows.
+    """
     if tbl.num_rows == 0:
         return tbl
-    df = pl.from_arrow(tbl)
-    out = df.sort(SEQ_COL, descending=True).unique(
-        subset=key_cols, keep="first", maintain_order=True
+    import numpy as np
+
+    from ..util import hash64_column
+
+    h = hash64_column(tbl, key_cols).to_numpy(zero_copy_only=False)
+    seq = tbl[SEQ_COL].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-seq, h))  # by hash asc, then seq desc
+    hs = h[order]
+    run_start = np.ones(len(hs), dtype=bool)
+    run_start[1:] = hs[1:] != hs[:-1]
+
+    # rows that continue a run must share the key with their predecessor;
+    # verify with one vectorized compare over just those pairs
+    cont = np.nonzero(~run_start)[0]
+    dirty_runs: set[int] = set()
+    if cont.size:
+        cur = pa.array(order[cont])
+        prev = pa.array(order[cont - 1])
+        same = np.ones(cont.size, dtype=bool)
+        for k in key_cols:
+            col = tbl[k]
+            a = col.take(cur)
+            b = col.take(prev)
+            eq = pc.equal(a, b)
+            same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        if not same.all():
+            # real hash collision: find the run ids affected
+            run_id = np.cumsum(run_start) - 1
+            for i in cont[~same]:
+                dirty_runs.add(int(run_id[i]))
+
+    if not dirty_runs:
+        winners = order[run_start]
+        return tbl.take(pa.array(np.sort(winners)))
+
+    # rare exact path: resolve dirty runs with full string keys
+    run_id = np.cumsum(run_start) - 1
+    dirty_mask_sorted = np.isin(run_id, list(dirty_runs))
+    clean_winners = order[run_start & ~dirty_mask_sorted]
+    dirty_rows = order[dirty_mask_sorted]
+    sub = tbl.take(pa.array(dirty_rows))
+    df = pl.from_arrow(sub)
+    fixed = (
+        df.sort(SEQ_COL, descending=True)
+        .unique(subset=key_cols, keep="first", maintain_order=True)
+        .to_arrow()
+        .cast(tbl.schema)
     )
-    return out.to_arrow().cast(tbl.schema)
+    main = tbl.take(pa.array(np.sort(clean_winners)))
+    return pa.concat_tables([main, fixed])

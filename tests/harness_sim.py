@@ -1,0 +1,91 @@
+"""Standalone simulation of the driver's correctness harness: run each
+queries() entry at a given sf and compare with oracle_sql() via DuckDB
+(row count + column names/types + order-insensitive value multiset).
+Not a pytest file — run directly:  python tests/harness_sim.py [sf_dir]
+"""
+
+import json
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+
+def to_arrow(res):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return res.to_arrow_refs() if False else pa.Table.from_pylist(res.take_all())
+
+
+def canon(tbl):
+    """Order-insensitive canonical multiset of rows, column-name sorted."""
+    import pyarrow as pa
+
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    rows = []
+    for r in tbl.to_pylist():
+        rows.append(tuple((k, str(r[k])) for k in cols))
+    return sorted(rows)
+
+
+def main(sf_dir="/root/testdata/sf0.01"):
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    report = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            res = to_arrow(fn(sf_dir))
+            sec = round(time.perf_counter() - t0, 2)
+            if name in oracles:
+                exp = con.sql(oracles[name]).arrow()
+                ok_rows = res.num_rows == exp.num_rows
+                ok_cols = sorted(res.column_names) == sorted(exp.column_names)
+                ok_vals = canon(res) == canon(exp) if ok_rows and ok_cols else False
+                report[name] = {
+                    "rows": res.num_rows,
+                    "oracle_rows": exp.num_rows,
+                    "cols_match": ok_cols,
+                    "values_match": ok_vals,
+                    "sec": sec,
+                }
+            else:
+                report[name] = {"rows": res.num_rows, "rows_only": True, "sec": sec}
+        except Exception as e:
+            report[name] = {"ERROR": f"{type(e).__name__}: {e}"[:300]}
+    print(json.dumps(report, indent=1))
+    bad = [
+        n
+        for n, r in report.items()
+        if "ERROR" in r or (not r.get("rows_only") and not r.get("values_match"))
+    ]
+    print("FAILING:", bad if bad else "none")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
