@@ -1,0 +1,123 @@
+"""Join / lookup operators (SURVEY §2.4).
+
+The reference has no general relational join — its join-like shapes are
+broadcast dictionary lookups (J1: geo/UA), keyed point lookups (J2:
+anonymous→user), PK upsert merges (J3, the lake), and manifest
+anti-joins (J4). We provide the two idiomatic Ray Data realizations:
+
+- ``broadcast_join``: small side ``ray.put`` once, looked up inside
+  ``map_batches`` per batch (J1/J2 shape; no shuffle).
+- ``bucket_hash_join``: both sides large — add ``bucket = hash(key)%B``
+  to both, group each by bucket, join matching buckets pairwise inside
+  ``map_groups``. Partitioning assumption: per-bucket slices of both
+  sides fit in one task's memory; skewed keys are salted into
+  sub-buckets by raising B (documented in the ray_guide join recipe).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import hash_mod_column
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    key: str,
+    value_cols: list[str],
+    how: str = "inner",
+):
+    """Join a Dataset against a small broadcast table on one key column.
+
+    ``small`` is put in the object store ONCE; each map task (or actor)
+    fetches it once and joins per batch with Arrow's hash join.
+    """
+    ref = ray.put(small.select([key] + value_cols))
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=key, join_type=how)
+
+    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+
+
+def semi_anti_filter(ds, keys: pa.Array, col: str, anti: bool = False):
+    """J4 shape: semi / anti join via a broadcast key set."""
+    ref = ray.put(keys)
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch[col], value_set=self.keys)
+            return batch.filter(pc.invert(m) if anti else m)
+
+    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=2)
+
+
+def bucket_hash_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Partitioned hash join of two Datasets.
+
+    Both sides get a ``__bucket`` column and are unioned with a side
+    tag; one groupby co-locates each bucket's rows from both sides, and
+    ``map_groups`` performs the per-bucket Arrow join. One shuffle total
+    (the union groupby) instead of two.
+    """
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = [f.name for f in l_schema]
+    r_names = [f.name for f in r_schema]
+    overlap = (set(l_names) & set(r_names)) - {left_key}
+    if overlap:
+        raise ValueError(f"non-key column overlap in bucket join: {overlap}")
+    # union schema both tagged sides are padded to (union() needs it uniform)
+    union_fields = list(l_schema) + [f for f in r_schema if f.name not in l_names]
+
+    def tag(side: int, key: str):
+        def run(batch: pa.Table) -> pa.Table:
+            b = hash_mod_column(
+                batch.select([key]).rename_columns(["__k"]), ["__k"], num_buckets
+            )
+            cols = {}
+            for f in union_fields:
+                if f.name in batch.column_names:
+                    col = batch[f.name]
+                    cols[f.name] = col.cast(f.type) if not col.type.equals(f.type) else col
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            out = pa.table(cols)
+            out = out.append_column("__bucket", b)
+            return out.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.int8())
+            )
+
+        return run
+
+    lt = left.map_batches(tag(0, left_key), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_key), batch_format="pyarrow")
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group["__side"], 0)
+        lg = group.filter(mask).select(l_names)
+        rg = group.filter(pc.invert(mask)).select(r_names)
+        # arrow's hash join handles empty sides with the correct schema
+        return lg.join(rg, keys=left_key, right_keys=right_key, join_type=how)
+
+    # union of tagged sides -> ONE shuffle on __bucket co-locates both
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""Windowed aggregates over an ordered event stream (SURVEY §2.9).
+
+Ray Data has no event-time windows; per the streaming recipe the input
+is treated as a partitioned ordered log: tumbling windows are a
+vectorized bucket column + pre-aggregated groupby; session windows are
+``groupby(key).map_groups`` over each key's time-sorted events. The
+reference itself only micro-batches by wall clock (log rotation,
+design-docs/pipeline.md:45-47) — these extend it to the windowing a
+training-data/event pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str],
+                       value_col: str):
+    """count/sum/min/max of ``value_col`` per (group_cols, time bucket).
+
+    Pre-aggregates inside map_batches (one row per group per batch)
+    before the groupby, so the shuffle carries partials only. Bucket =
+    epoch_seconds // width * width, exposed as a timestamp
+    ``window_start`` (same definition the SQL oracle uses).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        batch = batch.append_column(
+            "window_start", pc.cast(pc.multiply(bucket, 1_000_000), pa.timestamp("us"))
+        )
+        df = pl.from_arrow(batch.select(group_cols + ["window_start", value_col]))
+        out = df.group_by(group_cols + ["window_start"]).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.sum(value_col).alias("sum_value"),
+            pl.min(value_col).alias("min_value"),
+            pl.max(value_col).alias("max_value"),
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols + ["window_start"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+
+
+def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int):
+    """Session windowing: per key, events sorted by time; a gap larger
+    than ``gap_seconds`` starts a new session. Returns one row per
+    session (key, session_start, session_end, n_events).
+
+    groupby(key) co-locates each key's events; the per-group function
+    sees the whole (small) group and sorts it — the documented
+    partitioning assumption is events-per-key fits one task.
+    """
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
+        sid = (gaps > gap_seconds).cumsum()
+        out = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out[key_col] = g[key_col].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)[
+            [key_col, "session_start", "session_end", "n_events"]
+        ]
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

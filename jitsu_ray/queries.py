@@ -278,6 +278,122 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_user_segment_join(sf_dir: str):
+    """J1/J2: broadcast lookup join — events enriched with the customer's
+    market segment (small side ray.put once, arrow hash join per batch)."""
+    import pyarrow.parquet as _pq
+
+    from .ops.join import broadcast_join
+
+    small = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    small = small.rename_columns(["user_id", "segment"])
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    return broadcast_join(ds, small, "user_id", ["segment"])
+
+
+SQL_USER_SEGMENT = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_order_revenue_join(sf_dir: str):
+    """Big-big partitioned hash join: per-order lineitem revenue (partial
+    aggregate first, so the join and its one shuffle carry one row per
+    order) bucket-joined to orders."""
+    from .ops.join import bucket_hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                ((pl.col("l_extendedprice") * (1 - pl.col("l_discount"))) * 100 + 0.5)
+                .floor()
+                .cast(pl.Int64)
+                .alias("r")
+            )
+            .group_by("l_orderkey")
+            .agg(pl.sum("r").alias("revenue_c"))
+        )
+        return out.to_arrow()
+
+    li = (
+        ray.data.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    return bucket_hash_join(orders, li, "o_orderkey", "l_orderkey", num_buckets=16)
+
+
+SQL_ORDER_REVENUE = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       sum(CAST(floor((l.l_extendedprice*(1 - l.l_discount))*100 + 0.5) AS BIGINT)) AS revenue_c
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+"""
+
+
+def q_tumbling_daily(sf_dir: str):
+    """§2.9 windowed aggregate: daily tumbling count/sum(value cents)/min/max
+    per event_type (vectorized bucket + partial agg before the shuffle)."""
+    from .ops.window import tumbling_aggregate
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return batch.append_column("value_c", v)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    return tumbling_aggregate(ds, "ts", 86400, ["event_type"], "value_c")
+
+
+SQL_TUMBLING = """
+SELECT event_type,
+       make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) * 1000000) AS window_start,
+       count(*) AS n,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value,
+       min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_value,
+       max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS max_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def q_session_windows(sf_dir: str):
+    """§2.9 session windows: per-user sessions split at >30 min gaps."""
+    from .ops.window import session_windows
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", 1800)
+
+
+SQL_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 
@@ -474,6 +590,10 @@ QUERIES = {
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "top_events_recent": q_top_events_recent,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "user_segment_join": q_user_segment_join,
+    "order_revenue_join": q_order_revenue_join,
+    "tumbling_daily": q_tumbling_daily,
+    "session_windows": q_session_windows,
     "doc_text_stats": q_doc_text_stats,
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_label_counts": q_embedding_label_counts,
@@ -499,6 +619,10 @@ ORACLES = {
     "anti_join_inactive_customers": SQL_ANTI,
     "top_events_recent": SQL_TOP,
     "q1_pricing_summary": SQL_Q1,
+    "user_segment_join": SQL_USER_SEGMENT,
+    "order_revenue_join": SQL_ORDER_REVENUE,
+    "tumbling_daily": SQL_TUMBLING,
+    "session_windows": SQL_SESSIONS,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,

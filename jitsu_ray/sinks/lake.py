@@ -123,6 +123,9 @@ class PartitionMerger:
         only the owned rows into the actor heap."""
         import numpy as np
 
+        # 0-row map outputs surface as schema-less blocks; nothing to own
+        if block.num_rows == 0 or PART_COL not in block.column_names:
+            return 0
         pvals = block[PART_COL].to_numpy(zero_copy_only=False)
         idx = np.nonzero(np.isin(pvals, self.my_parts))[0]
         if idx.size == 0:
@@ -341,33 +344,41 @@ class LakeTable:
         }
 
     def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
-        """Resolved view of the table as a streaming Dataset.
+        """Resolved view of the table as a streaming Dataset — one task
+        per partition, NO shuffle: a partition's base+delta files are
+        co-located by construction, so per-partition resolution equals
+        global resolution. Old files are null-padded / up-cast to the
+        current reconciled schema by the parquet scanner (``schema=``).
 
-        Old files are null-padded / up-cast to the current reconciled
-        schema by the parquet scanner (``schema=``); per-partition LWW
-        resolution runs in ``map_groups`` — partitions never share keys,
-        so per-partition resolution equals global resolution.
+        ``columns`` prunes at the read: only the requested payload
+        columns plus the key/seq/op system columns leave storage.
         """
-        files = [f for fs in self.live_files().values() for f in fs]
+        live = self.live_files()
         target = self.full_arrow_schema()
-        if not files:
-            empty = target.empty_table().drop_columns([PART_COL, OP_COL])
+        out_cols = [
+            f.name for f in target if f.name not in (PART_COL, OP_COL)
+        ]
+        if columns:
+            out_cols = [c for c in out_cols if c in columns or c in self.key_cols]
+        phys_cols = sorted({OP_COL, SEQ_COL, *self.key_cols, *out_cols})
+        if not live:
+            empty = pa.schema([target.field(c) for c in out_cols]).empty_table()
             return ray.data.from_arrow(empty)
         key_cols = self.key_cols
+        items = [{"part": p, "files": fs} for p, fs in sorted(live.items())]
 
-        def resolve_group(group: pa.Table) -> pa.Table:
-            return resolve_arrow(group, key_cols).drop_columns([PART_COL, OP_COL])
+        def load_partition(batch: pa.Table) -> pa.Table:
+            tables = []
+            for row in batch.to_pylist():
+                t = pq.ParquetDataset(row["files"], schema=target).read(
+                    columns=phys_cols
+                )
+                tables.append(resolve_arrow(t, key_cols).select(out_cols))
+            return pa.concat_tables(tables)
 
-        ds = (
-            # partitioning=None: `part=NNNNN` dirs are OUR layout, not a
-            # hive partition column to infer
-            ray.data.read_parquet(files, schema=target, partitioning=None)
-            .groupby(PART_COL)
-            .map_groups(resolve_group, batch_format="pyarrow")
+        return ray.data.from_items(items).map_batches(
+            load_partition, batch_size=1, batch_format="pyarrow"
         )
-        if columns:
-            ds = ds.select_columns(columns)
-        return ds
 
     # -- maintenance --------------------------------------------------------
 
@@ -432,6 +443,63 @@ class LakeTable:
 
     def last_committed_hi(self) -> int:
         return self.ledger.last_committed_hi()
+
+    def delete_where(self, predicate, commit_seq: int | None = None) -> dict:
+        """Interval refresh-replace, delete half (SURVEY §2.7 D2 — the
+        reference's ``DELETE WHERE eventn_ctx_time_interval = X`` before a
+        re-sync, adapters/delete_condition.go:24-33): emit tombstones for
+        every live key matching ``predicate`` (a ``pa.Table -> bool mask``
+        over the resolved table) as one maintenance window. A follow-up
+        insert window completes the refresh; LWW keeps it idempotent.
+
+        ``commit_seq`` must exceed every applied event's seq (defaults to
+        last_committed_hi + 1 — correct when the caller owns the global
+        sequencer).
+        """
+        hi0 = self.ledger.last_committed_hi()
+        seq = commit_seq if commit_seq is not None else hi0 + 1
+        if seq <= hi0:
+            raise ValueError(f"tombstone seq {seq} must exceed committed hi {hi0}")
+        key_cols = self.key_cols
+
+        def to_tombstones(batch: pa.Table) -> pa.Table:
+            mask = predicate(batch)
+            keys = batch.filter(mask).select(key_cols)
+            n = keys.num_rows
+            cols = {
+                OP_COL: pa.array([TOMBSTONE] * n, pa.string()),
+                SEQ_COL: pa.array([seq] * n, pa.int64()),
+            }
+            for k in key_cols:
+                cols[k] = keys[k]
+            return pa.table(cols)
+
+        ds = self.read().map_batches(to_tombstones, batch_format="pyarrow")
+        return self.apply_window(ds, seq - 1, seq)
+
+    def ingest_report(self) -> dict:
+        """T7/A3 analog: fold the ledger's per-window lineage into run
+        totals (success counters; per-partition detail preserved)."""
+        windows = self.ledger.window_metrics()
+        per_part: dict[int, dict] = {}
+        for w in windows:
+            for pp in w.get("metrics", {}).get("per_partition", []):
+                d = per_part.setdefault(
+                    int(pp["part"]), {"rows": 0, "tombstones": 0, "bytes": 0, "windows": 0}
+                )
+                d["rows"] += pp["rows"]
+                d["tombstones"] += pp["tombstones"]
+                d["bytes"] += pp["bytes"]
+                d["windows"] += 1
+        return {
+            "windows": len(windows),
+            "last_committed_hi": self.ledger.last_committed_hi(),
+            "rows_written": sum(w["metrics"]["rows_written"] for w in windows if "metrics" in w),
+            "tombstones": sum(w["metrics"]["tombstones"] for w in windows if "metrics" in w),
+            "bytes_written": sum(w["metrics"]["bytes_written"] for w in windows if "metrics" in w),
+            "schema_version": self.schema.version,
+            "partitions": per_part,
+        }
 
 
 def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:

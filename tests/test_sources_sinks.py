@@ -1,0 +1,197 @@
+"""Sources (NDJSON/CSV), dead-letter sink + replay, delete_where (D2),
+user recognition (T5), joins, windows, column-pruned lake reads."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from jitsu_ray.sinks.lake import LakeTable
+from jitsu_ray.stages.transform import ERROR_COL, TABLE_COL
+from jitsu_ray.types import DataType as T
+
+
+def test_ndjson_source_with_error_lines(ray_session, tmp_path):
+    # fact_input_with_error_lines.log golden shape: bad lines -> dead letters
+    p = tmp_path / "in.log"
+    p.write_text(
+        '{"a": 1, "nested": {"b": "x"}, "tags": [1,2]}\n'
+        "not json at all\n"
+        '{"a": 2}\n'
+        "\n"
+        '["array not object"]\n'
+    )
+    from jitsu_ray.sources.readers import read_ndjson_events
+    from jitsu_ray.stages.transform import split_dead_letters
+
+    ds = read_ndjson_events(str(p))
+    good, dead = split_dead_letters(ds)
+    g = good.take_all()
+    assert sorted(r["a"] for r in g) == [1, 2]
+    r1 = next(r for r in g if r["a"] == 1)
+    assert r1["nested_b"] == "x"  # flattened
+    assert r1["tags"] == "[1, 2]"  # list serialized to JSON
+    d = dead.take_all()
+    assert len(d) == 2
+    assert all(r[ERROR_COL] for r in d)
+
+
+def test_csv_source_normalize_and_cast(ray_session, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("User ID,Amount ($)\n1,2.5\n2,3.5\n")
+    from jitsu_ray.sources.readers import read_csv_events
+
+    out = read_csv_events(str(p), casts={"user_id": T.STRING}).take_all()
+    assert sorted(out[0].keys()) == ["amount____", "user_id"]
+    assert out[0]["user_id"] == "1"  # cast applied
+
+
+def test_dead_letter_write_and_replay(ray_session, tmp_path):
+    from jitsu_ray.sinks.dead_letter import replay_failed, write_dead_letters
+    from jitsu_ray.sources.readers import read_ndjson_events
+    from jitsu_ray.stages.transform import split_dead_letters, udf_transform_stage
+
+    p = tmp_path / "in.log"
+    p.write_text('{"v": 1}\n{"v": -1}\n{"v": 2}\n')
+
+    def strict(ev):
+        if ev.get("v", 0) < 0:
+            raise ValueError("negative")
+        return "t", {"v": ev["v"]}
+
+    ds = read_ndjson_events(str(p))
+    good, dead0 = split_dead_letters(
+        ds.map_batches(
+            lambda b: udf_transform_stage(strict)(b.drop_columns([TABLE_COL, ERROR_COL, "__raw"])),
+            batch_format="pyarrow",
+        )
+    )
+    failed_dir = str(tmp_path / "failed")
+    n = write_dead_letters(dead0, failed_dir)
+    assert n == 1 and good.count() == 2
+
+    # replay with a FIXED transform: everything recovers
+    def lenient(ev):
+        return "t", {"v": abs(ev["v"])}
+
+    rec, still = replay_failed(failed_dir, udf_transform_stage(lenient))
+    assert [r["v"] for r in rec.take_all()] == [1]
+    assert still.count() == 0
+
+
+def ev(seq, op, repo, path, content=None):
+    return {
+        "commit_seq": seq, "op": op, "repo": repo, "path": path,
+        "commit": None, "lang": None, "content": content,
+    }
+
+
+def make_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "commit_seq": pa.array([r["commit_seq"] for r in rows], pa.int64()),
+                "op": pa.array([r["op"] for r in rows], pa.string()),
+                "repo": pa.array([r["repo"] for r in rows], pa.string()),
+                "path": pa.array([r["path"] for r in rows], pa.string()),
+                "content": pa.array([r["content"] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+def test_delete_where_refresh(ray_session, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rows = [ev(i, "insert", "keep" if i % 2 else "drop", f"f{i}", f"c{i}") for i in range(1, 7)]
+    lake.apply_window(make_ds(rows), 0, 6)
+    entry = lake.delete_where(lambda b: pc.equal(b["repo"], "drop"))
+    assert entry["metrics"]["tombstones"] == 3
+    left = lake.read().take_all()
+    assert sorted(r["repo"] for r in left) == ["keep"] * 3
+    # idempotent: lower/equal seq refresh refused
+    with pytest.raises(ValueError):
+        lake.delete_where(lambda b: pc.equal(b["repo"], "keep"), commit_seq=3)
+
+
+def test_read_column_pruning(ray_session, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "p", "body")]), 0, 1)
+    out = lake.read(columns=["repo", "path", "content"]).take_all()
+    assert sorted(out[0].keys()) == ["content", "path", "repo"]
+    assert out[0]["content"] == "body"
+
+
+def test_ingest_report(ray_session, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "p", "x")]), 0, 1)
+    lake.apply_window(make_ds([ev(2, "delete", "r", "p")]), 1, 2)
+    rep = lake.ingest_report()
+    assert rep["windows"] == 2 and rep["last_committed_hi"] == 2
+    assert rep["tombstones"] == 1 and rep["partitions"]
+
+
+def test_user_recognition(ray_session):
+    import ray.data
+
+    from jitsu_ray.pipelines.recognition import build_identity_map, recognize_users
+
+    tbl = pa.table(
+        {
+            "anon": pa.array(["a1", "a1", "a2", "a3", None]),
+            "user": pa.array([None, 7, None, None, 9], pa.int64()),
+            "v": pa.array([1, 2, 3, 4, 5]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    idmap = build_identity_map(ds, "anon", "user")
+    assert dict(zip(idmap["anon"].to_pylist(), idmap["user"].to_pylist())) == {"a1": 7}
+    out = {r["v"]: r["user"] for r in recognize_users(ds, "anon", "user", idmap).take_all()}
+    assert out == {1: 7, 2: 7, 3: None, 4: None, 5: 9}
+
+
+def test_broadcast_and_bucket_join(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.join import broadcast_join, bucket_hash_join, semi_anti_filter
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4]), "lv": pa.array(list("abcd"))}))
+    small = pa.table({"k": pa.array([1, 3]), "sv": pa.array(["X", "Y"])})
+    out = broadcast_join(left, small, "k", ["sv"]).take_all()
+    assert sorted((r["k"], r["sv"]) for r in out) == [(1, "X"), (3, "Y")]
+
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([2, 3, 5]), "rv": pa.array(["p", "q", "r"])}))
+    out2 = bucket_hash_join(left, right, "k", "rk", num_buckets=4).take_all()
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out2) == [(2, "b", "p"), (3, "c", "q")]
+
+    semi = semi_anti_filter(left, pa.array([2, 4]), "k").take_all()
+    assert sorted(r["k"] for r in semi) == [2, 4]
+    anti = semi_anti_filter(left, pa.array([2, 4]), "k", anti=True).take_all()
+    assert sorted(r["k"] for r in anti) == [1, 3]
+
+
+def test_tumbling_and_session_windows(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.window import session_windows, tumbling_aggregate
+
+    base = 1_700_000_000_000_000  # us
+    ts = [base, base + 30 * 60 * 1_000_000, base + 3 * 3600 * 1_000_000]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "g": pa.array(["a", "a", "a"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = tumbling_aggregate(ds, "ts", 3600, ["g"], "v").take_all()
+    assert sorted((r["n"], r["sum_value"]) for r in out) == [(1, 4), (2, 3)]
+
+    sess = session_windows(ds.map_batches(lambda b: b.rename_columns(["ts", "user", "v"]), batch_format="pyarrow"), "user", "ts", 3600).take_all()
+    assert sorted(r["n_events"] for r in sess) == [1, 2]
