@@ -73,16 +73,6 @@ PART_COL = "__part"
 TOMBSTONE = "delete"
 
 
-def resolve_polars(df: pl.DataFrame, key_cols: list[str]) -> pl.DataFrame:
-    """Per-key LWW fold: keep the max-seq row per key, drop tombstone
-    winners. Order-independent; safe to apply repeatedly (idempotent)."""
-    return (
-        df.sort(SEQ_COL, descending=True)
-        .unique(subset=key_cols, keep="first", maintain_order=True)
-        .filter(pl.col(OP_COL) != TOMBSTONE)
-    )
-
-
 def resolve_arrow(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     """Read-side resolution: per-key LWW winners with tombstones dropped."""
     if tbl.num_rows == 0:

@@ -195,3 +195,23 @@ def test_tumbling_and_session_windows(ray_session):
 
     sess = session_windows(ds.map_batches(lambda b: b.rename_columns(["ts", "user", "v"]), batch_format="pyarrow"), "user", "ts", 3600).take_all()
     assert sorted(r["n_events"] for r in sess) == [1, 2]
+
+
+def test_write_routed_fanout_resumable(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.sinks.files import write_routed
+    from jitsu_ray.stages.router import route_stage
+
+    tbl = pa.table({"lang": pa.array(["py", "go", "py"]), "v": pa.array([1, 2, 3])})
+    ds = ray.data.from_arrow(tbl).map_batches(
+        route_stage("{lang}_events"), batch_format="pyarrow"
+    )
+    base = str(tmp_path / "out")
+    counts = write_routed(ds, base)
+    assert counts == {"go_events": 1, "py_events": 2}
+    got = pq.read_table(os.path.join(base, "py_events"))
+    assert sorted(got["v"].to_pylist()) == [1, 3] and "__table" not in got.column_names
+    # rerun skips completed tables (resumable layout)
+    counts2 = write_routed(ds, base)
+    assert counts2 == {"go_events": -1, "py_events": -1}
