@@ -1,0 +1,145 @@
+"""Property-based invariants (hypothesis): the LWW fold is exact for
+arbitrary event interleavings/windowings; the promotion lattice is a
+join-semilattice; resolve matches a naive Python oracle. Plus stress
+shapes: multi-MB content rows and a single pathological hot key."""
+
+import hypothesis.strategies as st
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from jitsu_ray.sinks.lake import LakeTable, resolve_arrow, resolve_keep_tombstones
+from jitsu_ray.types import DataType as T
+from jitsu_ray.types import promote
+
+
+@given(st.sampled_from(list(T)), st.sampled_from(list(T)), st.sampled_from(list(T)))
+def test_promote_is_join_semilattice(a, b, c):
+    assert promote(a, b) == promote(b, a)  # commutative
+    assert promote(a, promote(b, c)) == promote(promote(a, b), c)  # associative
+    assert promote(a, a) == a  # idempotent
+    assert promote(a, T.UNKNOWN) == a  # identity
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key id
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def build_table(evs):
+    rows = []
+    for seq, (k, op) in enumerate(evs, start=1):
+        rows.append(
+            {
+                "commit_seq": seq,
+                "op": op,
+                "repo": f"r{k % 2}",
+                "path": f"p{k}",
+                "content": None if op == "delete" else f"v{seq}",
+            }
+        )
+    return pa.table(
+        {
+            "commit_seq": pa.array([r["commit_seq"] for r in rows], pa.int64()),
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.large_string()),
+        }
+    )
+
+
+def naive_oracle(evs):
+    state = {}
+    for seq, (k, op) in enumerate(evs, start=1):
+        key = (f"r{k % 2}", f"p{k}")
+        state[key] = (seq, None if op == "delete" else f"v{seq}", op)
+    return {
+        k: (seq, content)
+        for k, (seq, content, op) in state.items()
+        if op != "delete"
+    }
+
+
+@given(events_strategy, st.randoms(use_true_random=False))
+@settings(max_examples=60, deadline=None)
+def test_resolve_matches_oracle_any_order(evs, rnd):
+    tbl = build_table(evs)
+    # deliver in arbitrary order: resolution must not care
+    idx = list(range(tbl.num_rows))
+    rnd.shuffle(idx)
+    shuffled = tbl.take(pa.array(idx))
+    out = resolve_arrow(shuffled, ["repo", "path"])
+    got = {
+        (r["repo"], r["path"]): (r["commit_seq"], r["content"])
+        for r in out.to_pylist()
+    }
+    assert got == naive_oracle(evs)
+
+
+@given(events_strategy, st.integers(1, 5))
+@settings(max_examples=30, deadline=None)
+def test_fold_split_invariance(evs, n_chunks):
+    """resolve(concat(resolve(chunk_i))) == resolve(whole): the combiner
+    tree can split anywhere (batch combiner, ingest fold, finish fold,
+    compaction) without changing the result."""
+    tbl = build_table(evs)
+    size = max(1, tbl.num_rows // n_chunks)
+    parts = [
+        resolve_keep_tombstones(tbl.slice(i, size), ["repo", "path"])
+        for i in range(0, tbl.num_rows, size)
+    ]
+    via_chunks = resolve_arrow(pa.concat_tables(parts), ["repo", "path"])
+    direct = resolve_arrow(tbl, ["repo", "path"])
+    key = lambda t: sorted(
+        (r["repo"], r["path"], r["commit_seq"]) for r in t.to_pylist()
+    )
+    assert key(via_chunks) == key(direct)
+
+
+def test_wide_rows_multi_mb_content(ray_session, tmp_path):
+    # §7.4 hard part: content columns of MBs flow through apply/read intact
+    import ray.data
+
+    big = "x" * (3 * 1024 * 1024)
+    rows = 8
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array(range(1, rows + 1), pa.int64()),
+            "op": pa.array(["insert"] * rows, pa.string()),
+            "repo": pa.array([f"r{i}" for i in range(rows)], pa.string()),
+            "path": pa.array(["p"] * rows, pa.string()),
+            "content": pa.array([big + str(i) for i in range(rows)], pa.large_string()),
+        }
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    lake.apply_window(ray.data.from_arrow(tbl), 0, rows)
+    out = lake.read().take_all()
+    assert len(out) == rows
+    assert all(len(r["content"]) == len(big) + 1 for r in out)
+
+
+def test_hot_single_key(ray_session, tmp_path):
+    # all events on ONE key: irreducible co-location, merge stays cheap
+    import ray.data
+
+    n = 20_000
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array(range(1, n + 1), pa.int64()),
+            "op": pa.array(["insert"] + ["update"] * (n - 1), pa.string()),
+            "repo": pa.array(["hot"] * n, pa.string()),
+            "path": pa.array(["one"] * n, pa.string()),
+            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
+        }
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 8)
+    lake.apply_window(ray.data.from_arrow(tbl), 0, n)
+    out = lake.read().take_all()
+    assert len(out) == 1
+    assert out[0]["commit_seq"] == n and out[0]["content"] == f"v{n-1}"
