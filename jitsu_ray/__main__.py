@@ -1,0 +1,95 @@
+"""CLI entry points: replay / compact / report / read.
+
+Owns the Ray session (the library never calls ray.init — the driver
+contract); designed for `ray job submit -- python -m jitsu_ray ...` on
+a cluster, `address="local"` here.
+
+    python -m jitsu_ray replay  --log DIR --lake DIR [--window N] [--partitions P]
+    python -m jitsu_ray compact --lake DIR [--watermark N]
+    python -m jitsu_ray report  --lake DIR
+    python -m jitsu_ray read    --lake DIR --out DIR [--columns a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=int(os.environ["RAY_GRAFT_CPUS"])
+            if "RAY_GRAFT_CPUS" in os.environ
+            else None,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="jitsu_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="replay a changelog into a lake")
+    r.add_argument("--log", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--window", type=int, default=100_000)
+    r.add_argument("--partitions", type=int, default=64)
+
+    c = sub.add_parser("compact", help="fold deltas into base files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--watermark", type=int, default=0)
+
+    g = sub.add_parser("report", help="ledger lineage totals")
+    g.add_argument("--lake", required=True)
+
+    d = sub.add_parser("read", help="materialize the resolved table to parquet")
+    d.add_argument("--lake", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--columns", default=None)
+
+    args = p.parse_args(argv)
+    ray = _session()
+    from .sinks.lake import LakeTable
+
+    if args.cmd == "replay":
+        from .pipelines.replay import replay_changelog
+
+        lake, metrics = replay_changelog(
+            args.log,
+            args.lake,
+            num_partitions=args.partitions,
+            window_size=args.window,
+        )
+        print(json.dumps(metrics))
+    elif args.cmd == "compact":
+        lake = LakeTable.open(args.lake)
+        entry = lake.compact(min_files=1, tombstone_watermark=args.watermark)
+        print(json.dumps({"compacted_parts": len(entry.get("parts", {}))}))
+    elif args.cmd == "report":
+        lake = LakeTable.open(args.lake)
+        rep = lake.ingest_report()
+        rep["partitions"] = len(rep["partitions"])
+        print(json.dumps(rep))
+    elif args.cmd == "read":
+        lake = LakeTable.open(args.lake)
+        cols = args.columns.split(",") if args.columns else None
+        ds = lake.read(columns=cols)
+        ds.write_parquet(args.out)
+        print(json.dumps({"rows": ds.count(), "out": args.out}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -215,3 +215,43 @@ def test_write_routed_fanout_resumable(ray_session, tmp_path):
     # rerun skips completed tables (resumable layout)
     counts2 = write_routed(ds, base)
     assert counts2 == {"go_events": -1, "py_events": -1}
+
+
+def test_multi_destination_ingest(ray_session, tmp_path):
+    from jitsu_ray.pipelines.ingest import Destination, ingest
+    from jitsu_ray.sources.readers import read_ndjson_events
+
+    p = tmp_path / "in.log"
+    p.write_text(
+        '{"lang": "py", "user": {"id": 1}, "secret": "x", "n": 1}\n'
+        '{"lang": "go", "user": {"id": 2}, "secret": "y", "n": 2}\n'
+        "garbage\n"
+    )
+    ds = read_ndjson_events(str(p))
+    report = ingest(
+        ds,
+        [
+            Destination(
+                name="warehouse",
+                path=str(tmp_path / "wh"),
+                mapping=[
+                    {"action": "move", "src": "/user/id", "dst": "/uid"},
+                    {"action": "remove", "src": "/secret"},
+                ],
+                router="{lang}_events",
+            ),
+            Destination(
+                name="archive",
+                path=str(tmp_path / "arch"),
+                router="all",
+            ),
+        ],
+        failed_dir=str(tmp_path / "failed"),
+    )
+    assert report["dead_letters"] == 1
+    assert report["warehouse"]["tables"] == {"go_events": 1, "py_events": 1}
+    assert report["archive"]["tables"] == {"all": 2}
+    wh = pq.read_table(os.path.join(tmp_path, "wh", "py_events"))
+    assert "secret" not in wh.column_names and wh["uid"].to_pylist() == [1]
+    ar = pq.read_table(os.path.join(tmp_path, "arch", "all"))
+    assert "secret" in ar.column_names  # archive kept everything
