@@ -143,18 +143,14 @@ class Replayer:
         n_windows = 0
         while lo < max_seq:
             hi = min(lo + self.window_size, max_seq)
-            tw = time.perf_counter()
             ds = self.window_dataset(lo, hi)
-            self.lake.apply_window(
-                ds, lo, hi, extra_metrics={"window_sec": None}
-            )
+            self.lake.apply_window(ds, lo, hi)
             n_windows += 1
             # seq-range windows: nothing below `hi` can arrive later, so
             # compaction may drop tombstones up to the committed watermark
             if compact_every and n_windows % compact_every == 0:
                 self.lake.compact(min_files=4, tombstone_watermark=hi)
             lo = hi
-            _ = tw  # per-window timing lives in the ledger metrics
         if compact_at_end:
             self.lake.compact(min_files=2, tombstone_watermark=self.lake.last_committed_hi())
         wall = time.perf_counter() - t0

@@ -264,6 +264,10 @@ class LakeTable:
             # the "already uploaded" skip, logfiles/uploader.go:103-109).
             return {"kind": "window", "lo": lo, "hi": hi, "skipped": True}
 
+        import time as _time
+
+        _t0 = _time.perf_counter()
+
         self._reconcile_window_schema(ds.schema().base_schema)
         target = self.full_arrow_schema()
         key_cols = self.key_cols
@@ -314,6 +318,10 @@ class LakeTable:
                 "rows_written": int(sum(r["rows"] for r in stats_rows)),
                 "tombstones": int(sum(r["tombstones"] for r in stats_rows)),
                 "bytes_written": int(sum(r["bytes"] for r in stats_rows)),
+                "window_sec": round(_time.perf_counter() - _t0, 3),
+                "events_per_sec": round(
+                    (hi - lo) / max(1e-9, _time.perf_counter() - _t0)
+                ),
                 "per_partition": [
                     {k: r[k] for k in ("part", "rows", "tombstones", "bytes")}
                     for r in stats_rows
