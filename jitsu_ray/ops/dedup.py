@@ -25,18 +25,23 @@ from ..util import md5_hex_column
 _MERSENNE = (1 << 61) - 1
 
 
+_POLY_B = np.uint64(1_000_003)
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Stable crc32 hashes of character k-shingles (whitespace-normalized)."""
+    """Stable polynomial hashes of character k-shingles, fully vectorized:
+    the UTF-8 byte string is viewed as a (n_shingles, k) strided window
+    matrix and hashed with one matrix-vector product (no per-shingle
+    Python loop — this stage runs over every document)."""
     s = " ".join((text or "").split())
     if len(s) < k:
         s = s.ljust(k)
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(s[i : i + k].encode()) for i in range(len(s) - k + 1)),
-            dtype=np.uint64,
-            count=len(s) - k + 1,
-        )
-    )
+    b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < k:  # multibyte edge: pad
+        b = np.pad(b, (0, k - len(b)))
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = _POLY_B ** np.arange(k, dtype=np.uint64)  # wrapping mod 2^64
+    return np.unique(windows @ powers)
 
 
 def _word_ngrams(text: str, n: int = 3) -> set[int]:
@@ -88,23 +93,44 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(ds) -> "pa.Table":
-    """groupby (band, band_hash) -> emit unique candidate pairs (a < b).
-    The shuffle carries only (doc_id, band, hash) rows. Result is small
-    (pairs sharing a band) and deduplicated."""
+def lsh_candidate_pairs(ds, num_shards: int = 32) -> "pa.Table":
+    """Candidate pairs (a < b) sharing an LSH bucket.
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
+    Shuffles (doc_id, band, band_hash) rows into ``num_shards`` coarse
+    shards by band_hash (buckets never span shards), then extracts each
+    shard's pairs with one vectorized polars pass — NOT one map_groups
+    call per bucket, which costs a Python invocation per (band, hash)
+    group and dominated the runtime (~10^5 tiny groups per corpus)."""
+    import polars as pl
+
+    def shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bk = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], num_shards - 1), pa.int32()
+        )
+        return batch.append_column("__shard", bk)
+
+    def pairs_in_shard(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.select(["band", "band_hash", "doc_id"]))
+        buckets = (
+            df.unique()
+            .group_by(["band", "band_hash"])
+            .agg(pl.col("doc_id").sort().alias("ids"), pl.len().alias("n"))
+            .filter(pl.col("n") >= 2)
+        )
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for ids in buckets["ids"].to_list():  # only multi-member buckets
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     out = (
-        ds.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pyarrow")
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(pairs_in_shard, batch_format="pyarrow")
         .take_all()
     )
     if not out:
@@ -179,7 +205,7 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
     """Full MinHash-LSH near-dup pipeline over a (doc_id, text) Dataset.
     Returns pa.Table (doc_id, cluster) for docs in near-dup clusters."""
     sig_ds = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=2,
+        MinHasher, batch_format="pyarrow", concurrency=(2, 8),
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
     )
     cands = lsh_candidate_pairs(sig_ds)
@@ -232,8 +258,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
     """Word n-gram Jaccard near-dup via same LSH machinery but exact
     verification on word shingles (complement to char-shingle MinHash)."""
     sig_ds = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=2,
-        fn_constructor_kwargs={"num_perm": 32, "bands": 16},
+        MinHasher, batch_format="pyarrow", concurrency=(2, 8),
+        fn_constructor_kwargs={"num_perm": 64, "bands": 16},
     )
     cands = lsh_candidate_pairs(sig_ds)
     cand_ids = set(cands["a"].to_pylist()) | set(cands["b"].to_pylist())
@@ -246,8 +272,15 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
             sel = b.filter(m)
             texts.update(zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()))
     keep_a, keep_b, jac = [], [], []
+    ngram_cache: dict[int, set[int]] = {}
+
+    def ng(i: int) -> set[int]:
+        if i not in ngram_cache:
+            ngram_cache[i] = _word_ngrams(texts[i], n)
+        return ngram_cache[i]
+
     for i, j in zip(cands["a"].to_pylist(), cands["b"].to_pylist()):
-        sa, sb = _word_ngrams(texts[i], n), _word_ngrams(texts[j], n)
+        sa, sb = ng(i), ng(j)
         inter = len(sa & sb)
         union = len(sa | sb)
         v = inter / union if union else 0.0
