@@ -278,6 +278,24 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_timestamp_format(sf_dir: str):
+    """§2.8 scalar parity: RFC3339-micros timestamp rendering, identical
+    to the reference's timestamp/format.go layout and to DuckDB strftime."""
+    from .types import DataType, cast_array
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        iso = cast_array(batch["ts"], DataType.STRING)
+        return pa.table({"event_id": batch["event_id"], "ts_iso": pc.cast(iso, pa.string())})
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_TS_FORMAT = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso FROM events
+"""
+
+
 def q_user_segment_join(sf_dir: str):
     """J1/J2: broadcast lookup join — events enriched with the customer's
     market segment (small side ray.put once, arrow hash join per batch)."""
@@ -590,6 +608,7 @@ QUERIES = {
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "top_events_recent": q_top_events_recent,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "timestamp_format": q_timestamp_format,
     "user_segment_join": q_user_segment_join,
     "order_revenue_join": q_order_revenue_join,
     "tumbling_daily": q_tumbling_daily,
@@ -619,6 +638,7 @@ ORACLES = {
     "anti_join_inactive_customers": SQL_ANTI,
     "top_events_recent": SQL_TOP,
     "q1_pricing_summary": SQL_Q1,
+    "timestamp_format": SQL_TS_FORMAT,
     "user_segment_join": SQL_USER_SEGMENT,
     "order_revenue_join": SQL_ORDER_REVENUE,
     "tumbling_daily": SQL_TUMBLING,

@@ -20,7 +20,7 @@ def to_arrow(res):
         return res
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
-    return res.to_arrow_refs() if False else pa.Table.from_pylist(res.take_all())
+    return pa.Table.from_pylist(res.take_all())
 
 
 def canon(tbl):
