@@ -497,6 +497,7 @@ def q_cdc_replay(sf_dir: str):
     Non-SQL (input is the generated log, not a registered view) —
     correctness is pinned by tests/test_replay_golden.py instead."""
     from .pipelines.replay import replay_changelog
+    from .stages.enrich import add_constant, add_timestamp, chain
     from .testgen import ensure_changelog
     from .util import sha256_hex_column
 
@@ -506,8 +507,17 @@ def q_cdc_replay(sf_dir: str):
     log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
     lake_dir = os.path.join(CACHE_DIR, f"lake_q_{n_events}_{os.getpid()}")
     shutil.rmtree(lake_dir, ignore_errors=True)
+
+    # Jitsu-style enrichment chain in the replay path (M1 context
+    # enrichment: deterministic _timestamp from commit order + source
+    # marker; zero-copy arrow, fused into the window read)
+    enrichment = chain(add_timestamp(), add_constant("src", "cdc"))
     lake, _ = replay_changelog(
-        log_dir, lake_dir, num_partitions=32, window_size=max(n_events // 8, 2000)
+        log_dir,
+        lake_dir,
+        num_partitions=32,
+        window_size=max(n_events // 8, 2000),
+        enrichers=[enrichment],
     )
 
     def add_sha(batch: pa.Table) -> pa.Table:

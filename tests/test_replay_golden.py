@@ -27,11 +27,20 @@ def test_replay_matches_oracle(ray_session, tmp_path):
     write_changelog(log, tbl, rows_per_file=1500)
     assert changelog_max_seq(log) == 6000
 
+    from jitsu_ray.stages.enrich import add_constant, add_timestamp, chain
+
     lake, metrics = replay_changelog(
-        log, str(tmp_path / "lake"), num_partitions=8, window_size=1300
+        log,
+        str(tmp_path / "lake"),
+        num_partitions=8,
+        window_size=1300,
+        enrichers=[chain(add_timestamp(), add_constant("src", "cdc"))],
     )
     assert metrics["windows"] == 5
-    got = state_fingerprint(lake.read().take_all())
+    rows = lake.read().take_all()
+    got = state_fingerprint(rows)
+    # enrichment columns survive the lake round-trip, deterministically
+    assert all(r["src"] == "cdc" and r["_timestamp"] is not None for r in rows)
 
     exp_tbl = oracle_final_state(tbl)
     exp = state_fingerprint(exp_tbl.to_pylist())
