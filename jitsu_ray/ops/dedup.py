@@ -93,6 +93,23 @@ class MinHasher:
         )
 
 
+_HASHER_CACHE: dict = {}
+
+
+def minhash_stage(num_perm: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 42):
+    """Stateless map_batches stage with a per-worker-process cached
+    MinHasher: the permutation table is cheap to build, so plain tasks on
+    warm workers beat an actor pool (no per-query actor startup)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        key = (num_perm, bands, shingle_k, seed)
+        if key not in _HASHER_CACHE:
+            _HASHER_CACHE[key] = MinHasher(num_perm, bands, shingle_k, seed)
+        return _HASHER_CACHE[key](batch)
+
+    return run
+
+
 def lsh_candidate_pairs(ds, num_shards: int = 32) -> "pa.Table":
     """Candidate pairs (a < b) sharing an LSH bucket.
 
@@ -205,8 +222,7 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
     """Full MinHash-LSH near-dup pipeline over a (doc_id, text) Dataset.
     Returns pa.Table (doc_id, cluster) for docs in near-dup clusters."""
     sig_ds = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(2, 8),
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        minhash_stage(num_perm=num_perm, bands=bands), batch_format="pyarrow"
     )
     cands = lsh_candidate_pairs(sig_ds)
     # small side broadcast: only candidate docs' texts
@@ -257,10 +273,7 @@ class SimHasher:
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
     """Word n-gram Jaccard near-dup via same LSH machinery but exact
     verification on word shingles (complement to char-shingle MinHash)."""
-    sig_ds = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(2, 8),
-        fn_constructor_kwargs={"num_perm": 64, "bands": 16},
-    )
+    sig_ds = ds.map_batches(minhash_stage(num_perm=64, bands=16), batch_format="pyarrow")
     cands = lsh_candidate_pairs(sig_ds)
     cand_ids = set(cands["a"].to_pylist()) | set(cands["b"].to_pylist())
     texts = {}
