@@ -191,3 +191,54 @@ class _IVFScorer(BruteForceScorer):
         buckets = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
         col = pa.array([buckets[n] for n in out["neighbor_id"].to_pylist()], pa.int32())
         return out.append_column("bucket", col)
+
+
+class _NearDupScorer:
+    """Per-batch: cosine of batch vectors against the broadcast corpus
+    matrix; emit pairs above threshold (a < b). Broadcast-all works to
+    ~10^6 vectors (corpus matrix ships once per worker via ray.put); the
+    scale path replaces the corpus matrix with IVF bucket neighbors."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        ids, mat = ray.get(corpus_ref)
+        self.ids = np.asarray(ids)
+        self.mat = _normalize(np.asarray(mat, dtype=np.float32))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        sims = m @ self.mat.T  # (batch, corpus)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a = vids[bi]
+        b = self.ids[cj]
+        keep = a < b  # dedupe symmetric pairs + self-matches
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(sims[bi[keep], cj[keep]].astype(np.float64)),
+            }
+        )
+
+
+def embedding_near_dup(ds, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs across the whole corpus."""
+    rows = ds.take_all()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ref = ray.put((ids, mat))
+    out = ds.map_batches(
+        _NearDupScorer,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(2, 8),
+        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
+    ).take_all()
+    uniq = sorted({(r["a"], r["b"]) for r in out})
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in uniq], pa.int64()),
+            "b": pa.array([p[1] for p in uniq], pa.int64()),
+        }
+    )

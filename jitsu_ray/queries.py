@@ -564,6 +564,14 @@ def q_ann_ivf_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table."""
+    from .ops.similarity import embedding_near_dup
+
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.9)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Binary-media plumbing: documents' text bytes stand in for image
     payloads; FakeDecoder derives deterministic metadata (ops/multimodal
@@ -634,6 +642,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "doc_quality": q_doc_quality,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
     "schema_infer": q_schema_infer,
 }

@@ -174,3 +174,24 @@ def test_multimodal_stub_plumbing(ray_session):
     # deterministic across calls
     again = FakeDecoder().decode_one(b"\x89PNGfake", "image/png")
     assert again["width"] == r1["width"] and again["content_sha1"] == r1["content_sha1"]
+
+
+def test_embedding_near_dup_planted(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((100, 16)).astype(np.float32)
+    m[7] = m[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    m[42] = m[9]  # exact dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup(ray.data.from_arrow(tbl), threshold=0.99)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (3, 7) in pairs and (9, 42) in pairs
+    assert all(a < b for a, b in pairs)
