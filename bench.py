@@ -79,12 +79,14 @@ def main() -> dict:
     n_repos = max(10, int(500 * sf))
     log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
 
-    # warm page cache (measure compute+shuffle, not first disk read)
-    import pyarrow.parquet as pq
-    import glob
+    # warm page cache (measure compute+shuffle, not first disk read);
+    # skipped when the parent --scaling process already warmed it
+    if not os.environ.get("BENCH_SKIP_WARM"):
+        import pyarrow.parquet as pq
+        import glob
 
-    for f in glob.glob(os.path.join(log_dir, "*.parquet")):
-        pq.read_table(f)
+        for f in glob.glob(os.path.join(log_dir, "*.parquet")):
+            pq.read_table(f)
 
     # warm the Ray worker pool (untimed): spin up num_cpus map workers so
     # the timed replay measures steady-state throughput, not process forks
@@ -150,10 +152,26 @@ def scaling() -> None:
     lo = int(os.environ.get("SCALE_LO", "4"))
     hi = int(os.environ.get("SCALE_HI", "16"))
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    # pre-generate + warm the shared input once; subprocesses skip both
+    sf = _sf()
+    n_events = int(os.environ.get("SCALE_EVENTS", "10000000"))
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jitsu_ray.queries import CACHE_DIR
+    from jitsu_ray.testgen import ensure_changelog
+
+    log_dir = ensure_changelog(
+        os.path.join(CACHE_DIR, "changelog"), n_events, max(10, int(500 * sf))
+    )
+    for f in glob.glob(os.path.join(log_dir, "*.parquet")):
+        pq.read_table(f)
     res = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_SKIP_QUERIES="1",
-                   BENCH_EVENTS=os.environ.get("SCALE_EVENTS", "10000000"))
+                   BENCH_SKIP_WARM="1", BENCH_EVENTS=str(n_events))
         runs = []
         for _ in range(repeats):  # min-of-k: the sandbox VM has memory-
             # compaction stalls that inject multi-second noise
