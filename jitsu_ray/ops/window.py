@@ -55,29 +55,47 @@ def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str
     )
 
 
-def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int):
+def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
+                    num_shards: int = 32):
     """Session windowing: per key, events sorted by time; a gap larger
     than ``gap_seconds`` starts a new session. Returns one row per
     session (key, session_start, session_end, n_events).
 
-    groupby(key) co-locates each key's events; the per-group function
-    sees the whole (small) group and sorts it — the documented
-    partitioning assumption is events-per-key fits one task.
+    Keys are hash-sharded into ``num_shards`` coarse groups (a key never
+    spans shards) and each shard's sessions are computed in ONE
+    vectorized pandas pass over all of its keys — not one map_groups
+    call per key, which pays a Python invocation per group.
+    Partitioning assumption: a shard's events fit one task.
     """
+    from ..util import hash_mod_column
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        sid = (gaps > gap_seconds).cumsum()
-        out = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
+    def shard(batch: pa.Table) -> pa.Table:
+        sh = hash_mod_column(
+            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
         )
-        out[key_col] = g[key_col].iloc[0]
+        return batch.append_column("__shard", sh)
+
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        new_sess = (g[key_col] != g[key_col].shift()) | (
+            g[ts_col].diff().dt.total_seconds() > gap_seconds
+        )
+        sid = new_sess.cumsum()
+        out = g.groupby(sid).agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n_events": (ts_col, "size"),
+            }
+        )
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)[
             [key_col, "session_start", "session_end", "n_events"]
         ]
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(sessions_shard, batch_format="pandas")
+    )
