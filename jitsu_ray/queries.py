@@ -270,9 +270,9 @@ def q_q1_pricing_summary(sf_dir: str):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
-       sum(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -352,7 +352,7 @@ def q_order_revenue_join(sf_dir: str):
 
 SQL_ORDER_REVENUE = """
 SELECT o.o_orderkey, o.o_orderstatus,
-       sum(CAST(floor((l.l_extendedprice*(1 - l.l_discount))*100 + 0.5) AS BIGINT)) AS revenue_c
+       CAST(sum(CAST(floor((l.l_extendedprice*(1 - l.l_discount))*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey, o.o_orderstatus
 """
@@ -379,7 +379,7 @@ SQL_TUMBLING = """
 SELECT event_type,
        make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) * 1000000) AS window_start,
        count(*) AS n,
-       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
        min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_value,
        max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS max_value
 FROM events GROUP BY event_type, window_start
