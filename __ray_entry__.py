@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from jitsu_ray.queries import ORACLES, QUERIES
+from jitsu_ray.queries import ORACLES, QUERIES, cdc_replay_oracle_sql
 
 
 def entry() -> Any:
@@ -29,4 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    d = dict(ORACLES)
+    # the flagship's input is a generated changelog, not a registered
+    # view — the oracle SQL embeds the cached parquet path (driver runs
+    # the correctness gate at sf=0.01)
+    d["cdc_replay"] = cdc_replay_oracle_sql(sf=0.01)
+    return d

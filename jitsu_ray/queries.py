@@ -488,14 +488,42 @@ WHERE rn <= 5
 """
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
+# -- flagship + LLM-data ops ------------------------------------------------
+
+
+def cdc_replay_oracle_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for q_cdc_replay at the driver's sf: the changelog is
+    NOT one of the driver's registered views, so the SQL reads the cached
+    changelog parquet directly (ensure_changelog makes the path exist and
+    is deterministic in (n_events, n_repos, seed)). Mirrors the window-fn
+    oracle proven at tests/test_replay_golden.py:52-61, plus the replay
+    enrichment chain: src='cdc' constant and _timestamp =
+    epoch(2024-01-01) + commit_seq seconds (stages/enrich.py:52-61)."""
+    from .stages.enrich import _BASE_US
+    from .testgen import ensure_changelog
+
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    return f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) rn
+  FROM '{log_dir}/*.parquet'
+)
+SELECT commit_seq, repo, path, commit, lang,
+       make_timestamp(commit_seq * 1000000 + {_BASE_US}) AS _timestamp,
+       'cdc' AS src,
+       sha256(content) AS content_sha256
+FROM r WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 def q_cdc_replay(sf_dir: str):
     """Flagship: deterministic synthetic changelog scaled to sf, replayed
     through the lake; returns the converged table with sha256(content).
-    Non-SQL (input is the generated log, not a registered view) —
-    correctness is pinned by tests/test_replay_golden.py instead."""
+    Oracle: cdc_replay_oracle_sql() (reads the same generated changelog
+    parquet directly — not a registered driver view); also pinned by
+    tests/test_replay_golden.py."""
     from .pipelines.replay import replay_changelog
     from .stages.enrich import add_constant, add_timestamp, chain
     from .testgen import ensure_changelog
