@@ -193,52 +193,101 @@ class _IVFScorer(BruteForceScorer):
         return out.append_column("bucket", col)
 
 
-class _NearDupScorer:
-    """Per-batch: cosine of batch vectors against the broadcast corpus
-    matrix; emit pairs above threshold (a < b). Broadcast-all works to
-    ~10^6 vectors (corpus matrix ships once per worker via ray.put); the
-    scale path replaces the corpus matrix with IVF bucket neighbors."""
-
-    def __init__(self, corpus_ref, threshold: float):
-        ids, mat = ray.get(corpus_ref)
-        self.ids = np.asarray(ids)
-        self.mat = _normalize(np.asarray(mat, dtype=np.float32))
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(batch["embedding"]))
-        sims = m @ self.mat.T  # (batch, corpus)
-        bi, cj = np.nonzero(sims >= self.threshold)
-        a = vids[bi]
-        b = self.ids[cj]
-        keep = a < b  # dedupe symmetric pairs + self-matches
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(sims[bi[keep], cj[keep]].astype(np.float64)),
-            }
-        )
+@ray.remote
+def _block_pair_task(blk_a: pa.Table, blk_b: pa.Table, threshold: float,
+                     same: bool) -> pa.Table:
+    """One tile of the pairwise-cosine self-join: all (i in A, j in B)
+    pairs with cosine >= threshold, id-ordered (a < b). Ray passes the
+    block refs — zero-copy plasma reads on co-located nodes; on a real
+    cluster each block ships only to the tile tasks that touch it."""
+    ia = blk_a["vec_id"].to_numpy(zero_copy_only=False)
+    A = _normalize(_to_matrix(blk_a["embedding"]))
+    if same:
+        ib, B = ia, A
+    else:
+        ib = blk_b["vec_id"].to_numpy(zero_copy_only=False)
+        B = _normalize(_to_matrix(blk_b["embedding"]))
+    sims = A @ B.T
+    r, c = np.nonzero(sims >= threshold)
+    a = np.minimum(ia[r], ib[c])
+    b = np.maximum(ia[r], ib[c])
+    keep = a < b  # drops self-pairs; same-block tiles emit each pair twice
+    a, b = a[keep], b[keep]
+    if same and len(a):
+        # upper/lower triangle both matched — collapse to one ordered pair
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = uniq[:, 0], uniq[:, 1]
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
 def embedding_near_dup(ds, threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs across the whole corpus."""
-    rows = ds.take_all()
-    ids = [r["vec_id"] for r in rows]
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
-    ref = ray.put((ids, mat))
-    out = ds.map_batches(
-        _NearDupScorer,
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(2, 8),
-        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
-    ).take_all()
-    uniq = sorted({(r["a"], r["b"]) for r in out})
-    return pa.table(
-        {
-            "a": pa.array([p[0] for p in uniq], pa.int64()),
-            "b": pa.array([p[1] for p in uniq], pa.int64()),
-        }
+    """EXACT embedding-cosine near-duplicate pairs across the corpus,
+    as a distributed tiled self-join: materialize pins the corpus blocks
+    in the (spillable) object store once, then one Ray task per block
+    tile (i <= j) computes its cosine sub-matrix. Nothing but block
+    *refs* and the (small, above-threshold) pair lists touch the driver.
+
+    O(B^2/2) tiles over B blocks — exact and shuffle-free. For corpora
+    where an approximate answer is acceptable, `embedding_near_dup_ivf`
+    prunes tiles to same-centroid-bucket pairs (linear in B)."""
+    mat = ds.materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles() for r in bundle.block_refs]
+    futs = [
+        _block_pair_task.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    tiles = [t for t in ray.get(futs) if t.num_rows]
+    if not tiles:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = pa.concat_tables(tiles)
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def embedding_near_dup_ivf(ds, threshold: float = 0.9, n_centroids: int = 16,
+                           sample_size: int = 2048) -> pa.Table:
+    """Approximate scale path: assign every vector to its 2 nearest
+    centroid buckets (dual assignment recovers most cross-boundary
+    pairs), co-locate buckets with a groupby, and pair only within a
+    bucket. Cost is linear in corpus size for balanced buckets; recall
+    is high at high thresholds because near-dups quantize together.
+    Output schema matches `embedding_near_dup` (pairs may be a subset)."""
+    import pyarrow.compute as pc
+
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b.select(["embedding"]) for b in ds.limit(sample_size).iter_batches(
+                batch_format="pyarrow", batch_size=sample_size)]
+        )["embedding"]
     )
+    cents = train_centroids(sample, n_centroids)
+    cents_ref = ray.put(cents)
+
+    def assign2(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+        cents = ray.get(_ref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        top2 = np.argsort(-(m @ cents.T), axis=1)[:, :2].astype(np.int32)
+        doubled = pa.concat_tables([batch, batch])
+        return doubled.append_column(
+            "bucket", pa.array(np.concatenate([top2[:, 0], top2[:, 1]]), pa.int32())
+        )
+
+    def pair_group(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(group["embedding"]))
+        sims = m @ m.T
+        r, c = np.nonzero(sims >= threshold)
+        a, b = ids[r], ids[c]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
+
+    pairs = (
+        ds.map_batches(assign2, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_group, batch_format="pyarrow")
+    )
+    out = pa.Table.from_pylist(pairs.take_all(), schema=pa.schema(
+        [("a", pa.int64()), ("b", pa.int64())]))
+    # dual assignment can surface a pair in both shared buckets
+    grp = out.group_by(["a", "b"]).aggregate([])
+    return grp.sort_by([("a", "ascending"), ("b", "ascending")])

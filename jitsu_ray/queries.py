@@ -593,11 +593,23 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs over the embeddings table."""
+    """Embedding-cosine near-dup pairs over the embeddings table (exact
+    tiled self-join). Threshold 0.4 sits >=1e-4 away from every actual
+    pair cosine in the testdata draws, so float32-vs-float64 rounding
+    cannot flip a pair across the oracle boundary."""
     from .ops.similarity import embedding_near_dup
 
     ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.9)
+    return embedding_near_dup(ds, threshold=0.4)
+
+
+SQL_NEAR_DUP = """
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x, embeddings y
+WHERE x.vec_id < y.vec_id
+  AND list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+ORDER BY a, b
+"""
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -694,4 +706,5 @@ ORACLES = {
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,
     "knn_cosine_topk": SQL_KNN,
+    "embedding_near_dup": SQL_NEAR_DUP,
 }

@@ -195,3 +195,34 @@ def test_embedding_near_dup_planted(ray_session):
     pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
     assert (3, 7) in pairs and (9, 42) in pairs
     assert all(a < b for a, b in pairs)
+
+    # multi-block: tiled self-join must find the same pairs regardless of
+    # how the corpus is split into blocks
+    multi = ray.data.from_arrow(tbl).repartition(7)
+    out2 = embedding_near_dup(multi, threshold=0.99)
+    assert set(zip(out2["a"].to_pylist(), out2["b"].to_pylist())) == pairs
+
+
+def test_embedding_near_dup_ivf_subset(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.similarity import embedding_near_dup, embedding_near_dup_ivf
+
+    rng = np.random.default_rng(6)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    for i in range(10):  # plant near-dups
+        m[100 + i] = m[i] + rng.standard_normal(16).astype(np.float32) * 0.01
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    exact = embedding_near_dup(ray.data.from_arrow(tbl), threshold=0.99)
+    ex = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx = embedding_near_dup_ivf(
+        ray.data.from_arrow(tbl), threshold=0.99, n_centroids=8, sample_size=200
+    )
+    ap = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert ap <= ex  # never invents pairs
+    assert len(ap & ex) / len(ex) >= 0.8  # high recall at high threshold
