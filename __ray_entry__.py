@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from jitsu_ray.queries import ORACLES, QUERIES, cdc_replay_oracle_sql
+from jitsu_ray.queries import ORACLES, QUERIES, dynamic_oracles
 
 
 def entry() -> Any:
@@ -30,8 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     d = dict(ORACLES)
-    # the flagship's input is a generated changelog, not a registered
-    # view — the oracle SQL embeds the cached parquet path (driver runs
-    # the correctness gate at sf=0.01)
-    d["cdc_replay"] = cdc_replay_oracle_sql(sf=0.01)
+    # oracles over generated inputs (cdc changelog, geo table) embed a
+    # cached parquet path the builder ensures exists; the driver runs
+    # the correctness gate at sf=0.01
+    d.update(dynamic_oracles())
     return d

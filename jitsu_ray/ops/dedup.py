@@ -44,11 +44,32 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(windows @ powers)
 
 
-def _word_ngrams(text: str, n: int = 3) -> set[int]:
+def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique 64-bit hashes of word n-grams. Per-word 8-byte
+    blake2b, combined across the n-window with the same wrapping
+    polynomial as the char shingles — 2^-64 collision odds keep hashed
+    Jaccard exactly equal to string-set Jaccard (the DuckDB oracle
+    computes the string version)."""
+    import hashlib
+
     toks = (text or "").split()
     if len(toks) < n:
-        return {zlib.crc32(" ".join(toks).encode())}
-    return {zlib.crc32(" ".join(toks[i : i + n]).encode()) for i in range(len(toks) - n + 1)}
+        joined = " ".join(toks).encode()
+        return np.array(
+            [int.from_bytes(hashlib.blake2b(joined, digest_size=8).digest(), "little")],
+            dtype=np.uint64,
+        )
+    wh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(wh, n)
+    powers = _POLY_B ** np.arange(n, dtype=np.uint64)  # wrapping mod 2^64
+    return np.unique(windows @ powers)
 
 
 class MinHasher:
@@ -110,14 +131,17 @@ def minhash_stage(num_perm: int = 64, bands: int = 16, shingle_k: int = 5, seed:
     return run
 
 
-def lsh_candidate_pairs(ds, num_shards: int = 32) -> "pa.Table":
-    """Candidate pairs (a < b) sharing an LSH bucket.
+def lsh_candidate_pairs(ds, num_shards: int = 32):
+    """Distinct candidate pairs (a < b) sharing an LSH bucket, as a
+    DATASET — pairs never touch the driver.
 
-    Shuffles (doc_id, band, band_hash) rows into ``num_shards`` coarse
-    shards by band_hash (buckets never span shards), then extracts each
-    shard's pairs with one vectorized polars pass — NOT one map_groups
-    call per bucket, which costs a Python invocation per (band, hash)
-    group and dominated the runtime (~10^5 tiny groups per corpus)."""
+    Stage 1 shuffles (doc_id, band, band_hash) rows into ``num_shards``
+    coarse shards by band_hash (a bucket never spans shards) and
+    extracts each shard's pairs with one vectorized polars self-join —
+    NOT one map_groups call per bucket, which costs a Python invocation
+    per (band, hash) group (~10^5 tiny groups per corpus). Stage 2 is a
+    global distinct on the (a, b) rows (a pair found by several bands
+    lands in several shards)."""
     import polars as pl
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -129,79 +153,122 @@ def lsh_candidate_pairs(ds, num_shards: int = 32) -> "pa.Table":
         return batch.append_column("__shard", bk)
 
     def pairs_in_shard(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group.select(["band", "band_hash", "doc_id"]))
-        buckets = (
-            df.unique()
-            .group_by(["band", "band_hash"])
-            .agg(pl.col("doc_id").sort().alias("ids"), pl.len().alias("n"))
-            .filter(pl.col("n") >= 2)
+        u = pl.from_arrow(group.select(["band", "band_hash", "doc_id"])).unique()
+        joined = (
+            u.join(u, on=["band", "band_hash"], how="inner")
+            .filter(pl.col("doc_id") < pl.col("doc_id_right"))
+            .select(
+                pl.col("doc_id").alias("a"), pl.col("doc_id_right").alias("b")
+            )
+            .unique()
         )
-        a, b = [], []
-        for ids in buckets["ids"].to_list():  # only multi-member buckets
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        return joined.to_arrow().cast(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
-    out = (
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    from ray.data.aggregate import Count
+
+    return (
         ds.map_batches(shard, batch_format="pyarrow")
         .groupby("__shard")
         .map_groups(pairs_in_shard, batch_format="pyarrow")
-        .take_all()
-    )
-    if not out:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    uniq = sorted({(r["a"], r["b"]) for r in out})
-    return pa.table(
-        {"a": pa.array([p[0] for p in uniq], pa.int64()), "b": pa.array([p[1] for p in uniq], pa.int64())}
+        .groupby(["a", "b"])
+        .aggregate(Count())
+        .map_batches(drop_count, batch_format="pyarrow")
     )
 
 
-def verify_jaccard(
-    pairs: pa.Table, texts_by_id: dict[int, str], threshold: float, shingle_k: int = 5
-) -> pa.Table:
-    """True-Jaccard verification of candidate pairs.
+def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int = 3):
+    """(doc_id, sh list<uint64>) for candidate docs only: the candidate
+    id set (ids, not texts — compact) is broadcast once via ray.put and
+    each batch is filtered + shingled in place. At extreme candidate
+    counts swap the exact set for a bloom filter; false positives only
+    add harmless rows."""
+    import ray
 
-    `texts_by_id` is the broadcast small side (ray.put the dict once and
-    read it in actors at real scale). At 100 TB the candidate set joins
-    back against the corpus by hash-partitioned doc_id instead —
-    partitioning assumption: pairs-per-doc is small, so the semi-join
-    side fits per-partition memory.
-    """
-    a_ids = pairs["a"].to_pylist()
-    b_ids = pairs["b"].to_pylist()
-    keep_a, keep_b, jac = [], [], []
-    cache: dict[int, np.ndarray] = {}
+    ref = ray.put(cand_ids)
 
-    def sh(i: int) -> np.ndarray:
-        if i not in cache:
-            cache[i] = _shingle_hashes(texts_by_id[i], shingle_k)
-        return cache[i]
+    class Shingler:
+        def __init__(self):
+            self.keys = ray.get(ref)
 
-    for i, j in zip(a_ids, b_ids):
-        sa, sb = sh(i), sh(j)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        val = inter / union if union else 0.0
-        if val >= threshold:
-            keep_a.append(i)
-            keep_b.append(j)
-            jac.append(val)
-    return pa.table(
-        {
-            "a": pa.array(keep_a, pa.int64()),
-            "b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
-        }
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sel = batch.filter(pc.is_in(batch["doc_id"], value_set=self.keys))
+            texts = sel["text"].to_pylist()
+            fn = _shingle_hashes if kind == "char" else _word_ngrams
+            arg = k if kind == "char" else n
+            # packed uint64 bytes, not list<uint64>: arrow's hash join
+            # (bucket_hash_join) supports binary payloads but not lists
+            shs = [fn(t, arg).tobytes() for t in texts]
+            return pa.table(
+                {
+                    "doc_id": sel["doc_id"],
+                    "sh": pa.array(shs, pa.binary()),
+                }
+            )
+
+    return ds.map_batches(Shingler, batch_format="pyarrow", concurrency=2)
+
+
+def verify_pairs(pairs_ds, sh_ds, threshold: float):
+    """Distributed exact-Jaccard verification: candidate pairs pick up
+    each side's shingle set via two partitioned hash joins (pairs and
+    shingle rows shuffle — never the corpus), then one vectorized-per-
+    batch stage computes |A∩B| / |A∪B| and filters. Returns a Dataset
+    (a, b, jaccard_ppm); ppm = floor(inter*1e6/union + 0.5), the same
+    float64 expression the DuckDB oracle uses."""
+    from .join import bucket_hash_join
+
+    sh_mat = sh_ds.materialize()  # consumed twice (a-side and b-side)
+
+    def rename(to: str):
+        def run(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([to, f"sh_{to}"])
+
+        return run
+
+    with_a = bucket_hash_join(
+        pairs_ds, sh_mat.map_batches(rename("a"), batch_format="pyarrow"), "a", "a"
     )
+    with_ab = bucket_hash_join(
+        with_a, sh_mat.map_batches(rename("b"), batch_format="pyarrow"), "b", "b"
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        sa = batch["sh_a"].to_pylist()
+        sb = batch["sh_b"].to_pylist()
+        keep_a, keep_b, ppm = [], [], []
+        ids_a = batch["a"].to_pylist()
+        ids_b = batch["b"].to_pylist()
+        for i in range(batch.num_rows):
+            va = np.frombuffer(sa[i], dtype=np.uint64)
+            vb = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            union = va.size + vb.size - inter
+            v = inter / union if union else 0.0
+            if v >= threshold:
+                keep_a.append(ids_a[i])
+                keep_b.append(ids_b[i])
+                ppm.append(int(np.floor(inter * 1_000_000.0 / union + 0.5)))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "jaccard_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(jaccard, batch_format="pyarrow")
 
 
 def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
     """Union-find on verified pairs -> {doc_id: cluster_rep(min id)}.
-    Driver-side by design: the verified-duplicate graph is orders of
-    magnitude smaller than the corpus. The scale path is min-label
-    propagation via iterated groupby (ray_guide near-dup recipe)."""
+    Driver-side fold of the (small) verified-duplicate graph; the
+    distributed equivalent is cluster_pairs_dataset (min-label
+    propagation), used when the graph is not small."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -218,26 +285,139 @@ def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
-    """Full MinHash-LSH near-dup pipeline over a (doc_id, text) Dataset.
-    Returns pa.Table (doc_id, cluster) for docs in near-dup clusters."""
+def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
+    """Distributed connected components by min-label propagation with
+    pointer jumping: per round every edge proposes its source's label to
+    its destination AND every node shortcuts through its current label
+    (label(label(v))), so chains collapse in O(log diameter) rounds
+    rather than O(diameter). Edges stay a distributed Dataset; the
+    label table (nodes of the duplicate graph — orders of magnitude
+    smaller than the corpus) is broadcast per round via ray.put, and the
+    only shuffle per round is one groupby-min over proposed (node,
+    label) rows. Convergence = the (monotone decreasing) label sum
+    stops moving. Returns pa.Table (doc_id, cluster=component min id).
+
+    Partitioning assumption: the dup-graph label table fits the object
+    store as one broadcast (fine to ~10^8 nodes x 16B); beyond that,
+    swap the broadcast lookup for a partitioned hash join of edges
+    against labels (ops/join.bucket_hash_join) — same iteration
+    structure, one extra shuffle per round."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
+        rev = pa.table({"src": batch["b"], "dst": batch["a"]})
+        schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        return pa.concat_tables([fwd.cast(schema), rev.cast(schema)])
+
+    edges = pairs_ds.map_batches(bidir, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "label": pc.min_element_wise(batch["dst"], batch["label"]),
+            }
+        )
+
+    labels = (
+        edges.groupby("dst")
+        .aggregate(Min("src", alias_name="label"))
+        .map_batches(init_label, batch_format="pyarrow")
+        .materialize()
+    )
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        lab_tbl = pa.Table.from_pylist(
+            labels.take_all(),
+            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        ).sort_by("node")
+        nodes_np = lab_tbl["node"].to_numpy()
+        labels_np = lab_tbl["label"].to_numpy()
+        ref = _ray.put((nodes_np, labels_np))
+
+        def lookup(keys, _nodes, _labels):
+            idx = np.searchsorted(_nodes, keys)
+            idx = np.clip(idx, 0, len(_nodes) - 1)
+            hit = _nodes[idx] == keys
+            return np.where(hit, _labels[idx], keys)
+
+        def propose(batch: pa.Table, _ref=ref) -> pa.Table:
+            nodes, labs = _ray.get(_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            # edge proposal, pointer-jumped once: label(label(src))
+            l1 = lookup(src, nodes, labs)
+            l2 = lookup(l1, nodes, labs)
+            return pa.table(
+                {"node": pa.array(dst, pa.int64()), "label": pa.array(l2, pa.int64())}
+            )
+
+        def jump_self(batch: pa.Table, _ref=ref) -> pa.Table:
+            nodes, labs = _ray.get(_ref)
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            lab = batch["label"].to_numpy(zero_copy_only=False)
+            l2 = np.minimum(lab, lookup(lab, nodes, labs))
+            return pa.table(
+                {"node": pa.array(node, pa.int64()), "label": pa.array(l2, pa.int64())}
+            )
+
+        proposals = edges.map_batches(propose, batch_format="pyarrow")
+        selfj = labels.map_batches(jump_self, batch_format="pyarrow")
+        labels = (
+            selfj.union(proposals)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+    out = pa.Table.from_pylist(
+        labels.take_all(), schema=pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    )
+    return out.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
+
+
+def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
+                  cluster_mode: str = "auto"):
+    """Full MinHash-LSH near-dup pipeline over a (doc_id, text) Dataset:
+    signatures -> banded LSH buckets -> distinct candidate pairs ->
+    distributed exact-Jaccard verification -> connected components.
+    Candidates, shingles and verification all stay in Dataset land; the
+    only driver-resident values are the candidate doc-id array (compact)
+    and the final (doc_id, cluster) result.
+
+    cluster_mode: 'distributed' = min-label propagation;
+    'driver' = union-find fold of the verified graph; 'auto' picks
+    driver below 20k verified pairs (the graph is orders of magnitude
+    smaller than the corpus; the fold is O(pairs))."""
     sig_ds = ds.map_batches(
         minhash_stage(num_perm=num_perm, bands=bands), batch_format="pyarrow"
     )
-    cands = lsh_candidate_pairs(sig_ds)
-    # small side broadcast: only candidate docs' texts
-    cand_ids = set(cands["a"].to_pylist()) | set(cands["b"].to_pylist())
-    if not cand_ids:
+    cands = lsh_candidate_pairs(sig_ds).materialize()
+    cand_ids = pa.array(
+        sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
+    )
+    if len(cand_ids) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
-    import pyarrow.compute as pc
-
-    texts = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        m = pc.is_in(b["doc_id"], value_set=pa.array(list(cand_ids), pa.int64()))
-        sel = b.filter(m)
-        texts.update(zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()))
-    verified = verify_jaccard(cands, texts, threshold)
-    clusters = cluster_pairs(verified)
+    sh_ds = shingle_table(ds, cand_ids, kind="char")
+    verified = verify_pairs(cands, sh_ds, threshold).materialize()
+    if cluster_mode == "distributed" or (
+        cluster_mode == "auto" and verified.count() > 20_000
+    ):
+        return cluster_pairs_dataset(verified)
+    ver_tbl = pa.Table.from_pylist(
+        verified.take_all(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]),
+    )
+    clusters = cluster_pairs(ver_tbl)
     items = sorted(clusters.items())
     return pa.table(
         {
@@ -248,66 +428,70 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (crc32 token hashes, +/-1 votes
-    per bit). Near-dups = small Hamming distance; bucket by 16-bit
-    chunks for sub-quadratic search (4 bands tolerate distance<=3)."""
+    """64-bit SimHash over word tokens: per-token md5-lower64 hashes
+    (DuckDB md5_number_lower — gives the oracle an exact SQL twin;
+    64 independent bits, unlike a widened 32-bit hash), +/-1 votes per
+    bit, vectorized across the whole batch with one reduceat per batch
+    instead of a per-row Python loop. Near-dups = small Hamming
+    distance; bucket by 16-bit chunks for sub-quadratic search
+    (4 bands tolerate distance<=3)."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def simhash(text: str) -> int:
-            toks = (text or "").split()
-            if not toks:
-                return 0
-            hs = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
-            hs = hs | (hs.astype(np.uint64) << np.uint64(32))  # widen to 64 bits
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            out = np.uint64(0)
-            for k in np.nonzero(votes > 0)[0]:
-                out |= np.uint64(1) << np.uint64(k)
-            return int(out.astype(np.int64))  # signed view for arrow int64
+    def __call__(self, batch):
+        from .text import _md5_lower64
 
-        batch["simhash"] = batch["text"].map(simhash).astype("int64")
-        return batch
+        is_pandas = isinstance(batch, pd.DataFrame)
+        texts = batch["text"].tolist() if is_pandas else batch["text"].to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = counts > 0
+        total = int(counts.sum())
+        if total:
+            flat = np.fromiter(
+                (_md5_lower64(tok) for tl in tok_lists for tok in tl),
+                dtype=np.uint64,
+                count=total,
+            )
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(counts[nonempty][:-1], out=offsets[1:])
+            votes = np.add.reduceat(2 * bits - 1, offsets, axis=0)
+            vals = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = vals
+        signed = out.view(np.int64)
+        if is_pandas:
+            batch["simhash"] = signed
+            return batch
+        return batch.append_column("simhash", pa.array(signed, pa.int64()))
 
 
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
-    """Word n-gram Jaccard near-dup via same LSH machinery but exact
-    verification on word shingles (complement to char-shingle MinHash)."""
+    """Word n-gram Jaccard near-dup pairs: char-shingle MinHash LSH for
+    candidate generation, distributed exact word-n-gram verification
+    (complement to char-shingle MinHash — same Dataset-native join path
+    as minhash_dedup). Returns (a, b, jaccard_ppm) sorted."""
     sig_ds = ds.map_batches(minhash_stage(num_perm=64, bands=16), batch_format="pyarrow")
-    cands = lsh_candidate_pairs(sig_ds)
-    cand_ids = set(cands["a"].to_pylist()) | set(cands["b"].to_pylist())
-    texts = {}
-    if cand_ids:
-        import pyarrow.compute as pc
-
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-            m = pc.is_in(b["doc_id"], value_set=pa.array(list(cand_ids), pa.int64()))
-            sel = b.filter(m)
-            texts.update(zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()))
-    keep_a, keep_b, jac = [], [], []
-    ngram_cache: dict[int, set[int]] = {}
-
-    def ng(i: int) -> set[int]:
-        if i not in ngram_cache:
-            ngram_cache[i] = _word_ngrams(texts[i], n)
-        return ngram_cache[i]
-
-    for i, j in zip(cands["a"].to_pylist(), cands["b"].to_pylist()):
-        sa, sb = ng(i), ng(j)
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        v = inter / union if union else 0.0
-        if v >= threshold:
-            keep_a.append(i)
-            keep_b.append(j)
-            jac.append(round(v, 6))
-    return pa.table(
-        {
-            "a": pa.array(keep_a, pa.int64()),
-            "b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
-        }
+    cands = lsh_candidate_pairs(sig_ds).materialize()
+    cand_ids = pa.array(
+        sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
     )
+    if len(cand_ids) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard_ppm": pa.array([], pa.int64()),
+            }
+        )
+    sh_ds = shingle_table(ds, cand_ids, kind="word", n=n)
+    verified = verify_pairs(cands, sh_ds, threshold)
+    out = pa.Table.from_pylist(
+        verified.take_all(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]),
+    )
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def exact_dedup_hash_stage(text_col: str = "text", out: str = "text_md5"):

@@ -35,11 +35,13 @@ class DecoderBackend:
 
 
 class FakeDecoder(DecoderBackend):
-    """Deterministic stand-in: metadata derived from a sha1 of the payload
-    (stable across runs/processes), so tests can assert exact outputs."""
+    """Deterministic stand-in: metadata derived from a sha256 of the
+    payload (stable across runs/processes, and sha256 exists in DuckDB
+    so the driver oracle can recompute every field), so tests can
+    assert exact outputs."""
 
     def decode_one(self, data: bytes, mime: str) -> dict:
-        h = hashlib.sha1(data).digest()
+        h = hashlib.sha256(data).digest()
         w = 64 + int.from_bytes(h[0:2], "little") % 1984  # 64..2047
         hgt = 64 + int.from_bytes(h[2:4], "little") % 1984
         return {
@@ -47,7 +49,7 @@ class FakeDecoder(DecoderBackend):
             "height": hgt,
             "n_bytes": len(data),
             "channels": 1 + h[4] % 4,
-            "content_sha1": h.hex(),
+            "content_sha256": h.hex(),
         }
 
 
@@ -70,7 +72,7 @@ class MediaDecoder:
             ("height", pa.int32()),
             ("n_bytes", pa.int64()),
             ("channels", pa.int32()),
-            ("content_sha1", pa.string()),
+            ("content_sha256", pa.string()),
         ]:
             batch = batch.append_column(name, pa.array([m[name] for m in metas], typ))
         return batch.drop_columns(["media"])  # metadata out, payload dropped

@@ -2,19 +2,24 @@
 quality scoring, language ID, document fingerprinting.
 
 These extend the engine beyond the reference's operator set (which has
-no text analytics) toward a 100 TB pre-training pipeline. All stages
-are stateful callable classes for `map_batches(Cls, concurrency=N)`
-actor pools (regexes / tables compiled once per actor, SURVEY §2.3),
-vectorized with pandas str kernels / numpy per batch.
+no text analytics) toward a 100 TB pre-training pipeline.
+
+The hot path is ONE fused stage (``DocAnalyzer``): a single polars pass
+computes every feature from one shared word-extraction, instead of
+chaining three actor pools that each re-serialize the text column. All
+feature definitions are chosen to have exact DuckDB-SQL equivalents
+(md5-based hashes, integer-count ratios) so the driver oracle can check
+them value-for-value. The legacy per-feature classes remain as thin
+wrappers over the same definitions.
 """
 
 from __future__ import annotations
 
-import re
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -24,6 +29,130 @@ _STOPWORDS = {
     "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por"},
     "fr": {"le", "la", "de", "et", "un", "une", "les", "des", "est", "dans", "pour"},
 }
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def _md5_lower64(token: str, _cache: dict = {}) -> int:
+    """Lower 64 bits of md5 (little-endian) — DuckDB's md5_number_lower.
+    Tokens repeat heavily, so a process-level cache makes this ~free."""
+    h = _cache.get(token)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:], "little")
+        if len(_cache) < 1_000_000:
+            _cache[token] = h
+    return h
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Order-sensitive rolling document fingerprint over whitespace
+    tokens: h = fold(h * BASE + md5_lower64(tok)) mod 2^61-1, centered
+    into int64. SQL twin: list_reduce over md5_number_lower with
+    HUGEINT modular math (SQL_DOC_QUALITY)."""
+    h = 0
+    for tok in (text or "").split():
+        h = (h * _FP_BASE + _md5_lower64(tok)) % _FP_MOD
+    return h - (_FP_MOD if h > _FP_MOD // 2 else 0)
+
+
+class DocAnalyzer:
+    """Fused quality/langid/fingerprint/token-count stage — one polars
+    pass per batch; word lists extracted once and shared by every
+    feature. Use as `map_batches(DocAnalyzer, batch_format="pyarrow",
+    concurrency=N)`.
+
+    Output columns (exact SQL twins in queries.SQL_DOC_QUALITY):
+      stopword_ratio   en-stopword hits / max(#[A-Za-z]+ words, 1)
+      punct_ratio      #[^\\w\\s] chars / max(len(text), 1)
+      mean_word_len    mean length of [A-Za-z]+ words (0.0 if none)
+      n_bpe_tokens     #(\\w+|[^\\w\\s]) pre-tokenizer matches
+      quality_ok       stopword_ratio > 0.01 AND punct_ratio < 0.3
+      lang_pred        argmax lang of stopword votes over the first 200
+                       [A-Za-zÀ-ÿ]+ words (ties -> later lang key;
+                       zero votes -> 'und')
+      fingerprint      rolling_fingerprint(text)
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        df = pl.from_arrow(pa.table({"text": texts})).with_columns(
+            pl.col("text").fill_null("")
+        )
+        words = pl.col("text").str.extract_all(r"[A-Za-z]+")
+        lang_words = (
+            pl.col("text")
+            .str.extract_all(r"[A-Za-zÀ-ÿ]+")
+            .list.head(200)
+            .list.eval(pl.element().str.to_lowercase())
+        )
+        exprs = [
+            words.alias("__w"),
+            lang_words.alias("__lw"),
+            pl.col("text").str.count_matches(r"[^\w\s]").cast(pl.Int64).alias("__np"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("__len"),
+            pl.col("text").str.count_matches(r"\w+|[^\w\s]").cast(pl.Int64).alias("n_bpe_tokens"),
+        ]
+        df = df.with_columns(exprs)
+        stop_en = sorted(_STOPWORDS["en"])
+        df = df.with_columns(
+            pl.col("__w").list.len().cast(pl.Int64).alias("__nw"),
+            pl.col("__w")
+            .list.eval(pl.element().str.to_lowercase().is_in(stop_en))
+            .list.sum()
+            .fill_null(0)
+            .cast(pl.Int64)
+            .alias("__stop"),
+            pl.col("__w")
+            .list.eval(pl.element().str.len_chars())
+            .list.sum()
+            .fill_null(0)
+            .cast(pl.Int64)
+            .alias("__wlen"),
+        )
+        # language votes: one vectorized membership pass per language
+        for lang in sorted(_STOPWORDS):
+            df = df.with_columns(
+                pl.col("__lw")
+                .list.eval(pl.element().is_in(sorted(_STOPWORDS[lang])))
+                .list.sum()
+                .fill_null(0)
+                .cast(pl.Int64)
+                .alias(f"__s_{lang}")
+            )
+        # argmax with ties to the LATER language key: fold ascending,
+        # replace on >=
+        langs = sorted(_STOPWORDS)
+        best_score = pl.col(f"__s_{langs[0]}")
+        best_lang = pl.lit(langs[0])
+        for lang in langs[1:]:
+            s = pl.col(f"__s_{lang}")
+            best_lang = pl.when(s >= best_score).then(pl.lit(lang)).otherwise(best_lang)
+            best_score = pl.when(s >= best_score).then(s).otherwise(best_score)
+        df = df.with_columns(
+            (pl.col("__stop") / pl.max_horizontal(pl.col("__nw"), 1)).alias("stopword_ratio"),
+            (pl.col("__np") / pl.max_horizontal(pl.col("__len"), 1)).alias("punct_ratio"),
+            pl.when(pl.col("__nw") > 0)
+            .then(pl.col("__wlen") / pl.col("__nw"))
+            .otherwise(0.0)
+            .alias("mean_word_len"),
+            pl.when(best_score > 0).then(best_lang).otherwise(pl.lit("und")).alias("lang_pred"),
+        ).with_columns(
+            ((pl.col("stopword_ratio") > 0.01) & (pl.col("punct_ratio") < 0.3)).alias("quality_ok")
+        )
+        out = df.select(
+            ["stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
+             "quality_ok", "lang_pred"]
+        ).to_arrow()
+        fp = pa.array(
+            [rolling_fingerprint(t) for t in df["text"].to_list()], pa.int64()
+        )
+        for name in out.column_names:
+            col = out[name]
+            batch = batch.append_column(
+                name, col.cast(pa.string()) if col.type == pa.large_string() else col
+            )
+        return batch.append_column("fingerprint", fp)
 
 
 class TextStats:
@@ -41,78 +170,43 @@ class TextStats:
         return batch.append_column("n_tokens", n_tokens)
 
 
-class QualityScore:
-    """Heuristic doc-quality features (stopword / punctuation / upper
-    ratios, mean word length) — per-actor compiled regexes."""
+def _fused_subset(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    tbl = pa.Table.from_pandas(df[["text"]], preserve_index=False)
+    out = DocAnalyzer()(tbl)
+    for c in cols:
+        df[c] = out[c].to_pandas().values
+    return df
 
-    def __init__(self):
-        self.word_re = re.compile(r"[A-Za-z]+")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.stop = _STOPWORDS["en"]
+
+class QualityScore:
+    """Heuristic doc-quality features — thin wrapper over the fused
+    DocAnalyzer (kept for API compatibility; prefer DocAnalyzer)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        words = text.str.findall(self.word_re)
-        n_words = words.map(len).clip(lower=1)
-        batch["stopword_ratio"] = (
-            words.map(lambda ws: sum(1 for w in ws if w.lower() in self.stop)) / n_words
+        return _fused_subset(
+            batch, ["stopword_ratio", "punct_ratio", "mean_word_len", "quality_ok"]
         )
-        batch["punct_ratio"] = text.str.count(self.punct_re) / text.str.len().clip(lower=1)
-        batch["mean_word_len"] = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        batch["quality_ok"] = (batch["stopword_ratio"] > 0.01) & (batch["punct_ratio"] < 0.3)
-        return batch
 
 
 class LangId:
-    """n-gram/stopword-vote language classifier. Deterministic, tiny —
-    a stand-in for fasttext-style models, wired as an actor so a real
-    model would load once per actor in __init__."""
-
-    def __init__(self):
-        self.word_re = re.compile(r"[A-Za-zÀ-ÿ]+")
-        self.tables = {lang: ws for lang, ws in _STOPWORDS.items()}
+    """Stopword-vote language classifier (DocAnalyzer subset)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def classify(text: str) -> str:
-            words = [w.lower() for w in self.word_re.findall(text or "")][:200]
-            if not words:
-                return "und"
-            scores = {
-                lang: sum(1 for w in words if w in tbl) for lang, tbl in self.tables.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            return best if scores[best] > 0 else "und"
-
-        batch["lang_pred"] = batch["text"].map(classify)
-        return batch
+        return _fused_subset(batch, ["lang_pred"])
 
 
 class TokenCount:
     """BPE-ish token counting: words + punctuation runs, the usual
-    pre-tokenizer regex."""
-
-    def __init__(self):
-        self.tok_re = re.compile(r"\w+|[^\w\s]")
+    pre-tokenizer regex (DocAnalyzer subset)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_bpe_tokens"] = batch["text"].fillna("").str.count(self.tok_re)
-        return batch
+        return _fused_subset(batch, ["n_bpe_tokens"])
 
 
 class Fingerprint:
-    """Order-sensitive rolling document fingerprint: crc32 of each token
-    folded with a polynomial rolling hash -> int64. Stable across
-    processes (no PYTHONHASHSEED dependence)."""
-
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    """Order-sensitive rolling document fingerprint (DocAnalyzer
+    subset): md5-lower64 token hashes folded with a polynomial rolling
+    hash mod 2^61-1 -> int64. Stable across processes."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def fp(text: str) -> int:
-            h = 0
-            for tok in (text or "").split():
-                h = (h * self.BASE + zlib.crc32(tok.encode())) % self.MOD
-            return h - (self.MOD if h > self.MOD // 2 else 0)  # center into int64
-
-        batch["fingerprint"] = batch["text"].map(fp).astype("int64")
-        return batch
+        return _fused_subset(batch, ["fingerprint"])

@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Min, Sum
 from .ops.dedup import exact_dedup_hash_stage, minhash_dedup, ngram_jaccard_pairs, SimHasher
 from .ops.multimodal import decode_media
 from .ops.similarity import ann_ivf, knn_cosine
-from .ops.text import Fingerprint, LangId, QualityScore, TextStats
+from .ops.text import DocAnalyzer, TextStats
 from .stages.enrich import hash_pii
 from .stages.flatten import explode_json_column
 from .stages.mapping import compile_mapping
@@ -488,6 +488,90 @@ WHERE rn <= 5
 """
 
 
+def q_geo_enrich(sf_dir: str):
+    """T1 geo-IP dictionary enricher: deterministic per-user IP (md5
+    twin of the SQL derivation) -> binary-search range lookup against
+    the broadcast CIDR table (stages/lookup.GeoIpEnricher; reference
+    server/enrichment/ip_lookup.go:32-64). Misses stay null."""
+    import pyarrow.parquet as _pq
+
+    from .stages.lookup import derive_ip_column, ensure_geo_parquet, geo_enrich
+
+    geo_tbl = _pq.read_table(ensure_geo_parquet(os.path.join(CACHE_DIR, "geo")))
+
+    def add_ip(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ip", derive_ip_column(batch["user_id"]))
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    out = geo_enrich(ds.map_batches(add_ip, batch_format="pyarrow"), geo_tbl)
+    return out.select_columns(["event_id", "ip", "country", "city"])
+
+
+def geo_oracle_sql() -> str:
+    from .stages.lookup import ensure_geo_parquet
+
+    geo_path = ensure_geo_parquet(os.path.join(CACHE_DIR, "geo"))
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) & 4294967295 AS BIGINT) AS ipnum
+  FROM events
+)
+SELECT e.event_id,
+       CAST((ipnum >> 24) & 255 AS VARCHAR) || '.' || CAST((ipnum >> 16) & 255 AS VARCHAR)
+         || '.' || CAST((ipnum >> 8) & 255 AS VARCHAR) || '.' || CAST(ipnum & 255 AS VARCHAR) AS ip,
+       g.country, g.city
+FROM e LEFT JOIN '{geo_path}' g ON e.ipnum BETWEEN g.ip_from AND g.ip_to
+"""
+
+
+def q_ua_parse(sf_dir: str):
+    """T2 user-agent parser: deterministic UA per event (md5-mod pick
+    from the fixed corpus) -> ordered regex-rule extraction of browser/
+    version/os (stages/lookup.UserAgentParser; reference
+    server/useragent/resolver.go:24-80)."""
+    from .stages.lookup import UserAgentParser, derive_ua_column
+
+    def add_ua(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ua", derive_ua_column(batch["event_id"]))
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id"])
+    return ds.map_batches(add_ua, batch_format="pyarrow").map_batches(
+        UserAgentParser, batch_format="pyarrow", concurrency=2
+    ).select_columns(["event_id", "ua", "browser", "browser_version", "os"])
+
+
+def _ua_oracle_sql() -> str:
+    from .stages.lookup import UA_BROWSER_RULES, UA_CORPUS, UA_OS_RULES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ua_list = "[" + ", ".join(q(u) for u in UA_CORPUS) + "]"
+    browser_case = " ".join(
+        f"WHEN regexp_matches(ua, {q(pat)}) THEN '{name}'" for name, pat in UA_BROWSER_RULES
+    )
+    version_case = " ".join(
+        f"WHEN regexp_matches(ua, {q(pat)}) THEN regexp_extract(ua, {q(pat)}, 1)"
+        for _, pat in UA_BROWSER_RULES
+    )
+    os_case = " ".join(
+        f"WHEN regexp_matches(ua, {q(pat)}) THEN '{name}'" for name, pat in UA_OS_RULES
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {ua_list}[CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % {len(UA_CORPUS)} AS INT) + 1] AS ua
+  FROM events
+)
+SELECT event_id, ua,
+       CASE {browser_case} ELSE NULL END AS browser,
+       CASE {version_case} ELSE NULL END AS browser_version,
+       CASE {os_case} ELSE NULL END AS os
+FROM e
+"""
+
+
 # -- flagship + LLM-data ops ------------------------------------------------
 
 
@@ -557,32 +641,165 @@ def q_cdc_replay(sf_dir: str):
 
 
 def q_minhash_dedup_docs(sf_dir: str):
+    """MinHash+LSH near-dup clusters, fully distributed (candidates,
+    exact-Jaccard verify, min-label-propagation components). Oracle:
+    exact char-5-gram Jaccard >= 0.8 + recursive-CTE closure — valid
+    because the (deterministic, seeded) LSH has 100% recall on the
+    testdata corpus (P(miss) per true pair at s=0.8 is ~2e-4)."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.8)
+    return minhash_dedup(ds, threshold=0.8, cluster_mode="distributed")
+
+
+SQL_MINHASH = r"""
+WITH RECURSIVE t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT substr(s, CAST(i AS INT), 5)) AS gs,
+         count(DISTINCT substr(s, CAST(i AS INT), 5)) AS n
+  FROM t CROSS JOIN UNNEST(range(1, greatest(len(s) - 3, 2))) AS g(i)
+  GROUP BY doc_id
+),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS c, x.n + y.n AS sn
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+),
+pairs AS (SELECT a, b FROM p WHERE c * 1.0 / (sn - c) >= 0.8),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS doc_id, least(x, min(y)) AS cluster FROM reach GROUP BY x ORDER BY doc_id
+"""
 
 
 def q_ngram_jaccard_docs(sf_dir: str):
+    """Word-3-gram Jaccard pairs (LSH candidates + distributed exact
+    verification); jaccard_ppm = floor(inter*1e6/union + 0.5) — integer
+    so the oracle hash is float-format-proof."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, n=3, threshold=0.6)
 
 
+SQL_NGRAM = r"""
+WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w FROM documents),
+lg AS (
+  SELECT doc_id,
+         list(DISTINCT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]) AS gs
+  FROM t CROSS JOIN UNNEST(range(1, len(w) - 1)) AS r(i)
+  WHERE len(w) >= 3 GROUP BY doc_id
+),
+g AS (
+  SELECT * FROM lg
+  UNION ALL
+  SELECT doc_id, [array_to_string(w, ' ')] AS gs FROM t WHERE len(w) < 3
+),
+sized AS (SELECT doc_id, gs, len(gs) AS n FROM g),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS c, x.n + y.n AS sn
+  FROM sized x JOIN sized y ON x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(floor(c * 1000000.0 / (sn - c) + 0.5) AS BIGINT) AS jaccard_ppm
+FROM p WHERE c * 1.0 / (sn - c) >= 0.6 ORDER BY a, b
+"""
+
+
 def q_simhash_docs(sf_dir: str):
+    """64-bit SimHash per doc (md5-lower64 token hashes, batch-level
+    vectorized bit voting). Oracle: the same vote in SQL via
+    md5_number_lower + bit arithmetic."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2).select_columns(
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).select_columns(
         ["doc_id", "simhash"]
     )
 
 
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(md5_number_lower(x) AS UBIGINT) AS h
+  FROM (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks FROM documents),
+       UNNEST(toks) AS u(x)
+),
+votes AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (h >> CAST(k AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN UNNEST(range(0, 64)) AS r(k)
+  GROUP BY doc_id, k
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN
+             CASE WHEN k = 63 THEN -9223372036854775808
+                  ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END
+             ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id ORDER BY d.doc_id
+"""
+
+
 def q_doc_quality(sf_dir: str):
+    """Fused text-quality stage: ONE polars pass per batch computes
+    stopword/punct ratios, mean word length, BPE-ish token count,
+    language vote and rolling md5 fingerprint (ops/text.DocAnalyzer) —
+    replaces the former QualityScore->LangId->Fingerprint actor chain
+    (3x text serialization). Every column has an exact SQL twin."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return (
-        ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
-        .map_batches(LangId, batch_format="pandas", concurrency=2)
-        .map_batches(Fingerprint, batch_format="pandas", concurrency=2)
-        .select_columns(
-            ["doc_id", "stopword_ratio", "punct_ratio", "quality_ok", "lang_pred", "fingerprint"]
-        )
+    return ds.map_batches(DocAnalyzer, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
+         "quality_ok", "lang_pred", "fingerprint"]
     )
+
+
+SQL_DOC_QUALITY = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+feat AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[A-Za-z]+') AS ws,
+         list_transform(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+')[1:200], x -> lower(x)) AS lws,
+         len(regexp_extract_all(text, '[^\w\s]')) AS np,
+         greatest(length(text), 1) AS nc,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+  FROM t
+),
+scored AS (
+  SELECT doc_id, text, n_bpe_tokens,
+         len(list_filter(ws, x -> list_contains(['the','and','of','a','to','in','is','for','on','with','that','this'], lower(x)))) AS stop_hits,
+         len(ws) AS nw,
+         list_sum(list_transform(ws, x -> length(x))) AS wlen,
+         np, nc,
+         len(list_filter(lws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den'], x))) AS s_de,
+         len(list_filter(lws, x -> list_contains(['the','and','of','a','to','in','is','for','on','with','that','this'], x))) AS s_en,
+         len(list_filter(lws, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por'], x))) AS s_es,
+         len(list_filter(lws, x -> list_contains(['le','la','de','et','un','une','les','des','est','dans','pour'], x))) AS s_fr
+  FROM feat
+)
+SELECT doc_id,
+       stop_hits * 1.0 / greatest(nw, 1) AS stopword_ratio,
+       np * 1.0 / nc AS punct_ratio,
+       CASE WHEN nw > 0 THEN wlen * 1.0 / nw ELSE 0.0 END AS mean_word_len,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       (stop_hits * 1.0 / greatest(nw, 1)) > 0.01 AND (np * 1.0 / nc) < 0.3 AS quality_ok,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+            WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       CAST(CASE WHEN r > 1152921504606846975 THEN r - 2305843009213693951 ELSE r END AS BIGINT) AS fingerprint
+FROM scored,
+LATERAL (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                            tok -> CAST(md5_number_lower(tok) AS HUGEINT))),
+           (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS r
+) fp
+ORDER BY doc_id
+"""
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -630,6 +847,32 @@ def q_multimodal_decode(sf_dir: str):
     return decode_media(ds.map_batches(to_media, batch_format="pyarrow"), batch_size=128)
 
 
+def _hexbyte(k: int) -> str:
+    """SQL for byte k (0-indexed) of the hex digest string `h`."""
+    c1 = f"substr(h, {2 * k + 1}, 1)"
+    c2 = f"substr(h, {2 * k + 2}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {c2}) - 1))"
+    )
+
+
+SQL_MULTIMODAL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'image/png' AS mime,
+         sha256(text) AS h, octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT media_id, mime,
+       CAST(64 + ({_hexbyte(0)} + 256 * {_hexbyte(1)}) % 1984 AS INT) AS width,
+       CAST(64 + ({_hexbyte(2)} + 256 * {_hexbyte(3)}) % 1984 AS INT) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(1 + {_hexbyte(4)} % 4 AS INT) AS channels,
+       h AS content_sha256
+FROM m
+"""
+
+
 def q_schema_infer(sf_dir: str):
     """M5/A1: logical-schema inference over two tables (metadata result)."""
     from .types import from_arrow
@@ -644,6 +887,24 @@ def q_schema_infer(sf_dir: str):
                 lt = "NESTED"
             rows.append({"table_name": name, "column": f.name, "logical_type": lt})
     return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["table_name"], r["column"])))
+
+
+SQL_SCHEMA_INFER = """
+WITH d AS (
+  SELECT 'documents' AS table_name, column_name, column_type FROM (DESCRIBE documents)
+  UNION ALL
+  SELECT 'events', column_name, column_type FROM (DESCRIBE events)
+)
+SELECT table_name, column_name AS "column",
+       CASE column_type
+            WHEN 'BIGINT' THEN 'INT64'
+            WHEN 'VARCHAR' THEN 'STRING'
+            WHEN 'DOUBLE' THEN 'FLOAT64'
+            WHEN 'BOOLEAN' THEN 'BOOL'
+            WHEN 'TIMESTAMP' THEN 'TIMESTAMP'
+            ELSE 'NESTED' END AS logical_type
+FROM d ORDER BY table_name, "column"
+"""
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -671,6 +932,8 @@ QUERIES = {
     "order_revenue_join": q_order_revenue_join,
     "tumbling_daily": q_tumbling_daily,
     "session_windows": q_session_windows,
+    "geo_enrich": q_geo_enrich,
+    "ua_parse": q_ua_parse,
     "doc_text_stats": q_doc_text_stats,
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_label_counts": q_embedding_label_counts,
@@ -707,4 +970,21 @@ ORACLES = {
     "embedding_label_counts": SQL_LABEL_COUNTS,
     "knn_cosine_topk": SQL_KNN,
     "embedding_near_dup": SQL_NEAR_DUP,
+    "minhash_dedup_docs": SQL_MINHASH,
+    "ngram_jaccard_docs": SQL_NGRAM,
+    "doc_quality": SQL_DOC_QUALITY,
+    "simhash_docs": SQL_SIMHASH,
+    "multimodal_decode": SQL_MULTIMODAL,
+    "schema_infer": SQL_SCHEMA_INFER,
 }
+
+
+def dynamic_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds a generated-parquet path (and must
+    therefore ensure the file exists first) or is assembled from a
+    shared corpus. The driver correctness gate runs at sf=0.01."""
+    return {
+        "cdc_replay": cdc_replay_oracle_sql(sf=0.01),
+        "geo_enrich": geo_oracle_sql(),
+        "ua_parse": _ua_oracle_sql(),
+    }

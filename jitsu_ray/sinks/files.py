@@ -39,11 +39,26 @@ def write_routed(ds, base_dir: str, tables: list[str] | None = None,
         clean = sub.map_batches(
             lambda b: b.drop_columns([TABLE_COL]), batch_format="pyarrow"
         )
-        n = clean.count()
+        # ONE execution: write, then count from the written files'
+        # metadata (parquet footers / json line counts) instead of a
+        # separate count() that would re-run the whole lazy pipeline
         if fmt == "json":
             clean.write_json(out_dir)
+            n = 0
+            for name in os.listdir(out_dir):
+                if name.startswith("_"):
+                    continue
+                with open(os.path.join(out_dir, name), "rb") as f:
+                    n += sum(1 for _ in f)
         else:
             clean.write_parquet(out_dir)
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
+                for name in os.listdir(out_dir)
+                if name.endswith(".parquet")
+            )
         with open(marker, "w") as f:
             f.write(str(n))
         counts[table] = n

@@ -169,9 +169,20 @@ class PartitionMerger:
 
 class LakeTable:
     def __init__(self, lake_dir: str):
+        from ..util import hash_self_test
+
         self.dir = lake_dir
         with open(os.path.join(lake_dir, "_meta.json")) as f:
             meta = json.load(f)
+        # a lake written under a different partition hash (or a polars
+        # whose xxhash64 drifted) must not be opened: rows would be
+        # routed to the wrong partition and LWW resolution would break
+        if meta.get("hash_algo", HASH_ALGO) != HASH_ALGO:
+            raise RuntimeError(
+                f"lake {lake_dir} was written with hash_algo="
+                f"{meta.get('hash_algo')!r}, this build uses {HASH_ALGO!r}"
+            )
+        hash_self_test()
         self.key_cols: list[str] = meta["key_cols"]
         self.num_partitions: int = meta["num_partitions"]
         self.schema_dir = os.path.join(lake_dir, "_schema")

@@ -19,6 +19,40 @@ from .types import DataType, cast_array, from_arrow
 HASH_SEED = 42
 HASH_ALGO = "polars-xxhash64-seed42"  # recorded in lake _meta.json
 
+_HASH_SELF_TEST_OK: bool | None = None
+
+
+def hash_self_test() -> None:
+    """Known-answer test for the partition hash. polars does not
+    guarantee xxhash64 stability across versions; a silently changed
+    hash would route updates of an existing key to a DIFFERENT lake
+    partition than its earlier rows, breaking per-partition LWW
+    resolution (stale/deleted rows would resurface). Answers recorded
+    under polars 1.42.1; fail loudly on any drift. Cached per process."""
+    global _HASH_SELF_TEST_OK
+    if _HASH_SELF_TEST_OK:
+        return
+    t = pa.table(
+        {"k1": pa.array(["alpha", "beta", "γδ", ""]), "k2": pa.array(["x", "", "y", "z"])}
+    )
+    got = hash_mod_column(t, ["k1", "k2"], 997).to_pylist()
+    got64 = hash64_column(t, ["k1", "k2"]).to_pylist()
+    expect = [662, 514, 873, 676]
+    expect64 = [
+        -468739566129741471,
+        -2307533160122034320,
+        4551982088478977235,
+        3377301888829838090,
+    ]
+    if got != expect or got64 != expect64:
+        raise RuntimeError(
+            "partition hash drift: polars xxhash64 no longer matches the "
+            f"recorded known answers ({HASH_ALGO}); opening an existing "
+            "lake with a drifted hash would corrupt LWW partitioning. "
+            f"got={got}/{got64} want={expect}/{expect64}"
+        )
+    _HASH_SELF_TEST_OK = True
+
 
 def hash_mod_column(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Array:
     """Deterministic int32 bucket id from the concatenation of key columns.

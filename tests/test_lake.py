@@ -186,3 +186,28 @@ def test_skew_spread_and_equivalence(ray_session, tmp_path):
     lake = new_lake(tmp_path, parts=8)
     lake.apply_window(make_ds(rows), 0, 100)
     assert len(read_rows(lake)) == 100
+
+
+def test_open_rejects_foreign_hash_algo(tmp_path):
+    import json
+
+    from jitsu_ray.sinks.lake import LakeTable
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["k"], 4)
+    meta_path = str(tmp_path / "lake" / "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["hash_algo"] == "polars-xxhash64-seed42"
+    meta["hash_algo"] = "some-other-hash-v2"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="hash_algo"):
+        LakeTable.open(str(tmp_path / "lake"))
+
+
+def test_hash_self_test_known_answers():
+    from jitsu_ray.util import hash_self_test
+
+    hash_self_test()  # raises on polars xxhash64 drift

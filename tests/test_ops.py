@@ -79,6 +79,34 @@ def test_cluster_pairs_union_find():
     assert c[10] == c[11] == 10
 
 
+def test_cluster_pairs_dataset_matches_union_find(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.dedup import cluster_pairs_dataset
+
+    # a 12-node chain (worst-case diameter for propagation), two pair
+    # components, and a star — distributed min-label propagation must
+    # match driver union-find exactly
+    a = list(range(100, 111)) + [7, 40] + [200, 200, 200]
+    b = list(range(101, 112)) + [9, 41] + [201, 202, 203]
+    pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    uf = cluster_pairs(pairs)
+    out = cluster_pairs_dataset(ray.data.from_arrow(pairs))
+    got = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+    assert got == {k: uf[k] for k in got}
+    assert set(got) == set(uf)
+    assert got[110] == 100 and got[111] == 100  # chain end reached the min label
+
+
+def test_minhash_distributed_cluster_mode(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    drv = minhash_dedup(ds, threshold=0.6, cluster_mode="driver")
+    dst = minhash_dedup(ds, threshold=0.6, cluster_mode="distributed")
+    assert drv.to_pylist() == dst.to_pylist()
+
+
 def test_exact_dedup_stage():
     out = exact_dedup_hash_stage()(docs_table())
     h = out["text_md5"].to_pylist()
@@ -173,7 +201,7 @@ def test_multimodal_stub_plumbing(ray_session):
     assert r1["n_bytes"] == 8 and 64 <= r1["width"] <= 2047
     # deterministic across calls
     again = FakeDecoder().decode_one(b"\x89PNGfake", "image/png")
-    assert again["width"] == r1["width"] and again["content_sha1"] == r1["content_sha1"]
+    assert again["width"] == r1["width"] and again["content_sha256"] == r1["content_sha256"]
 
 
 def test_embedding_near_dup_planted(ray_session):

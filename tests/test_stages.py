@@ -130,3 +130,44 @@ def test_hash_pii():
     out = hash_pii(["email"])(pa.table({"email": pa.array([" Bob@X.COM ", None])}))
     assert out["email"][0].as_py() == hashlib.sha256(b"bob@x.com").hexdigest()
     assert out["email"][1].as_py() is None
+
+
+def test_geo_ip_enricher(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.stages.lookup import GeoIpEnricher, gen_geo_table, geo_enrich
+
+    geo = gen_geo_table(n_ranges=256, fill=0.5)
+    # hit: an ip inside range 0 [0, slot/2); miss: one in the gap
+    slot = (1 << 32) // 256
+    inside = slot // 4
+    gap = slot - 10
+    ips = [f"{(x >> 24) & 255}.{(x >> 16) & 255}.{(x >> 8) & 255}.{x & 255}" for x in (inside, gap)]
+    ds = ray.data.from_arrow(pa.table({"ip": pa.array(ips)}))
+    out = geo_enrich(ds, geo, concurrency=1).take_all()
+    assert out[0]["country"] == "US" and out[0]["city"] == "city_0"
+    assert out[1]["country"] is None and out[1]["city"] is None
+    # enricher state built once per actor: direct call agrees
+    direct = GeoIpEnricher(geo)(pa.table({"ip": pa.array(ips)}))
+    assert direct["country"].to_pylist() == ["US", None]
+
+
+def test_ua_parser_rules(ray_session):
+    import pyarrow as pa
+
+    from jitsu_ray.stages.lookup import UA_CORPUS, UserAgentParser
+
+    out = UserAgentParser()(pa.table({"ua": pa.array(UA_CORPUS)}))
+    rows = out.to_pylist()
+    by_ua = {r["ua"]: r for r in rows}
+    edge = by_ua[UA_CORPUS[4]]
+    assert edge["browser"] == "Edge" and edge["browser_version"].startswith("119.")
+    chrome = by_ua[UA_CORPUS[0]]
+    assert chrome["browser"] == "Chrome" and chrome["os"] == "windows"
+    iphone = by_ua[UA_CORPUS[5]]
+    assert iphone["browser"] == "Safari" and iphone["os"] == "ios"
+    curl = by_ua[UA_CORPUS[7]]
+    assert curl["browser"] == "curl" and curl["os"] is None
+    android = by_ua[UA_CORPUS[6]]
+    assert android["os"] == "android"
