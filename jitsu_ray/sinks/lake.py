@@ -81,6 +81,33 @@ def resolve_arrow(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     return win.filter(pc.not_equal(win[OP_COL], TOMBSTONE))
 
 
+@ray.remote(num_cpus=0)
+def _split_block(block: pa.Table, pool_size: int):
+    """Slice one prepped block into per-merger-group sub-tables
+    (group = __part % pool_size, matching the pool's partition
+    assignment). Called with ``num_returns=pool_size`` so every group
+    lands in its OWN object: the merger that owns group g fetches only
+    object g — on a multi-node cluster network bytes per window equal
+    window bytes, not window x pool (the round-1 design shipped every
+    block ref to every merger). Scheduled zero-cpu: the work is one
+    argsort + pool_size takes, and locality puts it on the node that
+    produced the block, so co-located mergers keep plasma zero-copy.
+    ``take`` (not ``slice``) compacts each group into fresh buffers —
+    a zero-copy slice would serialize its whole parent block
+    (the measured ~40x amplification pitfall)."""
+    import numpy as np
+
+    if block.num_rows == 0 or PART_COL not in block.column_names:
+        return (block,) * pool_size if pool_size > 1 else block
+    g = block[PART_COL].to_numpy(zero_copy_only=False) % pool_size
+    order = np.argsort(g, kind="stable")
+    bounds = np.searchsorted(g[order], np.arange(pool_size + 1))
+    out = tuple(
+        block.take(order[bounds[i] : bounds[i + 1]]) for i in range(pool_size)
+    )
+    return out if pool_size > 1 else out[0]
+
+
 @ray.remote(num_cpus=0, max_restarts=0)
 class PartitionMerger:
     """Stateful merger actor: owns a fixed set of lake partitions for the
@@ -105,12 +132,12 @@ class PartitionMerger:
         self.buf_rows = 0
 
     def ingest_block(self, block: pa.Table) -> int:
-        """Take THIS merger's rows out of a shared prepped block.
-
-        The same block ref is sent to every merger; on one node plasma
-        reads are zero-copy shared memory, and on a multi-node cluster
-        this becomes the one necessary network transfer. ``take`` copies
-        only the owned rows into the actor heap."""
+        """Ingest a pre-split slice holding ONLY this merger's rows
+        (apply_window routes each split output to its owning actor, so
+        across nodes network bytes = owned bytes, not window x pool).
+        The isin filter stays as a cheap correctness belt: a slice that
+        somehow carries foreign rows is trimmed, and whole shared
+        blocks (the pre-split-less path) still work."""
         import numpy as np
 
         # 0-row map outputs surface as schema-less blocks; nothing to own
@@ -120,7 +147,10 @@ class PartitionMerger:
         idx = np.nonzero(np.isin(pvals, self.my_parts))[0]
         if idx.size == 0:
             return 0
-        self.buf.append(block.take(idx))
+        if idx.size == block.num_rows:
+            self.buf.append(block)
+        else:
+            self.buf.append(block.take(idx))
         self.buf_rows += idx.size
         if self.buf_rows >= self.FOLD_ROWS:
             folded = resolve_keep_tombstones(
@@ -189,6 +219,11 @@ class LakeTable:
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
         self.schema = LakeSchema.load(self.schema_dir)
         self._mergers: list | None = None
+        # exchange routing: "shared" hands every merger the same block
+        # ref (plasma reads are zero-copy when the pool is co-located on
+        # one node); "split" pre-slices each block per merger group so
+        # cross-node traffic = owned bytes. "auto" picks by topology.
+        self.exchange_mode: str = "auto"
 
     def _merger_pool(self) -> list:
         """Merger actors, created once per LakeTable instance and reused
@@ -294,24 +329,41 @@ class LakeTable:
             return resolve_keep_tombstones(batch, key_cols)
 
         handles = self._merger_pool()
+        pool = len(handles)
         prepped = ds.map_batches(prep, batch_format="pyarrow")
 
-        # Explicit hash exchange (module docstring): stream prepped blocks
-        # out of the Dataset as they materialize and hand EACH block ref to
-        # EVERY merger; each merger takes only its own partitions' rows
-        # (plasma reads of a shared block are zero-copy on a node; across
-        # nodes this is the one necessary transfer). No intermediate split
-        # tasks -> no CPU-slot contention with the read stage, and the
-        # in-flight ack cap backpressures the read.
+        # Explicit hash exchange (module docstring): stream prepped
+        # blocks out of the Dataset as they materialize. On one node the
+        # pool shares each block ref (plasma zero-copy; each merger
+        # takes its rows — measured faster than an extra store round-
+        # trip). On a multi-node cluster a zero-cpu locality-scheduled
+        # task pre-splits each block per merger group and each actor
+        # receives ONLY its slice, so network bytes = owned bytes (round
+        # 1 shipped every block to every merger: window x pool bytes).
+        # The in-flight ack cap backpressures the read either way.
+        mode = self.exchange_mode
+        if mode == "auto":
+            alive = [n for n in ray.nodes() if n.get("Alive", False)]
+            mode = "shared" if len(alive) <= 1 else "split"
         acks: list = []
-        max_in_flight = 8 * len(handles)
+        max_in_flight = 8 * pool
         for bundle in prepped.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:
-                acks.extend(h.ingest_block.remote(block_ref) for h in handles)
+                if mode == "split":
+                    slices = _split_block.options(num_returns=pool).remote(
+                        block_ref, pool
+                    )
+                    if pool == 1:
+                        slices = [slices]
+                    acks.extend(
+                        handles[g].ingest_block.remote(slices[g]) for g in range(pool)
+                    )
+                else:
+                    acks.extend(h.ingest_block.remote(block_ref) for h in handles)
                 if len(acks) >= max_in_flight:
                     _, pending = ray.wait(acks, num_returns=len(acks) - max_in_flight // 2)
                     acks = list(pending)
-        ray.get(acks)  # every block acknowledged by every merger
+        ray.get(acks)  # every slice acknowledged by its owning merger
         stats_rows = [
             r
             for rows in ray.get([h.finish.remote(window_tag) for h in handles])
