@@ -70,12 +70,15 @@ def knn_cosine(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
     Final fold is driver-side over per-batch partials (k × n_batches ×
     n_queries rows — tiny relative to the corpus by construction).
     """
-    ref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
+    # query matrix is small by definition (k queries x dim); passing the
+    # plain tuple inlines it in the actor task spec — no object-store ref
+    # in constructor args, so actor restarts stay safe (ray#53727)
+    q_arg = (np.asarray(query_ids), np.asarray(query_mat))
     partials = ds.map_batches(
         BruteForceScorer,
         batch_format="pyarrow",
         concurrency=2,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
+        fn_constructor_kwargs={"queries_ref": q_arg, "k": k + (1 if exclude_self else 0)},
     ).take_all()
     by_q: dict[int, list[tuple[float, int]]] = {}
     for r in partials:
@@ -142,10 +145,9 @@ def ann_ivf(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
         )["embedding"]
     )
     cents = train_centroids(sample, n_centroids)
-    cents_ref = ray.put(cents)
     assigned = ds.map_batches(
         IVFAssigner, batch_format="pyarrow", concurrency=2,
-        fn_constructor_kwargs={"cents_ref": cents_ref},
+        fn_constructor_kwargs={"cents_ref": cents},  # tiny matrix: inline, no ref
     )
     q = _normalize(np.asarray(query_mat).astype(np.float32))
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
@@ -156,10 +158,10 @@ def ann_ivf(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     )
     # per-query bucket masking happens at the final fold: a neighbor only
     # counts if its bucket is probed by that query
-    ref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
+    q_arg = (np.asarray(query_ids), np.asarray(query_mat))
     partials = filtered.map_batches(
         _IVFScorer, batch_format="pyarrow", concurrency=2,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
+        fn_constructor_kwargs={"queries_ref": q_arg, "k": k + (1 if exclude_self else 0)},
     ).take_all()
     probe_sets = {int(qid): {int(b) for b in probe[i]} for i, qid in enumerate(query_ids)}
     by_q: dict[int, list[tuple[float, int]]] = {}

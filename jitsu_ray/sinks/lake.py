@@ -235,7 +235,13 @@ class LakeTable:
             # 1:1 with `cpus` blocked exchange tasks collapses throughput
             # (measured 15x on a 2M-row window); half leaves slots for the
             # read/prep/split stages to stream concurrently
-            m = max(1, min(self.num_partitions, cpus // 2))
+            # JITSU_MERGER_POOL pins the pool size irrespective of CPU
+            # count — used by bench.py --scaling to hold the pool equal
+            # across parallelism levels (round-1 verdict: pool scaling
+            # with cpus confounded the 4->16 efficiency number)
+            m = int(os.environ.get("JITSU_MERGER_POOL", "0")) or max(
+                1, min(self.num_partitions, cpus // 2)
+            )
             self._mergers = [
                 PartitionMerger.remote(
                     self.dir,
@@ -287,8 +293,29 @@ class LakeTable:
         fields += self.schema.to_arrow_fields()
         return pa.schema(fields)
 
+    def use_shared_schema_actor(self, name: str | None = None) -> None:
+        """Route schema reconciliation through a named SchemaReconcilerActor
+        (get-or-create) — the T4 concurrent-writers path: several
+        LakeTable writer processes sharing one lake serialize their
+        schema widenings through the actor instead of racing on the
+        _schema dir (reference: per-table etcd lock around DDL,
+        server/storages/table_helper.go)."""
+        from ..schema.reconciler import SchemaReconcilerActor
+
+        actor_name = name or f"jitsu_schema::{os.path.abspath(self.dir)}"
+        self._schema_actor = SchemaReconcilerActor.options(
+            name=actor_name, get_if_exists=True, lifetime="detached"
+        ).remote(self.schema_dir)
+
     def _reconcile_window_schema(self, ds_schema: pa.Schema) -> None:
         observed = observed_payload(ds_schema, self.system_cols)
+        if getattr(self, "_schema_actor", None) is not None:
+            state = ray.get(
+                self._schema_actor.reconcile.remote({n: int(t) for n, t in observed.items()})
+            )
+            self.schema = LakeSchema.load(self.schema_dir)
+            assert self.schema.version == state["version"]
+            return
         if self.schema.reconcile(observed):
             # Additive + idempotent: persisting before the ledger commit is
             # safe (a crashed window leaves a wider schema, which re-running

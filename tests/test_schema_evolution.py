@@ -111,3 +111,43 @@ def test_type_conflict_widens_to_string(ray_session, tmp_path):
     rows = {(r["repo"], r["path"]): r["flag"] for r in lake.read().take_all()}
     assert rows[("r", "a")] == "true"
     assert rows[("r", "b")].startswith("2023-11-14T")
+
+
+def test_shared_schema_actor_serializes_widening(ray_session, tmp_path):
+    """T4 concurrent-writers path: two LakeTable handles on one lake
+    route widenings through the named SchemaReconcilerActor and both
+    observe the merged schema."""
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.sinks.lake import LakeTable
+
+    a = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    a.use_shared_schema_actor(name="t4_test_actor")
+    b = LakeTable.open(str(tmp_path / "lake"))
+    b.use_shared_schema_actor(name="t4_test_actor")
+
+    t1 = pa.table(
+        {
+            "commit_seq": pa.array([1], pa.int64()),
+            "op": pa.array(["insert"], pa.string()),
+            "repo": pa.array(["r"], pa.string()),
+            "path": pa.array(["p1"], pa.string()),
+            "stars": pa.array([5], pa.int64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "commit_seq": pa.array([2], pa.int64()),
+            "op": pa.array(["insert"], pa.string()),
+            "repo": pa.array(["r"], pa.string()),
+            "path": pa.array(["p2"], pa.string()),
+            "rating": pa.array([4.5], pa.float64()),
+        }
+    )
+    a.apply_window(ray.data.from_arrow(t1), 0, 1)
+    b.apply_window(ray.data.from_arrow(t2), 1, 2)
+    rows = b.read().take_all()
+    cols = set(rows[0].keys())
+    assert {"stars", "rating"} <= cols  # both writers' columns merged
+    assert len(rows) == 2

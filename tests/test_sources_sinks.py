@@ -255,3 +255,69 @@ def test_multi_destination_ingest(ray_session, tmp_path):
     assert "secret" not in wh.column_names and wh["uid"].to_pylist() == [1]
     ar = pq.read_table(os.path.join(tmp_path, "arch", "all"))
     assert "secret" in ar.column_names  # archive kept everything
+
+
+def test_sink_retry_then_success(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from jitsu_ray.sinks.retry import TransientSinkError, sink_with_retry
+
+    @ray.remote
+    class Chaos:
+        def __init__(self):
+            self.calls = 0
+
+        def next_call(self):
+            self.calls += 1
+            return self.calls
+
+    chaos = Chaos.remote()
+
+    def flaky_write(batch, _chaos=chaos):
+        n = ray.get(_chaos.next_call.remote())
+        if n <= 2:  # first two attempts fail transiently, then succeed
+            raise TransientSinkError(f"simulated timeout #{n}")
+
+    ds = ray.data.from_items([{"x": i} for i in range(10)]).repartition(1)
+    report = sink_with_retry(
+        ds, flaky_write, failed_dir=str(tmp_path / "failed"),
+        max_attempts=5, backoff_sec=0.01, concurrency=1, batch_size=10,
+    )
+    assert report["dead"] == 0 and report["written"] == 10
+    assert report["max_attempts_seen"] == 3  # two transient failures + success
+    assert not (tmp_path / "failed").exists() or not list((tmp_path / "failed").glob("*.parquet"))
+
+
+def test_sink_retry_exhausted_dead_letters(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.sinks.retry import (
+        PermanentSinkError,
+        TransientSinkError,
+        sink_with_retry,
+    )
+
+    def always_fail(batch):
+        raise TransientSinkError("still down")
+
+    ds = ray.data.from_items([{"x": i} for i in range(6)]).repartition(1)
+    report = sink_with_retry(
+        ds, always_fail, failed_dir=str(tmp_path / "failed"),
+        max_attempts=3, backoff_sec=0.01, concurrency=1, batch_size=6,
+    )
+    assert report["written"] == 0 and report["dead"] == 6
+    assert report["max_attempts_seen"] == 3  # retried to the cap
+    failed = ray.data.read_parquet(str(tmp_path / "failed")).take_all()
+    assert len(failed) == 6 and "still down" in failed[0]["__error"]
+
+    # permanent errors skip the retry loop entirely
+    def permanent(batch):
+        raise PermanentSinkError("schema violation")
+
+    report2 = sink_with_retry(
+        ds, permanent, failed_dir=str(tmp_path / "failed2"),
+        max_attempts=5, backoff_sec=0.01, concurrency=1, batch_size=6,
+    )
+    assert report2["dead"] == 6 and report2["max_attempts_seen"] == 1
