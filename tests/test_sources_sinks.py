@@ -321,3 +321,179 @@ def test_sink_retry_exhausted_dead_letters(ray_session, tmp_path):
         max_attempts=5, backoff_sec=0.01, concurrency=1, batch_size=6,
     )
     assert report2["dead"] == 6 and report2["max_attempts_seen"] == 1
+
+
+def test_sync_signatures_skip_and_refresh(tmp_path):
+    """S6 pull-driver framework: closed intervals freeze (UPTODATE on
+    re-run), recent intervals refresh until a day past their end, ALL
+    always refreshes, and two sources keep independent bookkeeping."""
+    from datetime import datetime
+
+    from jitsu_ray.pipelines.sync import Collection, sync_collections
+    from jitsu_ray.state.signatures import ALL, DAY, SignatureStore, TimeInterval
+
+    store = SignatureStore(str(tmp_path / "sigs"))
+    now = datetime(2024, 6, 10, 12, 0, 0)
+    closed = TimeInterval(DAY, datetime(2024, 6, 1))   # ended 9 days ago
+    recent = TimeInterval(DAY, datetime(2024, 6, 10))  # still open
+    catch_all = TimeInterval(ALL)
+    calls: list[tuple[str, str]] = []
+
+    def make(source):
+        return Collection(
+            source=source, name="orders", table="orders_t",
+            intervals=lambda: [closed, recent, catch_all],
+            loader=lambda iv, _s=source: f"ds::{_s}::{iv.key()}",
+        )
+
+    def sink(ds, col, iv):
+        calls.append((col.source, iv.key()))
+
+    r1 = sync_collections([make("s1"), make("s2")], store, sink, now=now)
+    assert r1["synced"] == 6 and r1["skipped"] == 0  # everything NEW
+
+    calls.clear()
+    r2 = sync_collections([make("s1"), make("s2")], store, sink, now=now)
+    # closed interval frozen; recent (sig = now-1d, still moving window)
+    # refreshes only when the signature changed — same `now` => same sig
+    assert ("s1", closed.key()) not in calls
+    assert ("s1", ALL) in calls and ("s2", ALL) in calls  # ALL always re-syncs
+    assert r2["skipped"] >= 2
+
+    # advance time: the recent interval's signature moves -> REFRESH
+    calls.clear()
+    later = datetime(2024, 6, 10, 18, 0, 0)
+    sync_collections([make("s1")], store, sink, now=later)
+    assert ("s1", recent.key()) in calls
+    assert ("s1", closed.key()) not in calls  # still frozen
+
+    # clear() forces a full re-sync of one source only
+    store.clear("s1")
+    calls.clear()
+    sync_collections([make("s1"), make("s2")], store, sink, now=later)
+    assert ("s1", closed.key()) in calls and ("s2", closed.key()) not in calls
+
+
+class _StubHandler:
+    """Factory for a local stub HTTP server recording requests."""
+
+    @staticmethod
+    def make(record, fail_first_n=0, fail_code=500):
+        import http.server
+
+        state = {"calls": 0}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _respond(self):
+                state["calls"] += 1
+                if state["calls"] <= fail_first_n:
+                    self.send_response(fail_code)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length) if length else b""
+                record.append((self.command, self.path, body))
+                self.send_response(200)
+                self.end_headers()
+
+            do_GET = _respond
+            do_POST = _respond
+
+        return H
+
+
+def _serve(handler):
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_ga_egress_params_and_rate(ray_session):
+    import ray.data
+    import urllib.parse
+
+    from jitsu_ray.sinks.egress import GoogleAnalyticsEgress, egress_with_retry
+
+    record = []
+    srv, base = _serve(_StubHandler.make(record))
+    try:
+        ds = ray.data.from_items(
+            [{"cid": str(i), "t": "conversion", "dp": f"/page{i}"} for i in range(5)]
+        )
+        stage = GoogleAnalyticsEgress(base, tracking_id="UA-1", rate_per_sec=1000)
+        report = egress_with_retry(ds, stage, batch_size=5)
+        assert report["dead"] == 0 and report["written"] == 5
+        assert len(record) == 5
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(record[0][1]).query)
+        assert q["tid"] == ["UA-1"] and q["v"] == ["1"]
+        assert q["t"] == ["transaction"]  # conversion -> transaction mapping
+    finally:
+        srv.shutdown()
+
+
+def test_fb_egress_hashing_and_retry(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data
+
+    from jitsu_ray.sinks.egress import FacebookConversionEgress, egress_with_retry
+
+    record = []
+    srv, base = _serve(_StubHandler.make(record, fail_first_n=2, fail_code=503))
+    try:
+        ds = ray.data.from_items(
+            [
+                {
+                    "event_name": "conversion",
+                    "_timestamp": 1700000000,
+                    "user_data": {"em": "User@Example.COM ", "ph": None, "id": "u1"},
+                }
+            ]
+        )
+        stage = FacebookConversionEgress(base, pixel_id="PX1", rate_per_sec=1000)
+        report = egress_with_retry(
+            ds, stage, failed_dir=str(tmp_path / "failed"),
+            max_attempts=5, backoff_sec=0.01, batch_size=16,
+        )
+        # two 503s then success: transient retry path
+        assert report["dead"] == 0 and report["max_attempts_seen"] == 3
+        body = _json.loads(record[0][2])
+        ev = body["data"][0]
+        assert ev["event_name"] == "Purchase" and ev["event_time"] == 1700000000
+        assert ev["action_source"] == "website"
+        import hashlib
+
+        assert ev["user_data"]["em"] == hashlib.sha256(b"user@example.com").hexdigest()
+        assert ev["user_data"]["id"] == "u1"  # non-PII untouched
+        assert record[0][1].endswith("/PX1/events")
+    finally:
+        srv.shutdown()
+
+
+def test_fb_egress_permanent_error_dead_letters(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.sinks.egress import FacebookConversionEgress, egress_with_retry
+
+    record = []
+    srv, base = _serve(_StubHandler.make(record, fail_first_n=99, fail_code=400))
+    try:
+        ds = ray.data.from_items(
+            [{"event_name": "x", "_timestamp": 1700000000}]
+        )
+        stage = FacebookConversionEgress(base, pixel_id="PX1", rate_per_sec=1000)
+        report = egress_with_retry(
+            ds, stage, failed_dir=str(tmp_path / "failed"),
+            max_attempts=5, backoff_sec=0.01, batch_size=16,
+        )
+        assert report["dead"] == 1
+        assert report["max_attempts_seen"] == 1  # 4xx = permanent, no retries
+    finally:
+        srv.shutdown()
