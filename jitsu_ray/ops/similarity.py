@@ -133,50 +133,59 @@ class IVFAssigner:
 
 def ann_ivf(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
             n_probe: int = 4, sample_size: int = 2048, exclude_self: bool = True) -> pa.Table:
-    """IVF approximate top-k: assign corpus to centroid buckets, search
-    only the `n_probe` buckets nearest each query. Trades recall for a
-    1/(n_centroids/n_probe) scan fraction."""
-    import pyarrow.compute as pc
+    """One-shot IVF approximate top-k: build the partition-parallel
+    index and probe it (IVFIndex below). Each query reads only its
+    ``n_probe`` buckets' blocks — a 1/(n_centroids/n_probe) scan
+    fraction that is also partition-parallel across buckets."""
+    idx = IVFIndex.build(ds, n_centroids=n_centroids, sample_size=sample_size)
+    return idx.search(query_ids, query_mat, k=k, n_probe=n_probe,
+                      exclude_self=exclude_self)
 
-    sample = _to_matrix(
-        pa.concat_tables(
-            [b.select(["embedding"]) for b in ds.limit(sample_size).iter_batches(
-                batch_format="pyarrow", batch_size=sample_size)]
-        )["embedding"]
+
+@ray.remote(num_cpus=0)
+def _split_by_bucket(block: pa.Table, n_buckets: int):
+    """Slice an assigned block into per-bucket sub-tables (num_returns=
+    n_buckets). take() compacts each slice into fresh buffers so a
+    bucket's object holds only its own rows."""
+    if block.num_rows == 0 or "bucket" not in block.column_names:
+        empty = block.drop_columns(["bucket"]) if "bucket" in block.column_names else block
+        return tuple([empty.slice(0, 0)] * n_buckets) if n_buckets > 1 else empty.slice(0, 0)
+    b = block["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
+    body = block.drop_columns(["bucket"])
+    out = tuple(
+        body.take(order[bounds[i] : bounds[i + 1]]) for i in range(n_buckets)
     )
-    cents = train_centroids(sample, n_centroids)
-    assigned = ds.map_batches(
-        IVFAssigner, batch_format="pyarrow", concurrency=2,
-        fn_constructor_kwargs={"cents_ref": cents},  # tiny matrix: inline, no ref
-    )
-    q = _normalize(np.asarray(query_mat).astype(np.float32))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
-    wanted = sorted({int(b) for row in probe for b in row})
-    filtered = assigned.map_batches(
-        lambda t, _w=wanted: t.filter(pc.is_in(t["bucket"], value_set=pa.array(_w, pa.int32()))),
-        batch_format="pyarrow",
-    )
-    # per-query bucket masking happens at the final fold: a neighbor only
-    # counts if its bucket is probed by that query
-    q_arg = (np.asarray(query_ids), np.asarray(query_mat))
-    partials = filtered.map_batches(
-        _IVFScorer, batch_format="pyarrow", concurrency=2,
-        fn_constructor_kwargs={"queries_ref": q_arg, "k": k + (1 if exclude_self else 0)},
-    ).take_all()
-    probe_sets = {int(qid): {int(b) for b in probe[i]} for i, qid in enumerate(query_ids)}
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in partials:
-        if r["bucket"] not in probe_sets[r["query_id"]]:
-            continue
-        if exclude_self and r["neighbor_id"] == r["query_id"]:
-            continue
-        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    return out if n_buckets > 1 else out[0]
+
+
+@ray.remote
+def _score_bucket(qids: np.ndarray, qmat: np.ndarray, k: int, *tables: pa.Table) -> pa.Table:
+    """Exact cosine top-k of the given queries against ONE bucket's
+    blocks (passed as refs — fetched only by this task)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.concat_tables(live)
+    vids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    m = _normalize(_to_matrix(tbl["embedding"]))
+    q = _normalize(np.asarray(qmat, dtype=np.float32))
+    sims = q @ m.T
+    kk = min(k, sims.shape[1])
+    idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
     out_q, out_n, out_c = [], [], []
-    for qid in sorted(by_q):
-        for c, n in sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]:
-            out_q.append(qid)
-            out_n.append(n)
-            out_c.append(c)
+    for qi in range(sims.shape[0]):
+        for j in idx[qi]:
+            out_q.append(int(qids[qi]))
+            out_n.append(int(vids[j]))
+            out_c.append(float(sims[qi, j]))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -186,13 +195,80 @@ def ann_ivf(ds, query_ids, query_mat, k: int = 5, n_centroids: int = 16,
     )
 
 
-class _IVFScorer(BruteForceScorer):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = super().__call__(batch)
-        # carry neighbor bucket for per-query probe filtering
-        buckets = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
-        col = pa.array([buckets[n] for n in out["neighbor_id"].to_pylist()], pa.int32())
-        return out.append_column("bucket", col)
+class IVFIndex:
+    """Partition-parallel IVF index: built ONCE (assign + physical
+    split into per-bucket objects), probed many times — each search
+    launches one task per probed bucket that reads ONLY that bucket's
+    blocks, instead of re-scanning the filtered corpus per query batch
+    (the round-1 gap). Partitioning assumption: bucket sizes roughly
+    balanced; re-train centroids on a larger sample when skewed."""
+
+    def __init__(self, cents: np.ndarray, bucket_refs: list[list]):
+        self.cents = cents
+        self.bucket_refs = bucket_refs  # bucket -> [slice refs]
+
+    @classmethod
+    def build(cls, ds, n_centroids: int = 16, sample_size: int = 2048) -> "IVFIndex":
+        sample = _to_matrix(
+            pa.concat_tables(
+                [b.select(["embedding"]) for b in ds.limit(sample_size).iter_batches(
+                    batch_format="pyarrow", batch_size=sample_size)]
+            )["embedding"]
+        )
+        cents = train_centroids(sample, n_centroids)
+        assigned = ds.map_batches(
+            IVFAssigner, batch_format="pyarrow", concurrency=2,
+            fn_constructor_kwargs={"cents_ref": cents},
+        ).materialize()
+        block_refs = [
+            r for bundle in assigned.iter_internal_ref_bundles() for r in bundle.block_refs
+        ]
+        per_block = []
+        for ref in block_refs:
+            refs = _split_by_bucket.options(num_returns=n_centroids).remote(ref, n_centroids)
+            per_block.append([refs] if n_centroids == 1 else list(refs))
+        bucket_refs = [
+            [per_block[bi][b] for bi in range(len(per_block))] for b in range(n_centroids)
+        ]
+        return cls(cents, bucket_refs)
+
+    def search(self, query_ids, query_mat, k: int = 5, n_probe: int = 4,
+               exclude_self: bool = True) -> pa.Table:
+        qids = np.asarray(query_ids)
+        qmat = np.asarray(query_mat)
+        q = _normalize(qmat.astype(np.float32))
+        probe = np.argsort(-(q @ self.cents.T), axis=1)[:, :n_probe]
+        futs = []
+        for b in range(len(self.bucket_refs)):
+            mask = (probe == b).any(axis=1)
+            if not mask.any():
+                continue
+            futs.append(
+                _score_bucket.remote(
+                    qids[mask], qmat[mask], k + (1 if exclude_self else 0),
+                    *self.bucket_refs[b],
+                )
+            )
+        by_q: dict[int, list[tuple[float, int]]] = {}
+        for part in ray.get(futs):
+            for r in part.to_pylist():
+                if exclude_self and r["neighbor_id"] == r["query_id"]:
+                    continue
+                by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+        out_q, out_n, out_c = [], [], []
+        for qid in sorted(by_q):
+            for c, n in sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]:
+                out_q.append(qid)
+                out_n.append(n)
+                out_c.append(c)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
 
 
 @ray.remote

@@ -254,3 +254,34 @@ def test_embedding_near_dup_ivf_subset(ray_session):
     ap = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
     assert ap <= ex  # never invents pairs
     assert len(ap & ex) / len(ex) >= 0.8  # high recall at high threshold
+
+
+def test_ivf_index_partition_parallel(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.similarity import IVFIndex, knn_cosine
+
+    ds, m = embeddings_ds(n=400, dim=16, seed=9)
+    qids = np.arange(10)
+    qmat = m[:10]
+    idx = IVFIndex.build(ds, n_centroids=8, sample_size=400)
+    # built once, searched repeatedly without corpus rescans
+    out1 = idx.search(qids, qmat, k=5, n_probe=4)
+    out2 = idx.search(qids, qmat, k=5, n_probe=4)
+    assert out1.to_pylist() == out2.to_pylist()  # deterministic probes
+    # recall vs exact knn at half the buckets probed
+    exact = knn_cosine(ds, qids, qmat, k=5)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in out1.to_pylist():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(got.get(q, set()) & ex[q]) / 5 for q in ex]
+    assert np.mean(recalls) >= 0.5
+    # full probe = exact: every bucket scanned, same neighbor sets
+    full = idx.search(qids, qmat, k=5, n_probe=8)
+    gf = {}
+    for r in full.to_pylist():
+        gf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert gf == ex
