@@ -572,6 +572,209 @@ FROM e
 """
 
 
+def _ensure_event_ndjson(sf_dir: str) -> str:
+    """Write-once NDJSON derivation of the events table (+2 malformed
+    lines exercising the dead-letter path) — the S3 log-file source's
+    deterministic input; the oracle reads the same file with
+    read_json_auto(ignore_errors)."""
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_DIR, "ndjson")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"events_{tag}.ndjson")
+    if not os.path.exists(path):
+        t = _pq.read_table(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
+        import json as _json
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i, r in enumerate(t.to_pylist()):
+                f.write(_json.dumps(r, sort_keys=True) + "\n")
+                if i == 3:
+                    f.write("{not json at all\n")  # dead-letter line
+                if i == 7:
+                    f.write("[1,2,3]\n")  # non-object event -> dead-letter
+        os.replace(tmp, path)
+    return path
+
+
+def q_ndjson_read(sf_dir: str):
+    """S3 NDJSON log source: line-parse + flatten + dead-letter split;
+    valid rows out, malformed lines excluded (both sides)."""
+    from .sources.readers import read_ndjson_events
+    from .stages.transform import TABLE_COL as _TC
+
+    path = _ensure_event_ndjson(sf_dir)
+    ds = read_ndjson_events([path])
+
+    def valid(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch[_TC], "")
+        return batch.filter(keep).select(["event_id", "user_id", "event_type"])
+
+    return ds.map_batches(valid, batch_format="pyarrow")
+
+
+def ndjson_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = _ensure_event_ndjson(sf_dir)
+    return f"""
+SELECT event_id, user_id, event_type
+FROM read_json('{path}', format='newline_delimited', records=true, ignore_errors=true,
+               columns={{'event_id': 'BIGINT', 'user_id': 'BIGINT', 'event_type': 'VARCHAR'}})
+WHERE event_id IS NOT NULL
+"""
+
+
+def _ensure_customer_csv(sf_dir: str) -> str:
+    """Write-once CSV derivation of the customer table with messy
+    headers (the S5 header-normalization case)."""
+    import csv as _csv
+
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_DIR, "csv")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"customer_{tag}.csv")
+    if not os.path.exists(path):
+        t = _pq.read_table(
+            _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["C CustKey", "Name", "Acct-Bal", "MktSegment"])
+            for r in t.to_pylist():
+                w.writerow([r["c_custkey"], r["c_name"], r["c_acctbal"], r["c_mktsegment"]])
+        os.replace(tmp, path)
+    return path
+
+
+def q_csv_read(sf_dir: str):
+    """S5 CSV source: header normalization ('C CustKey' -> c_custkey)
+    + declarative casts (acct_bal -> FLOAT64, c_custkey -> INT64)."""
+    from .sources.readers import read_csv_events
+
+    path = _ensure_customer_csv(sf_dir)
+    ds = read_csv_events(
+        [path], casts={"c_custkey": DataType.INT64, "acct_bal": DataType.FLOAT64}
+    )
+    return ds
+
+
+def csv_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = _ensure_customer_csv(sf_dir)
+    return f"""
+SELECT CAST("C CustKey" AS BIGINT) AS c_custkey,
+       "Name" AS name,
+       CAST("Acct-Bal" AS DOUBLE) AS acct_bal,
+       "MktSegment" AS mktsegment
+FROM read_csv('{path}', header=true, all_varchar=true)
+"""
+
+
+def q_rule_chain(sf_dir: str):
+    """T3 conditional rule chain: constant source marker for every row,
+    'channel'='paid' only for purchase events (stages/enrich.when —
+    rows failing the condition pass through with null)."""
+    from .stages.enrich import add_constant, chain, when
+
+    rules = chain(
+        add_constant("src", "s2s"),
+        when(
+            lambda b: pc.equal(b["event_type"], "purchase"),
+            add_constant("channel", "paid", pa.string()),
+        ),
+    )
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    return ds.map_batches(rules, batch_format="pyarrow").select_columns(
+        ["event_id", "event_type", "src", "channel"]
+    )
+
+
+SQL_RULE_CHAIN = """
+SELECT event_id, event_type, 's2s' AS src,
+       CASE WHEN event_type = 'purchase' THEN 'paid' ELSE NULL END AS channel
+FROM events
+"""
+
+
+def q_user_recognition(sf_dir: str):
+    """T5/J2 retrospective user recognition: derive an anonymous id per
+    event plus a user id only on 'identify' rows (event_id % 3 == 0);
+    recognition builds the anon->user map (max user id, deterministic)
+    and backfills the rest (pipelines/recognition.py; reference
+    server/users/service.go:134-149,207-265)."""
+    from .pipelines.recognition import recognize_users
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"]
+        anon = pc.binary_join_element_wise(
+            pa.array(["anon_"] * batch.num_rows),
+            pc.cast(pc.cast(pc.bit_wise_and(eid, 127), pa.int64()), pa.string()),
+            "",
+        )
+        has_user = pc.equal(pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 3), 3)), pa.int64()), 0)
+        user = pc.if_else(has_user, batch["user_id"], pa.nulls(batch.num_rows, pa.int64()))
+        return pa.table({"event_id": eid, "anon_id": anon, "user_id": user})
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    return recognize_users(derived, "anon_id", "user_id")
+
+
+SQL_RECOGNITION = """
+WITH e AS (
+  SELECT event_id,
+         'anon_' || CAST(event_id & 127 AS VARCHAR) AS anon_id,
+         CASE WHEN event_id % 3 = 0 THEN user_id ELSE NULL END AS user_id
+  FROM events
+),
+m AS (SELECT anon_id, max(user_id) AS mapped FROM e WHERE user_id IS NOT NULL GROUP BY anon_id)
+SELECT e.event_id, e.anon_id, coalesce(e.user_id, m.mapped) AS user_id
+FROM e LEFT JOIN m USING (anon_id)
+"""
+
+
+def q_interval_refresh(sf_dir: str):
+    """D2 interval refresh-replace: load events into a lake keyed by
+    event_id (commit_seq = event_id), tombstone every 'click' row via
+    delete_where, read the resolved survivor set back
+    (sinks/lake.delete_where; reference adapters/delete_condition.go:24-33)."""
+    from .sinks.lake import LakeTable
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {
+                "commit_seq": batch["event_id"],
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_c": v,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    lake_dir = os.path.join(CACHE_DIR, f"lake_refresh_{os.path.basename(sf_dir)}_{os.getpid()}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = LakeTable.create(lake_dir, ["event_id"], 8)
+    hi = 20_000_000  # > any event_id at every sf
+    lake.apply_window(ds, 0, hi)
+    lake.delete_where(lambda b: pc.equal(b["event_type"], "click"))
+    out = lake.read().select_columns(["event_id", "event_type", "value_c"])
+    return out
+
+
+SQL_INTERVAL_REFRESH = """
+SELECT event_id, event_type,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+FROM events WHERE event_type <> 'click'
+"""
+
+
 # -- flagship + LLM-data ops ------------------------------------------------
 
 
@@ -934,6 +1137,11 @@ QUERIES = {
     "session_windows": q_session_windows,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
+    "ndjson_read": q_ndjson_read,
+    "csv_read": q_csv_read,
+    "rule_chain": q_rule_chain,
+    "user_recognition": q_user_recognition,
+    "interval_refresh": q_interval_refresh,
     "doc_text_stats": q_doc_text_stats,
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_label_counts": q_embedding_label_counts,
@@ -976,6 +1184,9 @@ ORACLES = {
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,
     "schema_infer": SQL_SCHEMA_INFER,
+    "rule_chain": SQL_RULE_CHAIN,
+    "user_recognition": SQL_RECOGNITION,
+    "interval_refresh": SQL_INTERVAL_REFRESH,
 }
 
 
@@ -987,4 +1198,6 @@ def dynamic_oracles() -> dict[str, str]:
         "cdc_replay": cdc_replay_oracle_sql(sf=0.01),
         "geo_enrich": geo_oracle_sql(),
         "ua_parse": _ua_oracle_sql(),
+        "ndjson_read": ndjson_oracle_sql(),
+        "csv_read": csv_oracle_sql(),
     }
