@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "doc_text_stats",
     "minhash_dedup_docs",
     "knn_cosine_topk",
+    "session_windows",
+    "doc_quality",
+    "simhash_docs",
+    "geo_enrich",
+    "embedding_near_dup",
+    "ngram_jaccard_docs",
 ]
 
 

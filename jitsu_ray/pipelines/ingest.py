@@ -48,6 +48,12 @@ def ingest(ds, destinations: list[Destination], failed_dir: str | None = None) -
     letters are split off once from the shared source.
     """
     report: dict[str, Any] = {}
+    # fan-out executes one branch per destination (+ the dead-letter
+    # split): pin the parsed source's blocks once so N branches re-read
+    # instead of re-executing the whole upstream pipeline N times (the
+    # object store spills under pressure, so this is bounded-memory)
+    if len(destinations) > 1 or failed_dir is not None:
+        ds = ds.materialize()
     good = ds
     if failed_dir is not None and TABLE_COL in [
         f.name for f in ds.schema().base_schema
