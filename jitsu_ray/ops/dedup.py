@@ -94,22 +94,45 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        """Batch-vectorized: ONE chunked (perms x all-shingles) matrix
+        pass + minimum.reduceat over doc boundaries, instead of a
+        per-doc outer product; band hashes fold the per-band minima
+        with the wrapping polynomial (vectorized across docs) instead
+        of a per-(doc, band) crc32 call. Per-doc values are identical
+        to signature()."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, text in zip(ids, texts):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = zlib.crc32(chunk.tobytes())
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        shs = [_shingle_hashes(t, self.shingle_k) for t in texts]
+        counts = np.fromiter((len(s) for s in shs), dtype=np.int64, count=n)
+        flat = np.concatenate(shs)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sig = np.empty((self.num_perm, n), dtype=np.uint64)
+        # chunk the (perms x shingles) matrix to bound the working set
+        chunk = max(1, min(self.num_perm, (64 << 20) // max(1, flat.size * 8)))
+        for p0 in range(0, self.num_perm, chunk):
+            vals = (self.a[p0 : p0 + chunk, None] * flat[None, :]
+                    + self.b[p0 : p0 + chunk, None]) % _MERSENNE
+            sig[p0 : p0 + chunk] = np.minimum.reduceat(vals, offsets, axis=1)
+        # per-(band, doc) polynomial fold of the band's minima
+        banded = sig.reshape(self.bands, self.rows_per_band, n)
+        h = np.zeros((self.bands, n), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            h = h * _POLY_B + banded[:, r, :]  # wrapping mod 2^64
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(h.T.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 
