@@ -420,7 +420,16 @@ class LakeTable:
             },
         }
         self.ledger.append(entry)
+        if getattr(self, "_metrics", None) is not None:
+            from ..state.metrics import record_window
+
+            record_window(self._metrics, entry)  # fire-and-forget pushes
         return entry
+
+    def attach_metrics(self, metrics_handle) -> None:
+        """A3/A4: push per-window counters/gauges to a metrics registry
+        (state/metrics.get_metrics) after every ledger commit."""
+        self._metrics = metrics_handle
 
     # -- read path ----------------------------------------------------------
 

@@ -254,3 +254,31 @@ def test_exchange_split_mode_equivalent_state(ray_session, tmp_path):
         return sorted((r["repo"], r["path"], r["commit_seq"], r["content"]) for r in rows)
 
     assert run("split", "lake_split") == run("shared", "lake_shared")
+
+
+def test_metrics_registry_counters_and_gauges(ray_session, tmp_path):
+    """A3/A4: lake windows push success counters + throughput/pool
+    gauges to the named registry; sink reports land as counters too."""
+    import ray as _ray
+    import ray.data
+
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.state.metrics import get_metrics, record_sink_report
+    from jitsu_ray.testgen import gen_changelog
+
+    metrics = get_metrics("metrics_test")
+    _ray.get(metrics.reset.remote())
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    lake.attach_metrics(metrics)
+    tbl = gen_changelog(n_events=2000, n_repos=8, seed=3)
+    lake.apply_window(ray.data.from_arrow(tbl.slice(0, 1000)), 0, 1000)
+    lake.apply_window(ray.data.from_arrow(tbl.slice(1000, 1000)), 1000, 2000)
+    record_sink_report(metrics, {"written": 10, "dead": 2, "max_attempts_seen": 3})
+    snap = _ray.get(metrics.snapshot.remote())
+    assert snap["counters"]["lake.windows"] == 2
+    assert snap["counters"]["lake.rows_written"] > 0
+    assert snap["gauges"]["lake.events_per_sec"] > 0
+    assert snap["gauges"]["lake.partition_rows_max"] > 0
+    assert snap["counters"]["sink.written"] == 10
+    assert snap["counters"]["sink.dead_lettered"] == 2
+    assert snap["gauges"]["sink.attempts_max"] == 3
