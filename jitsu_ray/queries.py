@@ -599,6 +599,70 @@ def _ensure_event_ndjson(sf_dir: str) -> str:
     return path
 
 
+def _ensure_singer_file(sf_dir: str) -> str:
+    """Write-once Singer-protocol derivation of the events table:
+    SCHEMA + one RECORD per event + periodic STATE checkpoints."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(CACHE_DIR, "singer")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"events_{tag}.ndjson")
+    if not os.path.exists(path):
+        t = _pq.read_table(
+            _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({
+                "type": "SCHEMA", "stream": "events",
+                "schema": {"properties": {
+                    "event_id": {"type": "integer"},
+                    "event_type": {"type": "string"},
+                    "value": {"type": "number"}}},
+                "key_properties": ["event_id"]}) + "\n")
+            for i, r in enumerate(t.to_pylist()):
+                f.write(_json.dumps({"type": "RECORD", "stream": "events",
+                                     "record": r}, sort_keys=True) + "\n")
+                if i % 5000 == 4999:
+                    f.write(_json.dumps({"type": "STATE", "value": {"last": i}}) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+def q_singer_read(sf_dir: str):
+    """S7 Singer bridge: parse a tap-protocol stream into the 'events'
+    stream Dataset with schema-driven casts (sources/singer.py;
+    reference server/drivers/singer.go:26-80)."""
+    from .sources.singer import read_singer_output
+
+    path = _ensure_singer_file(sf_dir)
+    out = read_singer_output([path])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {"event_id": batch["event_id"], "event_type": batch["event_type"], "value_c": v}
+        )
+
+    return out.streams["events"].map_batches(cents, batch_format="pyarrow")
+
+
+def singer_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = _ensure_singer_file(sf_dir)
+    return f"""
+SELECT record.event_id AS event_id,
+       record.event_type AS event_type,
+       CAST(floor(record.value*100 + 0.5) AS BIGINT) AS value_c
+FROM read_json('{path}', format='newline_delimited', records=true,
+               columns={{'type': 'VARCHAR', 'stream': 'VARCHAR',
+                         'record': 'STRUCT(event_id BIGINT, event_type VARCHAR, value DOUBLE)'}})
+WHERE type = 'RECORD' AND stream = 'events'
+"""
+
+
 def q_ndjson_read(sf_dir: str):
     """S3 NDJSON log source: line-parse + flatten + dead-letter split;
     valid rows out, malformed lines excluded (both sides)."""
@@ -1139,6 +1203,7 @@ QUERIES = {
     "ua_parse": q_ua_parse,
     "ndjson_read": q_ndjson_read,
     "csv_read": q_csv_read,
+    "singer_read": q_singer_read,
     "rule_chain": q_rule_chain,
     "user_recognition": q_user_recognition,
     "interval_refresh": q_interval_refresh,
@@ -1200,4 +1265,5 @@ def dynamic_oracles() -> dict[str, str]:
         "ua_parse": _ua_oracle_sql(),
         "ndjson_read": ndjson_oracle_sql(),
         "csv_read": csv_oracle_sql(),
+        "singer_read": singer_oracle_sql(),
     }

@@ -497,3 +497,65 @@ def test_fb_egress_permanent_error_dead_letters(ray_session, tmp_path):
         assert report["max_attempts_seen"] == 1  # 4xx = permanent, no retries
     finally:
         srv.shutdown()
+
+
+def test_singer_bridge_file(ray_session, tmp_path):
+    """S7: SCHEMA/RECORD/STATE protocol parse — per-stream Datasets,
+    schema-driven casts, last STATE wins."""
+    import json as _json
+
+    from jitsu_ray.sources.singer import read_singer_output
+
+    lines = [
+        {"type": "SCHEMA", "stream": "users",
+         "schema": {"properties": {"id": {"type": "integer"}, "name": {"type": "string"},
+                    "balance": {"type": "number"}}},
+         "key_properties": ["id"]},
+        {"type": "RECORD", "stream": "users", "record": {"id": 1, "name": "a", "balance": 1.5}},
+        {"type": "STATE", "value": {"bookmarks": {"users": 1}}},
+        {"type": "SCHEMA", "stream": "orders",
+         "schema": {"properties": {"order_id": {"type": ["null", "integer"]}}},
+         "key_properties": ["order_id"]},
+        {"type": "RECORD", "stream": "orders", "record": {"order_id": 10}},
+        {"type": "RECORD", "stream": "users", "record": {"id": 2, "name": "b", "balance": 2.0}},
+        {"type": "STATE", "value": {"bookmarks": {"users": 2, "orders": 10}}},
+    ]
+    p = tmp_path / "tap.ndjson"
+    p.write_text("\n".join(_json.dumps(x) for x in lines) + "\n")
+    out = read_singer_output([str(p)])
+    assert set(out.streams) == {"users", "orders"}
+    assert out.key_properties["users"] == ["id"]
+    users = sorted(out.streams["users"].take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in users] == [1, 2]
+    assert isinstance(users[0]["balance"], float)
+    orders = out.streams["orders"].take_all()
+    assert orders[0]["order_id"] == 10
+    assert out.state == {"bookmarks": {"users": 2, "orders": 10}}  # last STATE
+
+
+def test_singer_bridge_subprocess(ray_session, tmp_path):
+    """S7: live tap subprocess (a tiny Python tap emitting the
+    protocol), state round-trip via --state."""
+    import sys
+
+    from jitsu_ray.sources.singer import run_tap
+
+    tap = tmp_path / "fake_tap.py"
+    tap.write_text(
+        "import json, sys, argparse\n"
+        "p = argparse.ArgumentParser(); p.add_argument('--state'); p.add_argument('--config')\n"
+        "a = p.parse_args()\n"
+        "start = 0\n"
+        "if a.state:\n"
+        "    start = json.load(open(a.state)).get('last', 0)\n"
+        "print(json.dumps({'type': 'SCHEMA', 'stream': 's', 'schema': {'properties': {'n': {'type': 'integer'}}}, 'key_properties': ['n']}))\n"
+        "for i in range(start, start + 3):\n"
+        "    print(json.dumps({'type': 'RECORD', 'stream': 's', 'record': {'n': i}}))\n"
+        "print(json.dumps({'type': 'STATE', 'value': {'last': start + 3}}))\n"
+    )
+    out1 = run_tap([sys.executable, str(tap)])
+    assert sorted(r["n"] for r in out1.streams["s"].take_all()) == [0, 1, 2]
+    assert out1.state == {"last": 3}
+    out2 = run_tap([sys.executable, str(tap)], state=out1.state)
+    assert sorted(r["n"] for r in out2.streams["s"].take_all()) == [3, 4, 5]
+    assert out2.state == {"last": 6}
