@@ -150,13 +150,11 @@ def _split_by_bucket(block: pa.Table, n_buckets: int):
     if block.num_rows == 0 or "bucket" not in block.column_names:
         empty = block.drop_columns(["bucket"]) if "bucket" in block.column_names else block
         return tuple([empty.slice(0, 0)] * n_buckets) if n_buckets > 1 else empty.slice(0, 0)
+    from ..util import group_take_indices
+
     b = block["bucket"].to_numpy(zero_copy_only=False)
-    order = np.argsort(b, kind="stable")
-    bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
     body = block.drop_columns(["bucket"])
-    out = tuple(
-        body.take(order[bounds[i] : bounds[i + 1]]) for i in range(n_buckets)
-    )
+    out = tuple(body.take(idx) for idx in group_take_indices(b, n_buckets))
     return out if n_buckets > 1 else out[0]
 
 
@@ -326,12 +324,16 @@ def embedding_near_dup_ivf(ds, threshold: float = 0.9, n_centroids: int = 16,
                            sample_size: int = 2048) -> pa.Table:
     """Approximate scale path: assign every vector to its 2 nearest
     centroid buckets (dual assignment recovers most cross-boundary
-    pairs), co-locate buckets with a groupby, and pair only within a
-    bucket. Cost is linear in corpus size for balanced buckets; recall
-    is high at high thresholds because near-dups quantize together.
-    Output schema matches `embedding_near_dup` (pairs may be a subset)."""
-    import pyarrow.compute as pc
+    pairs) and pair only within a bucket. Cost is linear in corpus size
+    for balanced buckets; recall is high at high thresholds because
+    near-dups quantize together.
 
+    Shuffle-free: the assigned corpus is physically split into
+    per-bucket objects with zero-cpu tasks (the same shape as
+    IVFIndex.build) and one task per bucket computes its pairwise
+    cosines — embedding rows never pass through Ray's sort shuffle
+    (the wide-row serialization pitfall). Output schema matches
+    `embedding_near_dup` (pairs may be a subset)."""
     sample = _to_matrix(
         pa.concat_tables(
             [b.select(["embedding"]) for b in ds.limit(sample_size).iter_batches(
@@ -339,10 +341,8 @@ def embedding_near_dup_ivf(ds, threshold: float = 0.9, n_centroids: int = 16,
         )["embedding"]
     )
     cents = train_centroids(sample, n_centroids)
-    cents_ref = ray.put(cents)
 
-    def assign2(batch: pa.Table, _ref=cents_ref) -> pa.Table:
-        cents = ray.get(_ref)
+    def assign2(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch["embedding"]))
         top2 = np.argsort(-(m @ cents.T), axis=1)[:, :2].astype(np.int32)
         doubled = pa.concat_tables([batch, batch])
@@ -350,22 +350,43 @@ def embedding_near_dup_ivf(ds, threshold: float = 0.9, n_centroids: int = 16,
             "bucket", pa.array(np.concatenate([top2[:, 0], top2[:, 1]]), pa.int32())
         )
 
-    def pair_group(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(group["embedding"]))
-        sims = m @ m.T
-        r, c = np.nonzero(sims >= threshold)
-        a, b = ids[r], ids[c]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
-
-    pairs = (
-        ds.map_batches(assign2, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pair_group, batch_format="pyarrow")
-    )
-    out = pa.Table.from_pylist(pairs.take_all(), schema=pa.schema(
-        [("a", pa.int64()), ("b", pa.int64())]))
+    assigned = ds.map_batches(assign2, batch_format="pyarrow").materialize()
+    block_refs = [
+        r for bundle in assigned.iter_internal_ref_bundles() for r in bundle.block_refs
+    ]
+    per_block = []
+    for ref in block_refs:
+        refs = _split_by_bucket.options(num_returns=n_centroids).remote(ref, n_centroids)
+        per_block.append([refs] if n_centroids == 1 else list(refs))
+    futs = [
+        _pair_within_bucket.remote(threshold, *[pb[b] for pb in per_block])
+        for b in range(n_centroids)
+    ]
+    tiles = [t for t in ray.get(futs) if t.num_rows]
+    if not tiles:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = pa.concat_tables(tiles)
     # dual assignment can surface a pair in both shared buckets
     grp = out.group_by(["a", "b"]).aggregate([])
     return grp.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+@ray.remote
+def _pair_within_bucket(threshold: float, *tables: pa.Table) -> pa.Table:
+    """All above-threshold cosine pairs (a < b) within ONE bucket's
+    blocks (refs fetched only by this task)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(live)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    m = _normalize(_to_matrix(tbl["embedding"]))
+    sims = m @ m.T
+    r, c = np.nonzero(sims >= threshold)
+    a, b = ids[r], ids[c]
+    keep = a < b
+    a, b = a[keep], b[keep]
+    if len(a):
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = uniq[:, 0], uniq[:, 1]
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})

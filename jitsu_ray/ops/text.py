@@ -15,13 +15,12 @@ wrappers over the same definitions.
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
 import pandas as pd
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..util import md5_lower64 as _md5_lower64
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "for", "on", "with", "that", "this"},
@@ -32,17 +31,6 @@ _STOPWORDS = {
 
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
-
-
-def _md5_lower64(token: str, _cache: dict = {}) -> int:
-    """Lower 64 bits of md5 (little-endian) — DuckDB's md5_number_lower.
-    Tokens repeat heavily, so a process-level cache makes this ~free."""
-    h = _cache.get(token)
-    if h is None:
-        h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:], "little")
-        if len(_cache) < 1_000_000:
-            _cache[token] = h
-    return h
 
 
 def rolling_fingerprint(text: str) -> int:
@@ -60,7 +48,9 @@ class DocAnalyzer:
     """Fused quality/langid/fingerprint/token-count stage — one polars
     pass per batch; word lists extracted once and shared by every
     feature. Use as `map_batches(DocAnalyzer, batch_format="pyarrow",
-    concurrency=N)`.
+    concurrency=N)`. Pass ``features`` to compute only a subset (the
+    legacy per-feature wrappers do) — unrequested feature groups skip
+    their extraction passes entirely.
 
     Output columns (exact SQL twins in queries.SQL_DOC_QUALITY):
       stopword_ratio   en-stopword hits / max(#[A-Za-z]+ words, 1)
@@ -74,85 +64,106 @@ class DocAnalyzer:
       fingerprint      rolling_fingerprint(text)
     """
 
+    ALL = ("stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
+           "quality_ok", "lang_pred", "fingerprint")
+    _QUALITY = {"stopword_ratio", "punct_ratio", "mean_word_len", "quality_ok"}
+
+    def __init__(self, features: tuple[str, ...] | None = None):
+        self.features = tuple(features) if features else self.ALL
+        unknown = set(self.features) - set(self.ALL)
+        if unknown:
+            raise ValueError(f"unknown DocAnalyzer features: {unknown}")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"]
-        df = pl.from_arrow(pa.table({"text": texts})).with_columns(
+        want = set(self.features)
+        need_quality = bool(want & self._QUALITY)
+        df = pl.from_arrow(pa.table({"text": batch["text"]})).with_columns(
             pl.col("text").fill_null("")
         )
-        words = pl.col("text").str.extract_all(r"[A-Za-z]+")
-        lang_words = (
-            pl.col("text")
-            .str.extract_all(r"[A-Za-zÀ-ÿ]+")
-            .list.head(200)
-            .list.eval(pl.element().str.to_lowercase())
-        )
-        exprs = [
-            words.alias("__w"),
-            lang_words.alias("__lw"),
-            pl.col("text").str.count_matches(r"[^\w\s]").cast(pl.Int64).alias("__np"),
-            pl.col("text").str.len_chars().cast(pl.Int64).alias("__len"),
-            pl.col("text").str.count_matches(r"\w+|[^\w\s]").cast(pl.Int64).alias("n_bpe_tokens"),
-        ]
-        df = df.with_columns(exprs)
-        stop_en = sorted(_STOPWORDS["en"])
-        df = df.with_columns(
-            pl.col("__w").list.len().cast(pl.Int64).alias("__nw"),
-            pl.col("__w")
-            .list.eval(pl.element().str.to_lowercase().is_in(stop_en))
-            .list.sum()
-            .fill_null(0)
-            .cast(pl.Int64)
-            .alias("__stop"),
-            pl.col("__w")
-            .list.eval(pl.element().str.len_chars())
-            .list.sum()
-            .fill_null(0)
-            .cast(pl.Int64)
-            .alias("__wlen"),
-        )
-        # language votes: one vectorized membership pass per language
-        for lang in sorted(_STOPWORDS):
+        exprs = []
+        if need_quality:
+            exprs += [
+                pl.col("text").str.extract_all(r"[A-Za-z]+").alias("__w"),
+                pl.col("text").str.count_matches(r"[^\w\s]").cast(pl.Int64).alias("__np"),
+                pl.col("text").str.len_chars().cast(pl.Int64).alias("__len"),
+            ]
+        if "lang_pred" in want:
+            exprs.append(
+                pl.col("text")
+                .str.extract_all(r"[A-Za-zÀ-ÿ]+")
+                .list.head(200)
+                .list.eval(pl.element().str.to_lowercase())
+                .alias("__lw")
+            )
+        if "n_bpe_tokens" in want:
+            exprs.append(
+                pl.col("text").str.count_matches(r"\w+|[^\w\s]").cast(pl.Int64).alias("n_bpe_tokens")
+            )
+        if exprs:
+            df = df.with_columns(exprs)
+        if need_quality:
+            stop_en = sorted(_STOPWORDS["en"])
             df = df.with_columns(
-                pl.col("__lw")
-                .list.eval(pl.element().is_in(sorted(_STOPWORDS[lang])))
+                pl.col("__w").list.len().cast(pl.Int64).alias("__nw"),
+                pl.col("__w")
+                .list.eval(pl.element().str.to_lowercase().is_in(stop_en))
                 .list.sum()
                 .fill_null(0)
                 .cast(pl.Int64)
-                .alias(f"__s_{lang}")
+                .alias("__stop"),
+                pl.col("__w")
+                .list.eval(pl.element().str.len_chars())
+                .list.sum()
+                .fill_null(0)
+                .cast(pl.Int64)
+                .alias("__wlen"),
+            ).with_columns(
+                (pl.col("__stop") / pl.max_horizontal(pl.col("__nw"), 1)).alias("stopword_ratio"),
+                (pl.col("__np") / pl.max_horizontal(pl.col("__len"), 1)).alias("punct_ratio"),
+                pl.when(pl.col("__nw") > 0)
+                .then(pl.col("__wlen") / pl.col("__nw"))
+                .otherwise(0.0)
+                .alias("mean_word_len"),
+            ).with_columns(
+                ((pl.col("stopword_ratio") > 0.01) & (pl.col("punct_ratio") < 0.3)).alias("quality_ok")
             )
-        # argmax with ties to the LATER language key: fold ascending,
-        # replace on >=
-        langs = sorted(_STOPWORDS)
-        best_score = pl.col(f"__s_{langs[0]}")
-        best_lang = pl.lit(langs[0])
-        for lang in langs[1:]:
-            s = pl.col(f"__s_{lang}")
-            best_lang = pl.when(s >= best_score).then(pl.lit(lang)).otherwise(best_lang)
-            best_score = pl.when(s >= best_score).then(s).otherwise(best_score)
-        df = df.with_columns(
-            (pl.col("__stop") / pl.max_horizontal(pl.col("__nw"), 1)).alias("stopword_ratio"),
-            (pl.col("__np") / pl.max_horizontal(pl.col("__len"), 1)).alias("punct_ratio"),
-            pl.when(pl.col("__nw") > 0)
-            .then(pl.col("__wlen") / pl.col("__nw"))
-            .otherwise(0.0)
-            .alias("mean_word_len"),
-            pl.when(best_score > 0).then(best_lang).otherwise(pl.lit("und")).alias("lang_pred"),
-        ).with_columns(
-            ((pl.col("stopword_ratio") > 0.01) & (pl.col("punct_ratio") < 0.3)).alias("quality_ok")
-        )
-        out = df.select(
-            ["stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
-             "quality_ok", "lang_pred"]
-        ).to_arrow()
-        fp = pa.array(
-            [rolling_fingerprint(t) for t in df["text"].to_list()], pa.int64()
-        )
-        for name in out.column_names:
-            col = out[name]
-            batch = batch.append_column(
-                name, col.cast(pa.string()) if col.type == pa.large_string() else col
+        if "lang_pred" in want:
+            # language votes: one vectorized membership pass per language
+            for lang in sorted(_STOPWORDS):
+                df = df.with_columns(
+                    pl.col("__lw")
+                    .list.eval(pl.element().is_in(sorted(_STOPWORDS[lang])))
+                    .list.sum()
+                    .fill_null(0)
+                    .cast(pl.Int64)
+                    .alias(f"__s_{lang}")
+                )
+            # argmax with ties to the LATER language key: fold ascending,
+            # replace on >=
+            langs = sorted(_STOPWORDS)
+            best_score = pl.col(f"__s_{langs[0]}")
+            best_lang = pl.lit(langs[0])
+            for lang in langs[1:]:
+                s = pl.col(f"__s_{lang}")
+                best_lang = pl.when(s >= best_score).then(pl.lit(lang)).otherwise(best_lang)
+                best_score = pl.when(s >= best_score).then(s).otherwise(best_score)
+            df = df.with_columns(
+                pl.when(best_score > 0).then(best_lang).otherwise(pl.lit("und")).alias("lang_pred")
             )
-        return batch.append_column("fingerprint", fp)
+        out_cols = [f for f in self.features if f != "fingerprint"]
+        if out_cols:
+            out = df.select(out_cols).to_arrow()
+            for name in out.column_names:
+                col = out[name]
+                batch = batch.append_column(
+                    name, col.cast(pa.string()) if col.type == pa.large_string() else col
+                )
+        if "fingerprint" in want:
+            fp = pa.array(
+                [rolling_fingerprint(t) for t in df["text"].to_list()], pa.int64()
+            )
+            batch = batch.append_column("fingerprint", fp)
+        return batch
 
 
 class TextStats:
@@ -172,7 +183,7 @@ class TextStats:
 
 def _fused_subset(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     tbl = pa.Table.from_pandas(df[["text"]], preserve_index=False)
-    out = DocAnalyzer()(tbl)
+    out = DocAnalyzer(features=tuple(cols))(tbl)
     for c in cols:
         df[c] = out[c].to_pandas().values
     return df

@@ -109,14 +109,19 @@ def _looks_hashed(v: str) -> bool:
 
 class _TokenBucket:
     def __init__(self, rate_per_sec: float):
+        if rate_per_sec <= 0:
+            raise ValueError("rate_per_sec must be > 0")
         self.rate = rate_per_sec
-        self.allowance = rate_per_sec
+        # burst cap must admit at least one whole token or sub-1/s
+        # rates (an aggregate budget divided across actors) never fire
+        self.cap = max(rate_per_sec, 1.0)
+        self.allowance = self.cap
         self.last = time.monotonic()
 
     def acquire(self) -> None:
         while True:
             now = time.monotonic()
-            self.allowance = min(self.rate, self.allowance + (now - self.last) * self.rate)
+            self.allowance = min(self.cap, self.allowance + (now - self.last) * self.rate)
             self.last = now
             if self.allowance >= 1.0:
                 self.allowance -= 1.0

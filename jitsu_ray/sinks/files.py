@@ -36,6 +36,12 @@ def write_routed(ds, base_dir: str, tables: list[str] | None = None,
             counts[table] = -1  # already complete; skipped (idempotent rerun)
             continue
         os.makedirs(out_dir, exist_ok=True)
+        # no _SUCCESS marker: any files present are a crashed run's
+        # leftovers — clear them so write + metadata count see only
+        # this run's output
+        for name in os.listdir(out_dir):
+            if not name.startswith("_"):
+                os.remove(os.path.join(out_dir, name))
         clean = sub.map_batches(
             lambda b: b.drop_columns([TABLE_COL]), batch_format="pyarrow"
         )

@@ -99,12 +99,10 @@ def _split_block(block: pa.Table, pool_size: int):
 
     if block.num_rows == 0 or PART_COL not in block.column_names:
         return (block,) * pool_size if pool_size > 1 else block
+    from ..util import group_take_indices
+
     g = block[PART_COL].to_numpy(zero_copy_only=False) % pool_size
-    order = np.argsort(g, kind="stable")
-    bounds = np.searchsorted(g[order], np.arange(pool_size + 1))
-    out = tuple(
-        block.take(order[bounds[i] : bounds[i + 1]]) for i in range(pool_size)
-    )
+    out = tuple(block.take(idx) for idx in group_take_indices(g, pool_size))
     return out if pool_size > 1 else out[0]
 
 
@@ -313,8 +311,15 @@ class LakeTable:
             state = ray.get(
                 self._schema_actor.reconcile.remote({n: int(t) for n, t in observed.items()})
             )
+            # a concurrent writer may have widened further between the
+            # actor reply and this load — loading a NEWER (strictly
+            # additive) version is safe; older would mean a lost write
             self.schema = LakeSchema.load(self.schema_dir)
-            assert self.schema.version == state["version"]
+            if self.schema.version < state["version"]:
+                raise RuntimeError(
+                    f"schema dir version {self.schema.version} behind actor "
+                    f"version {state['version']} — non-atomic schema save?"
+                )
             return
         if self.schema.reconcile(observed):
             # Additive + idempotent: persisting before the ledger commit is

@@ -81,8 +81,11 @@ class RetryingSinkStage:
                 # with now+20s; scaled down for micro-batch cadence)
                 time.sleep(self.backoff_sec * (2 ** (attempts - 1)))
         # exhausted or permanent: rows exit tagged for the dead-letter split
+        import json
+
         msg = f"{type(err).__name__}: {err}"
-        raw = [str(r) for r in batch.to_pylist()]
+        # JSON (not repr): replay_failed re-parses RAW_COL with json.loads
+        raw = [json.dumps(r, default=str) for r in batch.to_pylist()]
         return pa.table(
             {
                 STATUS_COL: pa.array(["dead"] * batch.num_rows, pa.string()),

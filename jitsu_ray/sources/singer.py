@@ -105,8 +105,16 @@ def read_singer_output(paths) -> SingerOutput:
                     continue
                 rows.append(flatten_json_object(obj.get("record", {})))
             if not rows:
-                return pa.table({k: pa.array([], pa.string()) for k in _casts} or
-                                {"__empty": pa.array([], pa.int8())})
+                # typed empties: a block with no matching RECORDs must
+                # still carry the CAST schema or Dataset schema
+                # unification breaks against non-empty blocks
+                from ..types import to_arrow
+
+                if _casts:
+                    return pa.table(
+                        {k: pa.array([], to_arrow(t)) for k, t in _casts.items()}
+                    )
+                return pa.table({"__empty": pa.array([], pa.int8())})
             keys = list(_casts) + [k for r in rows for k in r if k not in _casts]
             seen: list[str] = []
             for k in keys:

@@ -18,13 +18,14 @@ driver oracle can range-join / regexp_extract the same values.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray
+
+from ..util import md5_lower64 as _md5_lower64_str
 
 GEO_COUNTRIES = ["US", "DE", "FR", "GB", "ES", "BR", "IN", "JP", "AU", "CA"]
 
@@ -62,11 +63,6 @@ def ensure_geo_parquet(cache_dir: str, n_ranges: int = 4096) -> str:
         pq.write_table(gen_geo_table(n_ranges), tmp)
         os.replace(tmp, path)
     return path
-
-
-def _md5_lower64_str(s: str) -> int:
-    """DuckDB md5_number_lower twin (lower 8 md5 bytes, little-endian)."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
 
 
 def derive_ip_column(id_col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -19,6 +19,18 @@ from .types import DataType, cast_array, from_arrow
 HASH_SEED = 42
 HASH_ALGO = "polars-xxhash64-seed42"  # recorded in lake _meta.json
 
+
+def md5_lower64(token: str, _cache: dict = {}) -> int:
+    """Lower 64 bits of md5, little-endian — the exact value of
+    DuckDB's md5_number_lower, so every operator built on it has an SQL
+    oracle twin. Tokens repeat heavily; process-level cache."""
+    h = _cache.get(token)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:], "little")
+        if len(_cache) < 1_000_000:
+            _cache[token] = h
+    return h
+
 _HASH_SELF_TEST_OK: bool | None = None
 
 
@@ -136,6 +148,19 @@ def pad_and_cast(tbl: pa.Table, target: pa.Schema) -> pa.Table:
         else:
             cols.append(pa.nulls(n, field.type))
     return pa.Table.from_arrays(cols, schema=target)
+
+
+def group_take_indices(group_ids: np.ndarray, n_groups: int) -> list[np.ndarray]:
+    """Stable per-group row-index arrays for splitting one block into
+    n_groups sub-tables. Shared core of the zero-cpu block splitters
+    (lake._split_block by merger group, similarity._split_by_bucket by
+    IVF bucket): one argsort + searchsorted bounds; callers `take` each
+    index array so every group lands in fresh compacted buffers —
+    a zero-copy slice would serialize its whole parent block (the
+    measured ~40x amplification pitfall)."""
+    order = np.argsort(group_ids, kind="stable")
+    bounds = np.searchsorted(group_ids[order], np.arange(n_groups + 1))
+    return [order[bounds[i] : bounds[i + 1]] for i in range(n_groups)]
 
 
 def np_view(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
