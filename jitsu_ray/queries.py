@@ -537,7 +537,7 @@ def q_ua_parse(sf_dir: str):
 
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id"])
     return ds.map_batches(add_ua, batch_format="pyarrow").map_batches(
-        UserAgentParser, batch_format="pyarrow", concurrency=2
+        UserAgentParser(), batch_format="pyarrow"
     ).select_columns(["event_id", "ua", "browser", "browser_version", "os"])
 
 
@@ -979,7 +979,9 @@ def q_simhash_docs(sf_dir: str):
     vectorized bit voting). Oracle: the same vote in SQL via
     md5_number_lower + bit arithmetic."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).select_columns(
+    # stateless stage: plain tasks on warm workers beat an actor pool
+    # (no per-query actor startup; cf. minhash_stage)
+    return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
         ["doc_id", "simhash"]
     )
 
@@ -1016,7 +1018,7 @@ def q_doc_quality(sf_dir: str):
     replaces the former QualityScore->LangId->Fingerprint actor chain
     (3x text serialization). Every column has an exact SQL twin."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(DocAnalyzer, batch_format="pyarrow", concurrency=2).select_columns(
+    return ds.map_batches(DocAnalyzer(), batch_format="pyarrow").select_columns(
         ["doc_id", "stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
          "quality_ok", "lang_pred", "fingerprint"]
     )

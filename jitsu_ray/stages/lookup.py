@@ -117,15 +117,30 @@ class GeoIpEnricher:
         return batch.append_column("city", pa.array(city.tolist(), pa.string()))
 
 
-def geo_enrich(ds, geo_tbl: pa.Table, concurrency=2):
-    """events-with-ip Dataset -> +country/+city (broadcast once)."""
+_GEO_CACHE: dict = {}
+
+
+def geo_enrich(ds, geo_tbl: pa.Table, concurrency=None):
+    """events-with-ip Dataset -> +country/+city. The range table is
+    ray.put ONCE; plain tasks on warm workers build the enricher once
+    per process from the shared ref (plasma read) — no per-query actor
+    startup. Pass ``concurrency`` to force an actor pool instead."""
     ref = ray.put(geo_tbl)
-    return ds.map_batches(
-        GeoIpEnricher,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={"geo_ref": ref},
-    )
+    if concurrency:
+        return ds.map_batches(
+            GeoIpEnricher,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={"geo_ref": ref},
+        )
+
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        key = _ref.hex()
+        if key not in _GEO_CACHE:
+            _GEO_CACHE[key] = GeoIpEnricher(_ref)
+        return _GEO_CACHE[key](batch)
+
+    return ds.map_batches(run, batch_format="pyarrow")
 
 
 # -- user agent (T2) ---------------------------------------------------------
