@@ -221,14 +221,13 @@ def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int
 
     ref = ray.put(cand_ids)
 
-    class Shingler:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def shingler(batch: pa.Table, _ref=ref) -> pa.Table:
             import pyarrow.compute as pc
 
-            sel = batch.filter(pc.is_in(batch["doc_id"], value_set=self.keys))
+            from ..util import once_per_process
+
+            keys = once_per_process("shingle_table", _ref)
+            sel = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
             texts = sel["text"].to_pylist()
             fn = _shingle_hashes if kind == "char" else _word_ngrams
             arg = k if kind == "char" else n
@@ -242,7 +241,7 @@ def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int
                 }
             )
 
-    return ds.map_batches(Shingler, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(shingler, batch_format="pyarrow")
 
 
 def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int = 256 << 20):
@@ -267,22 +266,19 @@ def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int =
         lookup = {r["doc_id"]: r["sh"] for r in rows}
         ref = _ray.put(lookup)
 
-        class VerifyBroadcast:
-            def __init__(self):
-                self.sh = _ray.get(ref)
+        def verify(batch: pa.Table, _ref=ref) -> pa.Table:
+            from ..util import once_per_process
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids_a = batch["a"].to_pylist()
-                ids_b = batch["b"].to_pylist()
-                return _jaccard_filter(
-                    ids_a,
-                    ids_b,
-                    [self.sh[i] for i in ids_a],
-                    [self.sh[j] for j in ids_b],
-                    threshold,
-                )
+            sh = once_per_process("verify_pairs", _ref)
+            ids_a = batch["a"].to_pylist()
+            ids_b = batch["b"].to_pylist()
+            return _jaccard_filter(
+                ids_a, ids_b,
+                [sh[i] for i in ids_a], [sh[j] for j in ids_b],
+                threshold,
+            )
 
-        return pairs_ds.map_batches(VerifyBroadcast, batch_format="pyarrow", concurrency=2)
+        return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
     from .join import bucket_hash_join
 

@@ -37,29 +37,28 @@ def broadcast_join(
     """
     ref = ray.put(small.select([key] + value_cols))
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(self.small, keys=key, join_type=how)
+        tbl = once_per_process("broadcast_join", _ref)
+        return batch.join(tbl, keys=key, join_type=how)
 
-    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    # plain tasks + per-process cached broadcast: no actor-pool startup
+    return ds.map_batches(run, batch_format="pyarrow")
 
 
 def semi_anti_filter(ds, keys: pa.Array, col: str, anti: bool = False):
     """J4 shape: semi / anti join via a broadcast key set."""
     ref = ray.put(keys)
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch[col], value_set=self.keys)
-            return batch.filter(pc.invert(m) if anti else m)
+        ks = once_per_process("semi_anti_filter", _ref)
+        m = pc.is_in(batch[col], value_set=ks)
+        return batch.filter(pc.invert(m) if anti else m)
 
-    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(run, batch_format="pyarrow")
 
 
 def bucket_hash_join(

@@ -70,16 +70,14 @@ def knn_cosine(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
     Final fold is driver-side over per-batch partials (k × n_batches ×
     n_queries rows — tiny relative to the corpus by construction).
     """
-    # query matrix is small by definition (k queries x dim); passing the
-    # plain tuple inlines it in the actor task spec — no object-store ref
-    # in constructor args, so actor restarts stay safe (ray#53727)
-    q_arg = (np.asarray(query_ids), np.asarray(query_mat))
-    partials = ds.map_batches(
-        BruteForceScorer,
-        batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_kwargs={"queries_ref": q_arg, "k": k + (1 if exclude_self else 0)},
-    ).take_all()
+    # query matrix is small by definition (k queries x dim): build the
+    # scorer ONCE driver-side and ship the instance in each task closure
+    # (plain warm-worker tasks — no actor-pool startup, no object-store
+    # constructor refs / restart caveats)
+    scorer = BruteForceScorer(
+        (np.asarray(query_ids), np.asarray(query_mat)), k + (1 if exclude_self else 0)
+    )
+    partials = ds.map_batches(scorer, batch_format="pyarrow").take_all()
     by_q: dict[int, list[tuple[float, int]]] = {}
     for r in partials:
         if exclude_self and r["neighbor_id"] == r["query_id"]:
@@ -215,8 +213,7 @@ class IVFIndex:
         )
         cents = train_centroids(sample, n_centroids)
         assigned = ds.map_batches(
-            IVFAssigner, batch_format="pyarrow", concurrency=2,
-            fn_constructor_kwargs={"cents_ref": cents},
+            IVFAssigner(cents), batch_format="pyarrow"
         ).materialize()
         block_refs = [
             r for bundle in assigned.iter_internal_ref_bundles() for r in bundle.block_refs

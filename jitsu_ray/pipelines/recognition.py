@@ -44,19 +44,18 @@ def recognize_users(ds, anon_col: str, user_col: str, id_map: pa.Table | None = 
         id_map = build_identity_map(ds, anon_col, user_col)
     ref = ray.put(dict(zip(id_map[anon_col].to_pylist(), id_map[user_col].to_pylist())))
 
-    class Backfill:
-        def __init__(self):
-            self.map = ray.get(ref)
+    def backfill(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            users = batch[user_col].to_pylist()
-            anons = batch[anon_col].to_pylist()
-            filled = [
-                u if u is not None else self.map.get(a) for u, a in zip(users, anons)
-            ]
-            idx = batch.column_names.index(user_col)
-            return batch.set_column(
-                idx, user_col, pa.array(filled, batch.schema.field(user_col).type)
-            )
+        mapping = once_per_process("recognize_users", _ref)
+        users = batch[user_col].to_pylist()
+        anons = batch[anon_col].to_pylist()
+        filled = [
+            u if u is not None else mapping.get(a) for u, a in zip(users, anons)
+        ]
+        idx = batch.column_names.index(user_col)
+        return batch.set_column(
+            idx, user_col, pa.array(filled, batch.schema.field(user_col).type)
+        )
 
-    return ds.map_batches(Backfill, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(backfill, batch_format="pyarrow")

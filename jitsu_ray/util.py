@@ -150,6 +150,24 @@ def pad_and_cast(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
+_PROC_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def once_per_process(site: str, ref, build=lambda x: x):
+    """Fetch-and-build a broadcast object once per worker process
+    (single slot per call site, replaced when the ref changes): lets a
+    stage with broadcast state run as plain tasks on warm workers —
+    no actor-pool startup — while still fetching the object only once
+    per process. `ray.put` the object once on the driver; pass the ref."""
+    import ray as _ray
+
+    hexid = ref.hex()
+    ent = _PROC_CACHE.get(site)
+    if ent is None or ent[0] != hexid:
+        _PROC_CACHE[site] = (hexid, build(_ray.get(ref)))
+    return _PROC_CACHE[site][1]
+
+
 def group_take_indices(group_ids: np.ndarray, n_groups: int) -> list[np.ndarray]:
     """Stable per-group row-index arrays for splitting one block into
     n_groups sub-tables. Shared core of the zero-cpu block splitters
