@@ -285,3 +285,22 @@ def test_ivf_index_partition_parallel(ray_session):
     for r in full.to_pylist():
         gf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert gf == ex
+
+
+def test_cluster_pairs_dataset_random_graphs(ray_session):
+    """Propagation == union-find on random graphs (star/chain/cycle mix)."""
+    import ray.data
+
+    from jitsu_ray.ops.dedup import cluster_pairs_dataset
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n_edges = int(rng.integers(5, 60))
+        a = rng.integers(0, 40, size=n_edges)
+        delta = rng.integers(1, 10, size=n_edges)
+        b = a + delta  # ensures a < b, allows cycles/chains/stars
+        pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        uf = cluster_pairs(pairs)
+        out = cluster_pairs_dataset(ray.data.from_arrow(pairs))
+        got = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+        assert got == {k: uf[k] for k in got} and set(got) == set(uf), f"trial {trial}"

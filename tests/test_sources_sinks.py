@@ -559,3 +559,76 @@ def test_singer_bridge_subprocess(ray_session, tmp_path):
     out2 = run_tap([sys.executable, str(tap)], state=out1.state)
     assert sorted(r["n"] for r in out2.streams["s"].take_all()) == [3, 4, 5]
     assert out2.state == {"last": 6}
+
+
+def test_sync_to_lake_refresh_roundtrip(ray_session, tmp_path):
+    """S6 + D2 integration: two interval-synced collections feed one
+    lake via refresh-replace; a re-sync of a changed interval replaces
+    exactly that interval's rows."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.pipelines.sync import Collection, sync_collections
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.state.signatures import DAY, SignatureStore, TimeInterval
+
+    store = SignatureStore(str(tmp_path / "sigs"))
+    lake = LakeTable.create(str(tmp_path / "lake"), ["k"], 4)
+    seq = {"n": 0}
+    data_version = {"v": 1}
+
+    def loader(iv):
+        day = iv.time.day
+        rows = [
+            {"k": f"{day}_{i}", "payload": f"v{data_version['v']}_{day}_{i}"}
+            for i in range(3)
+        ]
+        return rows, day
+
+    def sink(payload, col, iv):
+        rows, day = payload
+        lo = seq["n"]
+        # refresh-replace: tombstone the interval's old keys, re-insert
+        import pyarrow.compute as pc
+
+        if lake.ledger.last_committed_hi() > 0:
+            lake.delete_where(
+                lambda b, _d=f"{day}_": pc.starts_with(b["k"], _d),
+                commit_seq=lo + 1,
+            )
+            lo += 1
+        tbl = pa.table(
+            {
+                "commit_seq": pa.array(range(lo + 1, lo + 1 + len(rows)), pa.int64()),
+                "op": pa.array(["insert"] * len(rows), pa.string()),
+                "k": pa.array([r["k"] for r in rows], pa.string()),
+                "payload": pa.array([r["payload"] for r in rows], pa.string()),
+            }
+        )
+        lake.apply_window(ray.data.from_arrow(tbl), lo, lo + 1 + len(rows))
+        seq["n"] = lo + 1 + len(rows)
+
+    # day 1 is FROZEN at `now` (one full day past its upper endpoint —
+    # the reference's 1d signature lag); day 3 is still refreshing
+    col = Collection(
+        source="s1", name="days", table="d",
+        intervals=lambda: [TimeInterval(DAY, datetime(2024, 6, 1)),
+                           TimeInterval(DAY, datetime(2024, 6, 3))],
+        loader=loader,
+    )
+    now = datetime(2024, 6, 4, 6, 0, 0)
+    sync_collections([col], store, sink, now=now)
+    rows = {r["k"]: r["payload"] for r in lake.read().take_all()}
+    assert len(rows) == 6 and rows["1_0"] == "v1_1_0"
+
+    # day 3 is still open (within 1d lag): its data changes, re-sync
+    # replaces ONLY day-3 rows
+    data_version["v"] = 2
+    later = datetime(2024, 6, 4, 12, 0, 0)
+    r = sync_collections([col], store, sink, now=later)
+    rows = {r2["k"]: r2["payload"] for r2 in lake.read().take_all()}
+    assert rows["3_0"] == "v2_3_0"  # refreshed interval re-loaded
+    assert rows["1_0"] == "v1_1_0"  # closed interval untouched
+    assert len(rows) == 6
