@@ -222,29 +222,29 @@ def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int
     ref = ray.put(cand_ids)
 
     def shingler(batch: pa.Table, _ref=ref) -> pa.Table:
-            import pyarrow.compute as pc
+        import pyarrow.compute as pc
 
-            from ..util import once_per_process
+        from ..util import once_per_process
 
-            keys = once_per_process("shingle_table", _ref)
-            sel = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
-            texts = sel["text"].to_pylist()
-            fn = _shingle_hashes if kind == "char" else _word_ngrams
-            arg = k if kind == "char" else n
-            # packed uint64 bytes, not list<uint64>: arrow's hash join
-            # (bucket_hash_join) supports binary payloads but not lists
-            shs = [fn(t, arg).tobytes() for t in texts]
-            return pa.table(
-                {
-                    "doc_id": sel["doc_id"],
-                    "sh": pa.array(shs, pa.binary()),
-                }
-            )
+        keys = once_per_process("shingle_table", _ref)
+        sel = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
+        texts = sel["text"].to_pylist()
+        fn = _shingle_hashes if kind == "char" else _word_ngrams
+        arg = k if kind == "char" else n
+        # packed uint64 bytes, not list<uint64>: arrow's hash join
+        # (bucket_hash_join) supports binary payloads but not lists
+        shs = [fn(t, arg).tobytes() for t in texts]
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "sh": pa.array(shs, pa.binary()),
+            }
+        )
 
     return ds.map_batches(shingler, batch_format="pyarrow")
 
 
-def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int = 256 << 20):
+def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int = 64 << 20):
     """Distributed exact-Jaccard verification of candidate pairs.
 
     The candidate-shingle table is bounded by the candidate count (not
@@ -252,6 +252,9 @@ def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int =
     ONCE via ray.put and each pairs batch verifies with two vectorized
     lookups — verification compute stays distributed over the pairs
     Dataset with zero additional shuffles (the J1 broadcast-join shape).
+    The limit is per-WORKER heap cost: warm-worker tasks cache one
+    deserialized copy per process (up to num_cpus copies cluster-wide),
+    so keep it well under heap/num_workers.
     Above the limit it falls back to two partitioned hash joins
     (pairs x shingles on each side) — one shuffle each, never the
     corpus. Returns a Dataset (a, b, jaccard_ppm);

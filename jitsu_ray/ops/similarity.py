@@ -33,8 +33,9 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor: holds the normalized query matrix (fetched from the object
-    store once per actor); per batch emits top-k candidates."""
+    """Scorer state: normalized query matrix; per batch emits top-k
+    candidates. Built once driver-side and shipped in task closures
+    (queries are small), or per actor when given a ref."""
 
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref

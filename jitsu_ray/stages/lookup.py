@@ -6,9 +6,10 @@ MaxMind-style range database (server/enrichment/ip_lookup.go:32-64,
 server/geo/geo.go:40-86) and parses the user agent with a compiled
 resolver cached per process (server/useragent/resolver.go:24-80).
 
-Ray-first shape: both are actor-pool ``map_batches`` stages — the range
-table / compiled regex corpus is built ONCE per actor in ``__init__``
-(broadcast via ``ray.put``, fetched once), each batch is enriched with
+Ray-first shape: both are ``map_batches`` stages running as plain
+tasks on warm workers — the range table / compiled regex corpus is
+broadcast via ``ray.put`` once and built once per worker process
+(util.once_per_process); each batch is enriched with
 vectorized kernels (numpy searchsorted for ranges, polars regex for
 UA). No external databases: the geo table is generated deterministically
 (the container has no MaxMind data) and user agents come from a fixed
@@ -83,10 +84,11 @@ def derive_ip_column(id_col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 class GeoIpEnricher:
-    """Actor-pool stage: dotted-quad ``ip`` column -> country/city via
-    binary search over the broadcast sorted range table (ip_lookup.go's
-    resolver re-expressed as searchsorted per batch). Table fetched
-    once per actor; misses yield nulls."""
+    """Range-lookup stage state: dotted-quad ``ip`` column ->
+    country/city via binary search over the broadcast sorted range
+    table (ip_lookup.go's resolver re-expressed as searchsorted per
+    batch). Built once per worker process (geo_enrich) or per actor
+    (concurrency=N); misses yield nulls."""
 
     def __init__(self, geo_ref):
         tbl = ray.get(geo_ref) if not isinstance(geo_ref, pa.Table) else geo_ref
@@ -117,14 +119,12 @@ class GeoIpEnricher:
         return batch.append_column("city", pa.array(city.tolist(), pa.string()))
 
 
-_GEO_CACHE: dict = {}
-
-
 def geo_enrich(ds, geo_tbl: pa.Table, concurrency=None):
     """events-with-ip Dataset -> +country/+city. The range table is
     ray.put ONCE; plain tasks on warm workers build the enricher once
-    per process from the shared ref (plasma read) — no per-query actor
-    startup. Pass ``concurrency`` to force an actor pool instead."""
+    per process from the shared ref (util.once_per_process — bounded,
+    replace-on-new-ref) — no per-query actor startup. Pass
+    ``concurrency`` to force an actor pool instead."""
     ref = ray.put(geo_tbl)
     if concurrency:
         return ds.map_batches(
@@ -135,10 +135,10 @@ def geo_enrich(ds, geo_tbl: pa.Table, concurrency=None):
         )
 
     def run(batch: pa.Table, _ref=ref) -> pa.Table:
-        key = _ref.hex()
-        if key not in _GEO_CACHE:
-            _GEO_CACHE[key] = GeoIpEnricher(_ref)
-        return _GEO_CACHE[key](batch)
+        from ..util import once_per_process
+
+        enricher = once_per_process("geo_enrich", _ref, build=GeoIpEnricher)
+        return enricher(batch)
 
     return ds.map_batches(run, batch_format="pyarrow")
 
@@ -183,9 +183,10 @@ def derive_ua_column(id_col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 class UserAgentParser:
-    """Actor-pool stage: ``ua`` column -> browser / browser_version /
-    os. Rules compiled once per actor; applied as vectorized polars
-    regex scans (one pass per rule), first match wins."""
+    """Stateless ``map_batches`` stage (pass an instance — plain warm-
+    worker tasks): ``ua`` column -> browser / browser_version / os as
+    vectorized polars regex scans (one pass per rule), first match
+    wins."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(pa.table({"ua": batch["ua"]}))

@@ -150,22 +150,27 @@ def pad_and_cast(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
-_PROC_CACHE: dict[str, tuple[str, object]] = {}
+_PROC_CACHE: dict[tuple[str, str], object] = {}
+_PROC_CACHE_MAX = 8
 
 
 def once_per_process(site: str, ref, build=lambda x: x):
-    """Fetch-and-build a broadcast object once per worker process
-    (single slot per call site, replaced when the ref changes): lets a
-    stage with broadcast state run as plain tasks on warm workers —
-    no actor-pool startup — while still fetching the object only once
-    per process. `ray.put` the object once on the driver; pass the ref."""
+    """Fetch-and-build a broadcast object once per worker process:
+    lets a stage with broadcast state run as plain tasks on warm
+    workers — no actor-pool startup — while fetching the object only
+    once per process. Keyed by (call site, ref), bounded FIFO of
+    `_PROC_CACHE_MAX` entries so (a) two concurrent stages sharing a
+    call site don't evict each other per batch, and (b) repeated
+    per-window calls can't grow worker heaps without bound. `ray.put`
+    the object once on the driver; pass the ref."""
     import ray as _ray
 
-    hexid = ref.hex()
-    ent = _PROC_CACHE.get(site)
-    if ent is None or ent[0] != hexid:
-        _PROC_CACHE[site] = (hexid, build(_ray.get(ref)))
-    return _PROC_CACHE[site][1]
+    key = (site, ref.hex())
+    if key not in _PROC_CACHE:
+        if len(_PROC_CACHE) >= _PROC_CACHE_MAX:
+            _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
+        _PROC_CACHE[key] = build(_ray.get(ref))
+    return _PROC_CACHE[key]
 
 
 def group_take_indices(group_ids: np.ndarray, n_groups: int) -> list[np.ndarray]:

@@ -627,7 +627,7 @@ def test_sync_to_lake_refresh_roundtrip(ray_session, tmp_path):
     # replaces ONLY day-3 rows
     data_version["v"] = 2
     later = datetime(2024, 6, 4, 12, 0, 0)
-    r = sync_collections([col], store, sink, now=later)
+    sync_collections([col], store, sink, now=later)
     rows = {r2["k"]: r2["payload"] for r2 in lake.read().take_all()}
     assert rows["3_0"] == "v2_3_0"  # refreshed interval re-loaded
     assert rows["1_0"] == "v1_1_0"  # closed interval untouched
