@@ -106,3 +106,88 @@ def decode_media(ds, backend: type[DecoderBackend] = FakeDecoder, concurrency: i
         concurrency=concurrency,
         fn_constructor_kwargs={"backend": backend},
     )
+
+
+class FakeResizer(DecoderBackend):
+    """Resize plumbing: target box + aspect-preserving scale computed
+    from the (fake-decoded) source dims; payload would be re-encoded by
+    a real backend — here it is dropped after metadata, like decode."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512):
+        self.max_w = max_w
+        self.max_h = max_h
+        self.decoder = FakeDecoder()
+
+    def resize_one(self, data: bytes, mime: str) -> dict:
+        meta = self.decoder.decode_one(data, mime)
+        scale = min(self.max_w / meta["width"], self.max_h / meta["height"], 1.0)
+        return {
+            "src_width": meta["width"],
+            "src_height": meta["height"],
+            "width": int(meta["width"] * scale),
+            "height": int(meta["height"] * scale),
+            "content_sha256": meta["content_sha256"],
+        }
+
+
+def resize_media(ds, max_w: int = 512, max_h: int = 512, concurrency: int = 4,
+                 batch_size: int = 64):
+    """Actor-pool resize stage (backend built once per actor; small
+    batches for large payloads — same sizing discipline as decode)."""
+
+    class Stage:
+        def __init__(self):
+            self.backend = FakeResizer(max_w, max_h)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            metas = [
+                self.backend.resize_one(d.as_py() if d is not None else b"", m)
+                for d, m in zip(batch["media"], batch["mime"].to_pylist())
+            ]
+            for name, typ in [
+                ("src_width", pa.int32()),
+                ("src_height", pa.int32()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("content_sha256", pa.string()),
+            ]:
+                batch = batch.append_column(name, pa.array([m[name] for m in metas], typ))
+            return batch.drop_columns(["media"])
+
+    return ds.map_batches(
+        Stage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def frame_count(data: bytes) -> int:
+    """Deterministic fake frame count: 1 + sha256 bytes [5:7] % 300
+    (a real backend reads the container header). SQL twin in
+    queries.SQL_FRAME_SAMPLE."""
+    h = hashlib.sha256(data).digest()
+    return 1 + int.from_bytes(h[5:7], "little") % 300
+
+
+def sample_frames(ds, every_n: int = 10, fps: float = 25.0, batch_size: int = 64):
+    """Video frame-sampling plumbing: one input row fans out to one row
+    per sampled frame (frame_idx stepping by ``every_n``), with the
+    frame timestamp at ``fps``. The flat-map shape — output rows >>
+    input rows — is the part a real decoder drops into; frame pixel
+    extraction is the stubbed codec call."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, idxs, ts = [], [], []
+        for mid, d in zip(batch["media_id"].to_pylist(), batch["media"]):
+            n = frame_count(d.as_py() if d is not None else b"")
+            for f in range(0, n, every_n):
+                ids.append(mid)
+                idxs.append(f)
+                ts.append(f / fps)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_ts": pa.array(ts, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)

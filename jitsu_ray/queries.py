@@ -1142,6 +1142,33 @@ FROM m
 """
 
 
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling: documents' bytes stand in for video
+    payloads; every 10th frame of the (sha-derived) frame count fans
+    out to its own row — the flat-map plumbing a real decoder drops
+    into (ops/multimodal.sample_frames)."""
+    from .ops.multimodal import sample_frames
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "media": pc.cast(batch["text"], pa.large_binary()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return sample_frames(ds.map_batches(to_media, batch_format="pyarrow"), every_n=10)
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+n AS (SELECT media_id, 1 + ({_hexbyte(5)} + 256 * {_hexbyte(6)}) % 300 AS n_frames FROM m)
+SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f AS DOUBLE) / 25.0 AS frame_ts
+FROM n CROSS JOIN UNNEST(range(0, n_frames, 10)) AS r(f)
+"""
+
+
 def q_schema_infer(sf_dir: str):
     """M5/A1: logical-schema inference over two tables (metadata result)."""
     from .types import from_arrow
@@ -1222,6 +1249,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
 }
 
@@ -1250,6 +1278,7 @@ ORACLES = {
     "doc_quality": SQL_DOC_QUALITY,
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,
+    "frame_sample": SQL_FRAME_SAMPLE,
     "schema_infer": SQL_SCHEMA_INFER,
     "rule_chain": SQL_RULE_CHAIN,
     "user_recognition": SQL_RECOGNITION,

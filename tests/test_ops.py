@@ -304,3 +304,29 @@ def test_cluster_pairs_dataset_random_graphs(ray_session):
         out = cluster_pairs_dataset(ray.data.from_arrow(pairs))
         got = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
         assert got == {k: uf[k] for k in got} and set(got) == set(uf), f"trial {trial}"
+
+
+def test_resize_and_frame_sample_plumbing(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.multimodal import frame_count, resize_media, sample_frames
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([b"\x89PNGfake", b"RIFFvideofake"], pa.large_binary()),
+            "mime": pa.array(["image/png", "video/mp4"]),
+        }
+    )
+    rs = resize_media(ray.data.from_arrow(tbl), max_w=256, max_h=256, concurrency=1).take_all()
+    for r in rs:
+        assert r["width"] <= 256 and r["height"] <= 256
+        assert r["width"] / r["height"] == pytest.approx(r["src_width"] / r["src_height"], rel=0.02)
+        assert "media" not in r  # payload dropped after metadata
+
+    fr = sample_frames(ray.data.from_arrow(tbl), every_n=7).take_all()
+    n2 = frame_count(b"RIFFvideofake")
+    got2 = [r for r in fr if r["media_id"] == 2]
+    assert len(got2) == len(range(0, n2, 7))
+    assert got2[0]["frame_idx"] == 0 and got2[1]["frame_idx"] == 7
+    assert got2[1]["frame_ts"] == pytest.approx(7 / 25.0)
