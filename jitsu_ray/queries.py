@@ -55,13 +55,25 @@ def q_lww_latest_by_user(sf_dir: str):
         )
         return out.to_arrow().cast(batch.schema)
 
+    from .util import hash_mod_column
+
+    def shard(batch: pa.Table) -> pa.Table:
+        bk = hash_mod_column(batch.select(["user_id"]).rename_columns(["k"]), ["k"], 32)
+        return batch.append_column("__shard", bk)
+
+    def reduce_shard(group: pa.Table) -> pa.Table:
+        return reduce_batch(group.drop_columns(["__shard"]))
+
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value", "event_id"]
     )
+    # combiner per batch, then ONE vectorized polars pass per hash
+    # shard (32 groups) instead of one map_groups call per user
     return (
         ds.map_batches(reduce_batch, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(reduce_batch, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
     )
 
 
