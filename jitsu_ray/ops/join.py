@@ -68,6 +68,7 @@ def bucket_hash_join(
     right_key: str,
     num_buckets: int = 32,
     how: str = "inner",
+    right_pre_join=None,
 ):
     """Partitioned hash join of two Datasets.
 
@@ -75,6 +76,12 @@ def bucket_hash_join(
     tag; one groupby co-locates each bucket's rows from both sides, and
     ``map_groups`` performs the per-bucket Arrow join. One shuffle total
     (the union groupby) instead of two.
+
+    ``right_pre_join``: optional ``pa.Table -> pa.Table`` applied to the
+    RIGHT side's slice inside each bucket before the join — the fused
+    aggregate-then-join shape (e.g. per-key partial sums folded to one
+    row per key without a separate global groupby shuffle). Bucketing
+    by key guarantees the transform sees every row of its keys.
     """
 
     l_schema = left.schema().base_schema
@@ -114,6 +121,8 @@ def bucket_hash_join(
         mask = pc.equal(group["__side"], 0)
         lg = group.filter(mask).select(l_names)
         rg = group.filter(pc.invert(mask)).select(r_names)
+        if right_pre_join is not None:
+            rg = right_pre_join(rg)
         # arrow's hash join handles empty sides with the correct schema
         return lg.join(rg, keys=left_key, right_keys=right_key, join_type=how)
 

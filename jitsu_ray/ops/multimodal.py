@@ -53,29 +53,42 @@ class FakeDecoder(DecoderBackend):
         }
 
 
-class MediaDecoder:
-    """Actor-pool stage: backend constructed ONCE per actor (the expensive
-    model/codec load); per-batch loop is over rows by necessity (opaque
-    per-item codec calls). Use small batch_size (e.g. 64) so
-    batch_bytes x concurrency fits worker heaps."""
+class _MediaMetadataStage:
+    """Shared per-batch plumbing for payload->metadata stages: backend
+    constructed ONCE per actor (the expensive model/codec load);
+    per-batch loop is over rows by necessity (opaque per-item codec
+    calls); payload dropped after metadata. Use small batch_size (e.g.
+    64) so batch_bytes x concurrency fits worker heaps."""
 
-    def __init__(self, backend: type[DecoderBackend] = FakeDecoder):
-        self.backend = backend()
+    #: subclasses set: backend factory, per-item method name, out schema
+    BACKEND = None
+    METHOD = ""
+    OUT_FIELDS: list = []
+
+    def __init__(self, backend=None):
+        self.backend = (backend or self.BACKEND)()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = getattr(self.backend, self.METHOD)
         metas = [
-            self.backend.decode_one(d.as_py() if d is not None else b"", m)
+            fn(d.as_py() if d is not None else b"", m)
             for d, m in zip(batch["media"], batch["mime"].to_pylist())
         ]
-        for name, typ in [
-            ("width", pa.int32()),
-            ("height", pa.int32()),
-            ("n_bytes", pa.int64()),
-            ("channels", pa.int32()),
-            ("content_sha256", pa.string()),
-        ]:
+        for name, typ in self.OUT_FIELDS:
             batch = batch.append_column(name, pa.array([m[name] for m in metas], typ))
         return batch.drop_columns(["media"])  # metadata out, payload dropped
+
+
+class MediaDecoder(_MediaMetadataStage):
+    BACKEND = FakeDecoder
+    METHOD = "decode_one"
+    OUT_FIELDS = [
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("channels", pa.int32()),
+        ("content_sha256", pa.string()),
+    ]
 
 
 class FakeFeatureExtractor:
@@ -108,10 +121,11 @@ def decode_media(ds, backend: type[DecoderBackend] = FakeDecoder, concurrency: i
     )
 
 
-class FakeResizer(DecoderBackend):
-    """Resize plumbing: target box + aspect-preserving scale computed
-    from the (fake-decoded) source dims; payload would be re-encoded by
-    a real backend — here it is dropped after metadata, like decode."""
+class FakeResizer:
+    """Resize plumbing (composes a FakeDecoder — it is not itself a
+    decode backend): target box + aspect-preserving scale computed from
+    the (fake-decoded) source dims; payload would be re-encoded by a
+    real backend — here it is dropped after metadata, like decode."""
 
     def __init__(self, max_w: int = 512, max_h: int = 512):
         self.max_w = max_w
@@ -124,38 +138,36 @@ class FakeResizer(DecoderBackend):
         return {
             "src_width": meta["width"],
             "src_height": meta["height"],
-            "width": int(meta["width"] * scale),
-            "height": int(meta["height"] * scale),
+            # floor with a 1px floor: a real resizer never emits a
+            # zero-dimension image, whatever the box
+            "width": max(1, int(meta["width"] * scale)),
+            "height": max(1, int(meta["height"] * scale)),
             "content_sha256": meta["content_sha256"],
         }
+
+
+class MediaResizer(_MediaMetadataStage):
+    METHOD = "resize_one"
+    OUT_FIELDS = [
+        ("src_width", pa.int32()),
+        ("src_height", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("content_sha256", pa.string()),
+    ]
 
 
 def resize_media(ds, max_w: int = 512, max_h: int = 512, concurrency: int = 4,
                  batch_size: int = 64):
     """Actor-pool resize stage (backend built once per actor; small
-    batches for large payloads — same sizing discipline as decode)."""
-
-    class Stage:
-        def __init__(self):
-            self.backend = FakeResizer(max_w, max_h)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            metas = [
-                self.backend.resize_one(d.as_py() if d is not None else b"", m)
-                for d, m in zip(batch["media"], batch["mime"].to_pylist())
-            ]
-            for name, typ in [
-                ("src_width", pa.int32()),
-                ("src_height", pa.int32()),
-                ("width", pa.int32()),
-                ("height", pa.int32()),
-                ("content_sha256", pa.string()),
-            ]:
-                batch = batch.append_column(name, pa.array([m[name] for m in metas], typ))
-            return batch.drop_columns(["media"])
-
+    batches for large payloads — same plumbing as decode_media via
+    _MediaMetadataStage)."""
     return ds.map_batches(
-        Stage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"backend": lambda: FakeResizer(max_w, max_h)},
     )
 
 

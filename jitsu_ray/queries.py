@@ -330,8 +330,10 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 def q_order_revenue_join(sf_dir: str):
     """Big-big partitioned hash join: per-order lineitem revenue.
     Per-batch partial aggregate, then ONE bucket shuffle co-locates
-    both sides; the final per-order Sum happens inside the bucket —
-    no separate global groupby pass over the lineitem side."""
+    both sides (ops/join.bucket_hash_join); the final per-order Sum
+    happens INSIDE each bucket via the right_pre_join hook — no
+    separate global groupby pass over the lineitem side."""
+    from .ops.join import bucket_hash_join
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -347,68 +349,21 @@ def q_order_revenue_join(sf_dir: str):
         )
         return out.to_arrow()
 
-    from .util import hash_mod_column
-
-    B = 16
-
-    def tag_li(batch: pa.Table) -> pa.Table:
-        t = partial(batch)
-        bk = hash_mod_column(t.select(["l_orderkey"]).rename_columns(["k"]), ["k"], B)
-        return pa.table(
-            {
-                "key": t["l_orderkey"],
-                "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
-                "revenue_c": t["revenue_c"],
-                "__bucket": bk,
-                "__side": pa.array([1] * t.num_rows, pa.int8()),
-            }
-        )
-
-    def tag_orders(batch: pa.Table) -> pa.Table:
-        bk = hash_mod_column(
-            batch.select(["o_orderkey"]).rename_columns(["k"]), ["k"], B
-        )
-        return pa.table(
-            {
-                "key": batch["o_orderkey"],
-                "o_orderstatus": batch["o_orderstatus"],
-                "revenue_c": pa.nulls(batch.num_rows, pa.int64()),
-                "__bucket": bk,
-                "__side": pa.array([0] * batch.num_rows, pa.int8()),
-            }
-        )
-
-    def join_bucket(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group)
-        li = (
-            df.filter(pl.col("__side") == 1)
-            .group_by("key")
-            .agg(pl.col("revenue_c").sum())
-        )
-        orders = df.filter(pl.col("__side") == 0).select(
-            pl.col("key").alias("o_orderkey"), "o_orderstatus"
-        )
-        out = orders.join(li.rename({"key": "o_orderkey"}), on="o_orderkey", how="inner")
-        return out.to_arrow().cast(
-            pa.schema(
-                [("o_orderkey", pa.int64()), ("o_orderstatus", pa.string()),
-                 ("revenue_c", pa.int64())]
-            )
-        )
+    def sum_per_order(rg: pa.Table) -> pa.Table:
+        df = pl.from_arrow(rg)
+        out = df.group_by("l_orderkey").agg(pl.col("revenue_c").sum())
+        return out.to_arrow().cast(rg.schema)
 
     li = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    ).map_batches(tag_li, batch_format="pyarrow")
+    ).map_batches(partial, batch_format="pyarrow")
     orders = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
-    ).map_batches(tag_orders, batch_format="pyarrow")
-    # ONE shuffle: union of tagged sides co-located by key bucket; the
-    # per-order revenue aggregation happens INSIDE the bucket (the
-    # per-batch combiner already collapsed duplicate keys per batch),
-    # saving the separate global groupby shuffle of the lineitem side
-    return li.union(orders).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pyarrow"
+    )
+    return bucket_hash_join(
+        orders, li, "o_orderkey", "l_orderkey", num_buckets=16,
+        right_pre_join=sum_per_order,
     )
 
 
@@ -1224,7 +1179,7 @@ def q_frame_sample(sf_dir: str):
 
 
 SQL_FRAME_SAMPLE = f"""
-WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+WITH m AS (SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS h FROM documents),
 n AS (SELECT media_id, 1 + ({_hexbyte(5)} + 256 * {_hexbyte(6)}) % 300 AS n_frames FROM m)
 SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f AS DOUBLE) / 25.0 AS frame_ts
 FROM n CROSS JOIN UNNEST(range(0, n_frames, 10)) AS r(f)

@@ -632,3 +632,28 @@ def test_sync_to_lake_refresh_roundtrip(ray_session, tmp_path):
     assert rows["3_0"] == "v2_3_0"  # refreshed interval re-loaded
     assert rows["1_0"] == "v1_1_0"  # closed interval untouched
     assert len(rows) == 6
+
+
+def test_bucket_join_right_pre_join_hook(ray_session):
+    """Fused aggregate-then-join: per-bucket right-side transform sees
+    every row of its keys (bucketing by key guarantees it)."""
+    import pyarrow as pa
+    import ray.data
+
+    import polars as pl
+
+    from jitsu_ray.ops.join import bucket_hash_join
+
+    left = ray.data.from_items([{"k": i, "name": f"n{i}"} for i in range(10)])
+    right = ray.data.from_items(
+        [{"rk": i % 10, "v": i} for i in range(100)]
+    ).repartition(7)
+
+    def agg(rg: pa.Table) -> pa.Table:
+        df = pl.from_arrow(rg)
+        return df.group_by("rk").agg(pl.col("v").sum()).to_arrow().cast(rg.schema)
+
+    out = bucket_hash_join(left, right, "k", "rk", num_buckets=4, right_pre_join=agg)
+    rows = {r["k"]: r["v"] for r in out.take_all()}
+    expect = {k: sum(i for i in range(100) if i % 10 == k) for k in range(10)}
+    assert rows == expect
