@@ -839,8 +839,13 @@ def q_interval_refresh(sf_dir: str):
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(prep, batch_format="pyarrow")
+    # per-pid dir (concurrent runs can't collide) + sweep of prior runs'
+    # leftovers so CACHE_DIR doesn't accumulate stale lakes across runs
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(CACHE_DIR, "lake_refresh_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     lake_dir = os.path.join(CACHE_DIR, f"lake_refresh_{os.path.basename(sf_dir)}_{os.getpid()}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
     lake = LakeTable.create(lake_dir, ["event_id"], 8)
     hi = 20_000_000  # > any event_id at every sf
     lake.apply_window(ds, 0, hi)

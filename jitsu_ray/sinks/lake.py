@@ -64,7 +64,7 @@ import ray.data
 
 from ..schema.reconciler import LakeSchema, observed_payload
 from ..state.ledger import Ledger
-from ..types import DataType
+from ..types import DataType, from_arrow, to_arrow
 from ..util import HASH_ALGO, hash_mod_column, pad_and_cast
 
 OP_COL = "op"
@@ -212,6 +212,15 @@ class LakeTable:
             )
         hash_self_test()
         self.key_cols: list[str] = meta["key_cols"]
+        # physical key-column types, frozen at creation / first window
+        # (reference: server/adapters/table.go:13-23 — a Table preserves
+        # its columns' physical types; keys are never retyped). Stored as
+        # logical-lattice names; absent (legacy lakes) => STRING. Frozen
+        # because the partition hash stringifies key values — retyping a
+        # key (int 5 -> float 5.0) would re-route rows mid-table.
+        self.key_types: dict[str, DataType] = {
+            k: DataType[v] for k, v in meta.get("key_types", {}).items()
+        }
         self.num_partitions: int = meta["num_partitions"]
         self.schema_dir = os.path.join(lake_dir, "_schema")
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
@@ -254,16 +263,27 @@ class LakeTable:
 
     @staticmethod
     def create(
-        lake_dir: str, key_cols: list[str], num_partitions: int = 64
+        lake_dir: str,
+        key_cols: list[str],
+        num_partitions: int = 64,
+        key_types: dict[str, "DataType | str"] | None = None,
     ) -> "LakeTable":
+        """``key_types`` optionally pins the key columns' logical types at
+        creation (DataType or its name); keys not listed are recorded from
+        the first applied window's observed schema instead."""
         os.makedirs(lake_dir, exist_ok=True)
         os.makedirs(os.path.join(lake_dir, "_schema"), exist_ok=True)
         meta_path = os.path.join(lake_dir, "_meta.json")
         if not os.path.exists(meta_path):
+            kt = {
+                k: (v.name if isinstance(v, DataType) else DataType[str(v)].name)
+                for k, v in (key_types or {}).items()
+            }
             with open(meta_path, "w") as f:
                 json.dump(
                     {
                         "key_cols": list(key_cols),
+                        "key_types": kt,
                         "num_partitions": num_partitions,
                         "hash_algo": HASH_ALGO,
                     },
@@ -287,9 +307,43 @@ class LakeTable:
             pa.field(OP_COL, pa.string()),
             pa.field(SEQ_COL, pa.int64()),
         ]
-        fields += [pa.field(k, pa.large_string()) for k in self.key_cols]
+        fields += [
+            pa.field(k, to_arrow(self.key_types.get(k, DataType.STRING)))
+            for k in self.key_cols
+        ]
         fields += self.schema.to_arrow_fields()
         return pa.schema(fields)
+
+    def _ensure_key_types(self, ds_schema: pa.Schema) -> None:
+        """Record any still-unrecorded key column's logical type from the
+        first window's observed schema, then freeze it in _meta.json.
+        UNKNOWN (all-null) observations stay unrecorded so a later window
+        with real values can still pin the type."""
+        missing = [k for k in self.key_cols if k not in self.key_types]
+        if not missing:
+            return
+        names = set(ds_schema.names)
+        changed = False
+        for k in missing:
+            if k not in names:
+                continue
+            lt = from_arrow(ds_schema.field(k).type)
+            if lt == DataType.UNKNOWN:
+                continue
+            self.key_types[k] = lt
+            changed = True
+        if changed:
+            self._save_meta()
+
+    def _save_meta(self) -> None:
+        meta_path = os.path.join(self.dir, "_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["key_types"] = {k: t.name for k, t in self.key_types.items()}
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
     def use_shared_schema_actor(self, name: str | None = None) -> None:
         """Route schema reconciliation through a named SchemaReconcilerActor
@@ -346,6 +400,7 @@ class LakeTable:
 
         _t0 = _time.perf_counter()
 
+        self._ensure_key_types(ds.schema().base_schema)
         self._reconcile_window_schema(ds.schema().base_schema)
         target = self.full_arrow_schema()
         key_cols = self.key_cols

@@ -78,7 +78,7 @@ def hash_mod_column(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Arra
     """
     df = pl.from_arrow(tbl.select(cols))
     expr = pl.concat_str(
-        [x for c in cols for x in (pl.col(c).fill_null(""), pl.lit("\x00"))]
+        [x for c in cols for x in (pl.col(c).cast(pl.String).fill_null(""), pl.lit("\x00"))]
     )
     h = df.select((expr.hash(seed=HASH_SEED) % num_buckets).cast(pl.Int32).alias("h"))
     return h.to_arrow()["h"].combine_chunks()
@@ -88,7 +88,7 @@ def hash64_column(tbl: pa.Table, cols: list[str]) -> pa.Array:
     """Full-width deterministic 64-bit hash (as int64) of key columns."""
     df = pl.from_arrow(tbl.select(cols))
     expr = pl.concat_str(
-        [x for c in cols for x in (pl.col(c).fill_null(""), pl.lit("\x00"))]
+        [x for c in cols for x in (pl.col(c).cast(pl.String).fill_null(""), pl.lit("\x00"))]
     )
     h = df.select(expr.hash(seed=HASH_SEED).reinterpret(signed=True).alias("h"))
     return h.to_arrow()["h"].combine_chunks()

@@ -24,14 +24,19 @@ def to_arrow(res):
 
 
 def canon(tbl):
-    """Order-insensitive canonical multiset of rows, column-name sorted."""
-    import pyarrow as pa
+    """Order-insensitive canonical multiset of rows, column-name sorted.
 
+    TYPE-SENSITIVE on purpose (round-2 ADVICE): the driver's value hash
+    distinguishes int 5 from str "5"; a plain str() canon masked the
+    lake key-dtype bug locally while the driver flagged it. bool is a
+    subclass of int, so tag by type name, not isinstance buckets."""
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
     rows = []
     for r in tbl.to_pylist():
-        rows.append(tuple((k, str(r[k])) for k in cols))
+        rows.append(
+            tuple((k, type(r[k]).__name__, str(r[k])) for k in cols)
+        )
     return sorted(rows)
 
 

@@ -282,3 +282,61 @@ def test_metrics_registry_counters_and_gauges(ray_session, tmp_path):
     assert snap["counters"]["sink.written"] == 10
     assert snap["counters"]["sink.dead_lettered"] == 2
     assert snap["gauges"]["sink.attempts_max"] == 3
+
+
+def test_int64_key_roundtrips_dtype_exactly(ray_session, tmp_path):
+    # round-2 verdict #1: key cols were hard-coded large_string, so an
+    # int64 PK came back as "5". Types must now be frozen at the first
+    # window and round-trip exactly (reference adapters/table.go:13-23).
+    import ray.data
+
+    lake = LakeTable.create(str(tmp_path / "ilake"), ["event_id"], 4)
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["insert"] * 3, pa.string()),
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "payload": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    lake.apply_window(ray.data.from_arrow(tbl), 0, 3)
+    out = lake.read().take_all()
+    assert sorted(r["event_id"] for r in out) == [10, 11, 12]
+    assert all(isinstance(r["event_id"], int) for r in out)
+    sch = lake.full_arrow_schema()
+    assert sch.field("event_id").type == pa.int64()
+    # reopened handle sees the frozen type from _meta.json
+    reopened = LakeTable.open(str(tmp_path / "ilake"))
+    assert reopened.full_arrow_schema().field("event_id").type == pa.int64()
+    # a later window delivering the key as strings is cast back to the
+    # frozen int64 type (keys are never retyped)
+    tbl2 = pa.table(
+        {
+            "commit_seq": pa.array([4], pa.int64()),
+            "op": pa.array(["update"], pa.string()),
+            "event_id": pa.array(["10"], pa.string()),
+            "payload": pa.array(["a2"], pa.string()),
+        }
+    )
+    reopened.apply_window(ray.data.from_arrow(tbl2), 3, 4)
+    rows = {r["event_id"]: r["payload"] for r in reopened.read().take_all()}
+    assert rows == {10: "a2", 11: "b", 12: "c"}
+
+
+def test_delete_where_on_int64_keys(ray_session, tmp_path):
+    import ray.data
+    import pyarrow.compute as pc
+
+    lake = LakeTable.create(str(tmp_path / "dlake"), ["event_id"], 4)
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": pa.array(["insert"] * 4, pa.string()),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "kind": pa.array(["keep", "drop", "keep", "drop"], pa.string()),
+        }
+    )
+    lake.apply_window(ray.data.from_arrow(tbl), 0, 4)
+    lake.delete_where(lambda b: pc.equal(b["kind"], "drop"))
+    out = sorted(r["event_id"] for r in lake.read().take_all())
+    assert out == [1, 3]
