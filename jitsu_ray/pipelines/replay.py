@@ -29,6 +29,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sinks.lake import SEQ_COL, LakeTable
+from ..sources.readers import read_parquet_clean
 
 EnrichFn = Callable[[pa.Table], pa.Table]
 
@@ -119,7 +120,7 @@ class Replayer:
         paths = [f for f, mn, mx in self._file_stats if mx > lo and mn <= hi]
         if not paths:
             paths = [f for f, _, _ in self._file_stats] or self.changelog_path
-        ds = ray.data.read_parquet(
+        ds = read_parquet_clean(
             paths,
             filter=(pc.field(SEQ_COL) > lo) & (pc.field(SEQ_COL) <= hi),
             override_num_blocks=self._window_num_blocks(hi - lo),

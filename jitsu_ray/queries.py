@@ -29,6 +29,7 @@ from .ops.text import DocAnalyzer, TextStats
 from .stages.enrich import hash_pii
 from .stages.flatten import explode_json_column
 from .stages.mapping import compile_mapping
+from .sources.readers import read_parquet_clean
 from .stages.router import TABLE_COL, route_stage
 from .types import DataType
 
@@ -64,7 +65,7 @@ def q_lww_latest_by_user(sf_dir: str):
     def reduce_shard(group: pa.Table) -> pa.Table:
         return reduce_batch(group.drop_columns(["__shard"]))
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value", "event_id"]
     )
     # combiner per batch, then ONE vectorized polars pass per hash
@@ -99,7 +100,7 @@ def q_dedup_exact_events(sf_dir: str):
         )
         return out.to_arrow()
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "value", "event_id"]
     )
     return (
@@ -131,7 +132,7 @@ def q_route_tables(sf_dir: str):
         out = df.group_by(TABLE_COL).agg(pl.len().cast(pl.Int64).alias("n"))
         return out.rename({TABLE_COL: "table_name"}).to_arrow()
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type"])
     return (
         ds.map_batches(route_stage(router), batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
@@ -157,7 +158,7 @@ def q_mapping_project(sf_dir: str):
         ],
         keep_unmapped=False,
     )
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "event_type"]
     )
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -172,7 +173,7 @@ FROM events
 
 def q_flatten_props(sf_dir: str):
     """M3/M4/S4: JSON props column exploded to a typed column."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "props"])
     return ds.map_batches(
         explode_json_column("props", {"k": DataType.INT64}), batch_format="pyarrow"
     ).select_columns(["event_id", "props_k"])
@@ -193,7 +194,7 @@ def q_pii_hash(sf_dir: str):
             {"c_custkey": out["c_custkey"], "email_hash": out["c_name"]}
         )
 
-    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(run, batch_format="pyarrow")
 
 
@@ -207,14 +208,14 @@ def q_anti_join_inactive_customers(sf_dir: str):
     distinct-user set, filter per batch. At 100 TB the broadcast side is
     a Bloom filter via ray.put; same shape."""
     seen = set(
-        ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"]).unique("user_id")
+        read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"]).unique("user_id")
     )
     value_set = pa.array(sorted(seen), pa.int64())
 
     def anti(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=value_set)))
 
-    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
@@ -226,7 +227,7 @@ WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
 
 def q_top_events_recent(sf_dir: str):
     """O2: time-range + limit (events-cache debug query)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     )
     return ds.sort(["ts", "event_id"], descending=True).limit(100)
@@ -264,7 +265,7 @@ def q_q1_pricing_summary(sf_dir: str):
         )
         return out.to_arrow()
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -299,7 +300,7 @@ def q_timestamp_format(sf_dir: str):
         iso = cast_array(batch["ts"], DataType.STRING)
         return pa.table({"event_id": batch["event_id"], "ts_iso": pc.cast(iso, pa.string())})
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "ts"])
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
@@ -317,7 +318,7 @@ def q_user_segment_join(sf_dir: str):
 
     small = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     small = small.rename_columns(["user_id", "segment"])
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     return broadcast_join(ds, small, "user_id", ["segment"])
 
 
@@ -354,11 +355,11 @@ def q_order_revenue_join(sf_dir: str):
         out = df.group_by("l_orderkey").agg(pl.col("revenue_c").sum())
         return out.to_arrow().cast(rg.schema)
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(partial, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
     )
     return bucket_hash_join(
@@ -386,7 +387,7 @@ def q_tumbling_daily(sf_dir: str):
         )
         return batch.append_column("value_c", v)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(cents, batch_format="pyarrow")
     return tumbling_aggregate(ds, "ts", 86400, ["event_type"], "value_c")
@@ -407,7 +408,7 @@ def q_session_windows(sf_dir: str):
     """§2.9 session windows: per-user sessions split at >30 min gaps."""
     from .ops.window import session_windows
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return session_windows(ds, "user_id", "ts", 1800)
 
 
@@ -434,7 +435,7 @@ FROM s GROUP BY user_id, sid
 
 
 def q_doc_text_stats(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(TextStats(), batch_format="pyarrow").select_columns(
         ["doc_id", "n_chars2", "n_tokens"]
     )
@@ -448,7 +449,7 @@ FROM documents
 
 
 def q_dedup_exact_docs(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return (
         ds.map_batches(exact_dedup_hash_stage(), batch_format="pyarrow")
         .select_columns(["text_md5", "doc_id"])
@@ -464,7 +465,7 @@ FROM documents GROUP BY 1
 
 
 def q_embedding_label_counts(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["label"])
     return ds.groupby("label").aggregate(Count(alias_name="n"))
 
 
@@ -473,7 +474,7 @@ SQL_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
 
 def _load_queries(sf_dir: str, n: int = 10):
     tbl = (
-        ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {n}")
         .take_all()
     )
@@ -487,7 +488,7 @@ def q_knn_cosine_topk(sf_dir: str):
     """Brute-force exact cosine top-5 for the first 10 vectors (ids only:
     cosine values differ in ulps between numpy and duckdb summation)."""
     qids, qmat = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_cosine(ds, qids, qmat, k=5)
     return out.select(["query_id", "neighbor_id"])
 
@@ -519,7 +520,7 @@ def q_geo_enrich(sf_dir: str):
     def add_ip(batch: pa.Table) -> pa.Table:
         return batch.append_column("ip", derive_ip_column(batch["user_id"]))
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     out = geo_enrich(ds.map_batches(add_ip, batch_format="pyarrow"), geo_tbl)
     return out.select_columns(["event_id", "ip", "country", "city"])
 
@@ -552,7 +553,7 @@ def q_ua_parse(sf_dir: str):
     def add_ua(batch: pa.Table) -> pa.Table:
         return batch.append_column("ua", derive_ua_column(batch["event_id"]))
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id"])
     return ds.map_batches(add_ua, batch_format="pyarrow").map_batches(
         UserAgentParser(), batch_format="pyarrow"
     ).select_columns(["event_id", "ua", "browser", "browser_version", "os"])
@@ -767,7 +768,7 @@ def q_rule_chain(sf_dir: str):
             add_constant("channel", "paid", pa.string()),
         ),
     )
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "event_type"])
     return ds.map_batches(rules, batch_format="pyarrow").select_columns(
         ["event_id", "event_type", "src", "channel"]
     )
@@ -799,7 +800,7 @@ def q_user_recognition(sf_dir: str):
         user = pc.if_else(has_user, batch["user_id"], pa.nulls(batch.num_rows, pa.int64()))
         return pa.table({"event_id": eid, "anon_id": anon, "user_id": user})
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     derived = ds.map_batches(derive, batch_format="pyarrow")
     return recognize_users(derived, "anon_id", "user_id")
 
@@ -836,7 +837,7 @@ def q_interval_refresh(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(prep, batch_format="pyarrow")
     # per-pid dir (concurrent runs can't collide) + sweep of prior runs'
@@ -935,7 +936,7 @@ def q_minhash_dedup_docs(sf_dir: str):
     exact char-5-gram Jaccard >= 0.8 + recursive-CTE closure — valid
     because the (deterministic, seeded) LSH has 100% recall on the
     testdata corpus (P(miss) per true pair at s=0.8 is ~2e-4)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.8, cluster_mode="distributed")
 
 
@@ -968,7 +969,7 @@ def q_ngram_jaccard_docs(sf_dir: str):
     """Word-3-gram Jaccard pairs (LSH candidates + distributed exact
     verification); jaccard_ppm = floor(inter*1e6/union + 0.5) — integer
     so the oracle hash is float-format-proof."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, n=3, threshold=0.6)
 
 
@@ -1000,7 +1001,7 @@ def q_simhash_docs(sf_dir: str):
     """64-bit SimHash per doc (md5-lower64 token hashes, batch-level
     vectorized bit voting). Oracle: the same vote in SQL via
     md5_number_lower + bit arithmetic."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     # stateless stage: plain tasks on warm workers beat an actor pool
     # (no per-query actor startup; cf. minhash_stage)
     return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
@@ -1039,7 +1040,7 @@ def q_doc_quality(sf_dir: str):
     language vote and rolling md5 fingerprint (ops/text.DocAnalyzer) —
     replaces the former QualityScore->LangId->Fingerprint actor chain
     (3x text serialization). Every column has an exact SQL twin."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(DocAnalyzer(), batch_format="pyarrow").select_columns(
         ["doc_id", "stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
          "quality_ok", "lang_pred", "fingerprint"]
@@ -1095,7 +1096,7 @@ ORDER BY doc_id
 
 def q_ann_ivf_topk(sf_dir: str):
     qids, qmat = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = ann_ivf(ds, qids, qmat, k=5, n_centroids=16, n_probe=8)
     return out.select(["query_id", "neighbor_id"])
 
@@ -1107,7 +1108,7 @@ def q_embedding_near_dup(sf_dir: str):
     cannot flip a pair across the oracle boundary."""
     from .ops.similarity import embedding_near_dup
 
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return embedding_near_dup(ds, threshold=0.4)
 
 
@@ -1134,7 +1135,7 @@ def q_multimodal_decode(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return decode_media(ds.map_batches(to_media, batch_format="pyarrow"), batch_size=128)
 
 
@@ -1179,7 +1180,7 @@ def q_frame_sample(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return sample_frames(ds.map_batches(to_media, batch_format="pyarrow"), every_n=10)
 
 
@@ -1197,7 +1198,7 @@ def q_schema_infer(sf_dir: str):
 
     rows = []
     for name in ("events", "documents"):
-        schema = ray.data.read_parquet(_t(sf_dir, name)).schema().base_schema
+        schema = read_parquet_clean(_t(sf_dir, name)).schema().base_schema
         for f in schema:
             try:
                 lt = from_arrow(f.type).name

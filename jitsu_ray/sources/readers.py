@@ -84,3 +84,25 @@ def read_changelog_parquet(path, lo: int | None = None, hi: int | None = None):
     if lo is not None and hi is not None:
         kw["filter"] = (pc.field("commit_seq") > lo) & (pc.field("commit_seq") <= hi)
     return ray.data.read_parquet(path, **kw)
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    if t.schema.metadata:
+        t = t.replace_schema_metadata(None)
+    return t
+
+
+def read_parquet_clean(paths, **kw) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` + a fused schema-metadata strip.
+
+    pyarrow 16's ``pa.Schema`` is unhashable when it carries metadata
+    (``hash()`` raises on the metadata dict), so every block that keeps a
+    writer's embedded ``b'pandas'``/ARROW:schema metadata makes Ray Data's
+    ``unify_schemas`` fast-path dedup fail — one logged warning per concat
+    in every downstream reduce/split task, plus the slow unify path. The
+    strip is zero-copy (metadata-only table rebuild) and fuses into the
+    read task, so metadata-free blocks enter the pipeline from the start.
+    """
+    return ray.data.read_parquet(paths, **kw).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow"
+    )
