@@ -1095,9 +1095,17 @@ ORDER BY doc_id
 
 
 def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed top-5 for the first 10 vectors, run at FULL probe
+    (n_probe = n_centroids): probing every bucket makes the result
+    mathematically identical to exact brute force — so the driver can
+    hash-check it against SQL_KNN — while still exercising the entire
+    IVF machinery (seeded centroid training, bucket assignment,
+    physical per-bucket splits, partition-parallel probe tasks, global
+    merge). The approximate operating point (n_probe < n_centroids) is
+    covered by the recall assertion in tests/test_ops.py."""
     qids, qmat = _load_queries(sf_dir)
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = ann_ivf(ds, qids, qmat, k=5, n_centroids=16, n_probe=8)
+    out = ann_ivf(ds, qids, qmat, k=5, n_centroids=16, n_probe=16)
     return out.select(["query_id", "neighbor_id"])
 
 
@@ -1295,6 +1303,9 @@ ORACLES = {
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,
     "knn_cosine_topk": SQL_KNN,
+    # full-probe IVF == exact brute force (q_ann_ivf_topk docstring), so
+    # it shares the exact-kNN oracle: same query set, same k, same order
+    "ann_ivf_topk": SQL_KNN,
     "embedding_near_dup": SQL_NEAR_DUP,
     "minhash_dedup_docs": SQL_MINHASH,
     "ngram_jaccard_docs": SQL_NGRAM,
