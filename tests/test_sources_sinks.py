@@ -657,3 +657,25 @@ def test_bucket_join_right_pre_join_hook(ray_session):
     rows = {r["k"]: r["v"] for r in out.take_all()}
     expect = {k: sum(i for i in range(100) if i % 10 == k) for k in range(10)}
     assert rows == expect
+
+
+def test_user_recognition_join_fallback(ray_session):
+    # broadcast_limit_bytes=0 forces the bucket_hash_join path; result
+    # must be identical to the broadcast path (round-2 verdict #3)
+    import ray.data
+
+    from jitsu_ray.pipelines.recognition import recognize_users
+
+    tbl = pa.table(
+        {
+            "anon": pa.array(["a1", "a1", "a2", "a3", None]),
+            "user": pa.array([None, 7, None, None, 9], pa.int64()),
+            "v": pa.array([1, 2, 3, 4, 5]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = {
+        r["v"]: r["user"]
+        for r in recognize_users(ds, "anon", "user", broadcast_limit_bytes=0).take_all()
+    }
+    assert out == {1: 7, 2: 7, 3: None, 4: None, 5: 9}
