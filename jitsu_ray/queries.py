@@ -1114,10 +1114,12 @@ def q_embedding_near_dup(sf_dir: str):
     tiled self-join). Threshold 0.4 sits >=1e-4 away from every actual
     pair cosine in the testdata draws, so float32-vs-float64 rounding
     cannot flip a pair across the oracle boundary."""
-    from .ops.similarity import embedding_near_dup
+    from .ops.similarity import embedding_near_dup_auto
 
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.4)
+    # auto-router: at sf block counts this stays on the exact (oracle-
+    # checkable) tile path; a many-block corpus routes to the IVF variant
+    return embedding_near_dup_auto(ds, threshold=0.4)
 
 
 SQL_NEAR_DUP = """

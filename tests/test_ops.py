@@ -330,3 +330,43 @@ def test_resize_and_frame_sample_plumbing(ray_session):
     assert len(got2) == len(range(0, n2, 7))
     assert got2[0]["frame_idx"] == 0 and got2[1]["frame_idx"] == 7
     assert got2[1]["frame_ts"] == pytest.approx(7 / 25.0)
+
+
+def test_embedding_near_dup_auto_routes_by_block_count(ray_session, monkeypatch):
+    # round-2 verdict #4: small corpora take the exact tiled path, a
+    # many-block corpus must route to the (linear-in-blocks) IVF variant
+    import ray.data
+
+    import jitsu_ray.ops.similarity as sim
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((120, 16)).astype(np.float32)
+    m[5] = m[2]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    calls = []
+    real_exact, real_ivf = sim.embedding_near_dup, sim.embedding_near_dup_ivf
+    monkeypatch.setattr(
+        sim, "embedding_near_dup",
+        lambda ds, t: calls.append("exact") or real_exact(ds, t),
+    )
+    monkeypatch.setattr(
+        sim, "embedding_near_dup_ivf",
+        lambda ds, t, **kw: calls.append("ivf") or real_ivf(ds, t, **kw),
+    )
+
+    few = ray.data.from_arrow(tbl).repartition(4)
+    out = sim.embedding_near_dup_auto(few, threshold=0.99, max_exact_blocks=8)
+    assert calls == ["exact"]
+    assert (2, 5) in set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+
+    many = ray.data.from_arrow(tbl).repartition(24)
+    out2 = sim.embedding_near_dup_auto(
+        many, threshold=0.99, max_exact_blocks=8, n_centroids=4, sample_size=120
+    )
+    assert calls == ["exact", "ivf"]
+    assert (2, 5) in set(zip(out2["a"].to_pylist(), out2["b"].to_pylist()))
