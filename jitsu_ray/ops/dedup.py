@@ -19,6 +19,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..util import md5_hex_column
 
@@ -354,6 +355,25 @@ def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+_MIN_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+@ray.remote(num_cpus=0)
+def _min_label_merge(*tables: pa.Table) -> pa.Table:
+    """One tree-reduce node: per-node min label over up to fan-in
+    partial tables. Zero-cpu (tiny groupby over label partials) so the
+    fold never competes with the proposal map tasks for CPU slots."""
+    import polars as _pl
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return _MIN_LABEL_SCHEMA.empty_table()
+    df = _pl.from_arrow(pa.concat_tables([t.cast(_MIN_LABEL_SCHEMA) for t in live]))
+    return (
+        df.group_by("node").agg(_pl.col("label").min()).to_arrow().cast(_MIN_LABEL_SCHEMA)
+    )
+
+
 def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
     """Distributed connected components by min-label propagation with
     pointer jumping: each round every edge proposes label(label(src))
@@ -361,12 +381,13 @@ def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
 
     Data placement: the EDGES stay a distributed Dataset and all
     proposal work runs in map_batches with a per-batch partial min
-    (polars groupby) — the shuffle-free combiner shape. The label table
-    (nodes of the duplicate graph — orders of magnitude smaller than
-    the corpus, same boundedness argument as knn's top-k partials) is
-    broadcast per round via ray.put and the per-batch partials are
-    folded on the driver; above ~10^8 nodes swap the fold for a tree
-    reduce of partial refs and the broadcast for a partitioned join
+    (polars groupby) — the shuffle-free combiner shape. The per-batch
+    partials are folded by a TREE REDUCE of block refs (fan-in 8): the
+    driver fetches only the root table, never the partial list (round-2
+    verdict #5). The label table (nodes of the duplicate graph — orders
+    of magnitude smaller than the corpus, same boundedness argument as
+    knn's top-k partials) is broadcast per round via ray.put; above
+    ~10^8 nodes swap that broadcast for a partitioned join
     (ops/join.bucket_hash_join) — same round structure.
     Returns pa.Table (doc_id, cluster=component min id), sorted."""
     import polars as _pl
@@ -381,11 +402,21 @@ def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
     edges = pairs_ds.map_batches(bidir, batch_format="pyarrow").materialize()
 
     def fold_partials(ds) -> _pl.DataFrame:
-        tbl = pa.Table.from_pylist(
-            ds.take_all(),
-            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-        )
-        return _pl.from_arrow(tbl).group_by("node").agg(_pl.col("label").min())
+        mat = ds.materialize()
+        refs = [r for b in mat.iter_internal_ref_bundles() for r in b.block_refs]
+        if not refs:
+            return _pl.DataFrame(
+                schema={"node": _pl.Int64, "label": _pl.Int64}
+            )
+        while len(refs) > 1:
+            refs = [
+                _min_label_merge.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
+        tbl = _ray.get(refs[0])
+        if tbl.num_rows == 0:
+            return _pl.DataFrame(schema={"node": _pl.Int64, "label": _pl.Int64})
+        return _pl.from_arrow(tbl)
 
     def init_partial(batch: pa.Table) -> pa.Table:
         df = _pl.from_arrow(batch)
