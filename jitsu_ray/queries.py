@@ -1244,6 +1244,133 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
+# -- S6 concrete pull connector ---------------------------------------------
+
+
+def _serve_events_api(sf_dir: str):
+    """Local stub of the paginated SaaS endpoint (the container has no
+    network): serves the events table as JSON pages filtered by
+    [start, end) on ts — the shape HttpPullSource speaks. Returns
+    (server, base_url); caller must shutdown()."""
+    import http.server
+    import threading
+    import urllib.parse as _up
+    from datetime import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"]
+    )
+    df = pl.from_arrow(tbl).sort("event_id")
+    import json as _json
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = _up.urlparse(self.path)
+            q = dict(_up.parse_qsl(u.query))
+            sel = df
+            if "start" in q:
+                sel = sel.filter(
+                    (pl.col("ts") >= _dt.fromisoformat(q["start"]))
+                    & (pl.col("ts") < _dt.fromisoformat(q["end"]))
+                )
+            total = sel.height
+            off = int(q.get("offset", 0))
+            lim = int(q.get("limit", 1000))
+            rows = sel.slice(off, lim).select(["event_id", "event_type", "value"]).to_dicts()
+            body = _json.dumps({"rows": rows, "total": total}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def q_pull_sync(sf_dir: str):
+    """S6 end-to-end: a concrete HTTP pull driver (offset-paginated JSON,
+    interval params — sources/http_pull.HttpPullSource, the
+    drivers/google_analytics.go:109-148 contract) synced through
+    sync_collections + SignatureStore into an int64-keyed lake, four DAY
+    intervals (2024-01-01..04). A second sweep is run to prove the
+    UPTODATE skip (it must move nothing). Result: the synced lake state."""
+    import glob as _glob
+    from datetime import datetime as _dt
+
+    from .pipelines.sync import Collection, sync_collections
+    from .sinks.lake import LakeTable
+    from .sources.http_pull import HttpPullSource
+    from .state.signatures import DAY, SignatureStore, TimeInterval
+
+    for stale in _glob.glob(os.path.join(CACHE_DIR, "lake_pull_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    root = os.path.join(CACHE_DIR, f"lake_pull_{os.path.basename(sf_dir)}_{os.getpid()}")
+    lake = LakeTable.create(os.path.join(root, "lake"), ["event_id"], 8)
+    store = SignatureStore(os.path.join(root, "sigs"))
+    days = [TimeInterval(DAY, _dt(2024, 1, d)) for d in (1, 2, 3, 4)]
+    page_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]
+    )
+
+    srv, base = _serve_events_api(sf_dir)
+    try:
+        src = HttpPullSource(
+            base,
+            "/api/events",
+            page_size=500,
+            to_table=lambda rows: pa.Table.from_pylist(rows, schema=page_schema),
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            v = pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+            )
+            return pa.table(
+                {
+                    "commit_seq": batch["event_id"],
+                    "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                    "event_id": batch["event_id"],
+                    "event_type": batch["event_type"],
+                    "value_c": v,
+                }
+            )
+
+        def sink(ds, col, interval):
+            day = interval.time.day
+            prepped = ds.map_batches(prep, batch_format="pyarrow")
+            lake.apply_window(prepped, (day - 1) * 20_000_000, day * 20_000_000)
+
+        col = Collection(
+            source="stub_api",
+            name="events",
+            table="evt",
+            intervals=lambda: days,
+            loader=src.objects_for,
+        )
+        first = sync_collections([col], store, sink)
+        assert first["synced"] == 4, first
+        second = sync_collections([col], store, sink)
+        assert second["synced"] == 0 and second["skipped"] == 4, second
+    finally:
+        srv.shutdown()
+    return lake.read().select_columns(["event_id", "event_type", "value_c"])
+
+
+SQL_PULL_SYNC = """
+SELECT event_id, event_type,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1269,6 +1396,7 @@ QUERIES = {
     "rule_chain": q_rule_chain,
     "user_recognition": q_user_recognition,
     "interval_refresh": q_interval_refresh,
+    "pull_sync": q_pull_sync,
     "doc_text_stats": q_doc_text_stats,
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_label_counts": q_embedding_label_counts,
@@ -1319,6 +1447,7 @@ ORACLES = {
     "rule_chain": SQL_RULE_CHAIN,
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
+    "pull_sync": SQL_PULL_SYNC,
 }
 
 
