@@ -221,8 +221,73 @@ def scaling() -> None:
     print(json.dumps(report))
 
 
+def latency() -> None:
+    """Streaming-mode latency evidence (§3.2): replay a 100k-event slice
+    of the headline changelog in 1k-event windows via
+    Replayer.run_streaming and report per-window commit latency
+    p50/p95/max (the BASELINE.md streaming line)."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+
+    from jitsu_ray.pipelines.replay import Replayer
+    from jitsu_ray.queries import CACHE_DIR
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.testgen import ensure_changelog
+
+    sf = _sf()
+    n_events = max(20_000, int(20_000_000 * sf))
+    log_dir = ensure_changelog(
+        os.path.join(CACHE_DIR, "changelog"), n_events, max(10, int(500 * sf))
+    )
+    window = int(os.environ.get("LATENCY_WINDOW", "1000"))
+    max_seq = min(n_events, int(os.environ.get("LATENCY_EVENTS", "100000")))
+    lake_dir = os.path.join(CACHE_DIR, f"lake_latency_{os.getpid()}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = LakeTable.create(lake_dir, ["repo", "path"], 16)
+    rep = Replayer(log_dir, lake, window_size=window)
+    m = rep.run_streaming(max_seq=max_seq)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    out = {
+        "metric": "stream_window_latency_p95_sec",
+        "value": m["latency_p95_sec"],
+        "unit": "sec",
+        "p50_sec": m["latency_p50_sec"],
+        "p95_sec": m["latency_p95_sec"],
+        "max_sec": m["latency_max_sec"],
+        "windows": m["windows"],
+        "window_size": window,
+        "events": m["events"],
+        "events_per_sec": round(m["events_per_sec"]),
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--latency" in sys.argv:
+        latency()
     else:
         print(json.dumps(main()))

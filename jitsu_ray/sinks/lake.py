@@ -261,8 +261,9 @@ class LakeTable:
 
     # -- lifecycle ----------------------------------------------------------
 
-    @staticmethod
+    @classmethod
     def create(
+        cls,
         lake_dir: str,
         key_cols: list[str],
         num_partitions: int = 64,
@@ -289,11 +290,11 @@ class LakeTable:
                     },
                     f,
                 )
-        return LakeTable(lake_dir)
+        return cls(lake_dir)
 
-    @staticmethod
-    def open(lake_dir: str) -> "LakeTable":
-        return LakeTable(lake_dir)
+    @classmethod
+    def open(cls, lake_dir: str) -> "LakeTable":
+        return cls(lake_dir)
 
     # -- schema -------------------------------------------------------------
 

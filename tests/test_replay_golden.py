@@ -99,3 +99,62 @@ def test_generator_determinism():
     assert a.equals(b)
     c = gen_changelog(n_events=500, n_repos=5, seed=4)
     assert not a.equals(c)
+
+
+def test_streaming_mode_transient_retry_converges(ray_session, tmp_path):
+    # §3.2 streaming semantics: a window whose apply fails transiently is
+    # retried with backoff and the final state equals a clean replay's
+    from jitsu_ray.sinks.retry import TransientSinkError
+
+    tbl = gen_changelog(n_events=4000, n_repos=15, seed=21)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class FlakyLake(LakeTable):
+        fails_left = 2
+
+        def apply_window(self, ds, lo, hi, extra_metrics=None):
+            if FlakyLake.fails_left > 0 and lo >= 1000:
+                FlakyLake.fails_left -= 1
+                raise TransientSinkError("stub outage")
+            return super().apply_window(ds, lo, hi, extra_metrics)
+
+    lake = FlakyLake.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=1000)
+    m = rep.run_streaming(backoff_sec=0.01)
+    assert m["retried"] == 2 and not m["spooled"]
+    assert m["windows"] == 4 and m["latency_p95_sec"] >= m["latency_p50_sec"] > 0
+
+    got = state_fingerprint(lake.read().take_all())
+    exp = state_fingerprint(oracle_final_state(tbl).to_pylist())
+    assert got == exp
+
+
+def test_streaming_mode_spool_and_replay(ray_session, tmp_path):
+    # permanent failure on one window: spooled (stream advances), then
+    # replay_spooled re-applies it and the state converges exactly
+    from jitsu_ray.sinks.retry import PermanentSinkError
+
+    tbl = gen_changelog(n_events=4000, n_repos=15, seed=22)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class BrokenOnce(LakeTable):
+        armed = True
+
+        def apply_window(self, ds, lo, hi, extra_metrics=None):
+            if BrokenOnce.armed and lo == 2000:
+                BrokenOnce.armed = False
+                raise PermanentSinkError("bad destination")
+            return super().apply_window(ds, lo, hi, extra_metrics)
+
+    lake = BrokenOnce.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=1000)
+    m = rep.run_streaming(backoff_sec=0.01, spool_dir=str(tmp_path / "spool"))
+    assert len(m["spooled"]) == 1 and m["spooled"][0]["lo"] == 2000
+    # spooled window's events are missing until replayed
+    assert rep.replay_spooled(m["spooled"]) == 1
+
+    got = state_fingerprint(lake.read().take_all())
+    exp = state_fingerprint(oracle_final_state(tbl).to_pylist())
+    assert got == exp
