@@ -148,10 +148,19 @@ class GoogleAnalyticsEgress:
         self.timeout = timeout_sec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        for row in batch.to_pylist():
-            self.bucket.acquire()
-            url = f"{self.endpoint}/collect?{ga_params(row, self.tracking_id)}"
-            _do_request(url, method="GET", timeout=self.timeout)
+        # row-wise delivery: report partial progress on failure so the
+        # retry stage resumes from the first unsent row (no duplicate
+        # GETs for rows already delivered in this attempt)
+        sent = 0
+        try:
+            for row in batch.to_pylist():
+                self.bucket.acquire()
+                url = f"{self.endpoint}/collect?{ga_params(row, self.tracking_id)}"
+                _do_request(url, method="GET", timeout=self.timeout)
+                sent += 1
+        except Exception as e:  # noqa: BLE001 — sink boundary
+            e.rows_sent = sent
+            raise
         return batch
 
     def write_batch(self, batch: pa.Table) -> None:

@@ -61,9 +61,17 @@ class RetryingSinkStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         attempts = 0
         err: Exception | None = None
+        # high-water mark: rows [0, offset) are durably delivered. A
+        # row-wise sink (e.g. GA: one GET per row) reports partial
+        # progress by attaching ``rows_sent`` to the raised exception;
+        # each retry then resumes from the first unsent row instead of
+        # re-sending the whole batch (unbounded duplicate delivery).
+        # Sinks that don't report progress keep batch-level
+        # at-least-once semantics (retry re-sends the batch).
+        offset = 0
         while attempts < self.max_attempts:
             try:
-                self.write_batch(batch)
+                self.write_batch(batch.slice(offset) if offset else batch)
                 return pa.table(
                     {
                         STATUS_COL: pa.array(["ok"] * batch.num_rows, pa.string()),
@@ -74,24 +82,29 @@ class RetryingSinkStage:
                 )
             except Exception as e:  # noqa: BLE001 — sink boundary
                 err = e
+                offset += max(0, int(getattr(e, "rows_sent", 0)))
                 attempts += 1
                 if not self.classify(e) or attempts >= self.max_attempts:
                     break
                 # bounded exponential backoff (streaming.go re-enqueues
                 # with now+20s; scaled down for micro-batch cadence)
                 time.sleep(self.backoff_sec * (2 ** (attempts - 1)))
-        # exhausted or permanent: rows exit tagged for the dead-letter split
+        # exhausted or permanent: only the UNSENT rows go to the dead
+        # letter; rows below the high-water mark were delivered
         import json
 
         msg = f"{type(err).__name__}: {err}"
         # JSON (not repr): replay_failed re-parses RAW_COL with json.loads
-        raw = [json.dumps(r, default=str) for r in batch.to_pylist()]
+        n_dead = batch.num_rows - offset
+        raw = [json.dumps(r, default=str) for r in batch.slice(offset).to_pylist()]
         return pa.table(
             {
-                STATUS_COL: pa.array(["dead"] * batch.num_rows, pa.string()),
-                ERROR_COL: pa.array([msg] * batch.num_rows, pa.string()),
+                STATUS_COL: pa.array(
+                    ["ok"] * offset + ["dead"] * n_dead, pa.string()
+                ),
+                ERROR_COL: pa.array([None] * offset + [msg] * n_dead, pa.string()),
                 "attempts": pa.array([attempts] * batch.num_rows, pa.int32()),
-                RAW_COL: pa.array(raw, pa.string()),
+                RAW_COL: pa.array([None] * offset + raw, pa.string()),
             }
         )
 

@@ -730,3 +730,60 @@ def test_http_pull_source_paginates(ray_session):
         assert any(int(q["offset"]) > 0 for q in seen_params)
     finally:
         srv.shutdown()
+
+
+def test_retry_high_water_no_duplicate_row_delivery(ray_session, tmp_path):
+    # round-2 ADVICE: a row-wise sink retrying a batch must resume from
+    # the first unsent row, and rows delivered before a permanent
+    # failure must not land in the dead letter
+    import http.server
+    import threading
+    import urllib.parse as _up
+
+    from jitsu_ray.sinks.egress import GoogleAnalyticsEgress
+    from jitsu_ray.sinks.retry import sink_with_retry
+
+    delivered = []
+    state = {"flaky_done": False}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = dict(_up.parse_qsl(_up.urlparse(self.path).query))
+            cid = q.get("cid")
+            if cid == "2" and not state["flaky_done"]:
+                state["flaky_done"] = True  # one transient 500, then ok
+                self.send_response(500)
+                self.end_headers()
+                return
+            if cid == "3":
+                self.send_response(400)  # permanent
+                self.end_headers()
+                return
+            delivered.append(cid)
+            self.send_response(200)
+            self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import ray.data
+
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        ds = ray.data.from_arrow(
+            pa.table({"cid": pa.array([str(i) for i in range(5)])})
+        )
+        stage = GoogleAnalyticsEgress(base, tracking_id="UA-1", rate_per_sec=10_000)
+        res = sink_with_retry(
+            ds, stage.write_batch, failed_dir=str(tmp_path / "dead"),
+            max_attempts=3, backoff_sec=0.01, concurrency=1,
+        )
+        # rows 0,1 delivered exactly once (no duplicate on the retry);
+        # row 2 delivered once after its transient 500; row 3 permanent
+        # -> rows 3,4 dead, rows 0-2 written
+        assert sorted(delivered) == ["0", "1", "2"]
+        assert res["written"] == 3 and res["dead"] == 2
+    finally:
+        srv.shutdown()
