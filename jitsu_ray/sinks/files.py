@@ -48,7 +48,14 @@ def write_routed(ds, base_dir: str, tables: list[str] | None = None,
         # ONE execution: write, then count from the written files'
         # metadata (parquet footers / json line counts) instead of a
         # separate count() that would re-run the whole lazy pipeline
-        if fmt == "json":
+        if fmt == "csv":
+            fields = [
+                f.name
+                for f in sub.schema().base_schema
+                if f.name != TABLE_COL
+            ]
+            n = _write_csv_dir(clean, out_dir, fields)
+        elif fmt == "json":
             clean.write_json(out_dir)
             n = 0
             for name in os.listdir(out_dir):
@@ -69,3 +76,51 @@ def write_routed(ds, base_dir: str, tables: list[str] | None = None,
             f.write(str(n))
         counts[table] = n
     return counts
+
+
+def marshal_csv_lines(batch, fields: list[str]) -> list[str]:
+    """``||``-delimited CSV marshalling (reference
+    server/schema/marshaller.go:33-57): each value JSON-serialized, a
+    string value's surrounding quotes stripped, fields joined with
+    ``||`` in header order; null/absent values emit empty. Cold egress
+    path — the per-value json.dumps row loop is deliberate."""
+    import json
+
+    cols = {f: batch[f].to_pylist() if f in batch.column_names else [None] * batch.num_rows for f in fields}
+    lines = []
+    for i in range(batch.num_rows):
+        parts = []
+        for f in fields:
+            v = cols[f][i]
+            if v is None:
+                parts.append("")
+                continue
+            b = json.dumps(v, default=str)
+            if len(b) >= 2 and b[0] == '"' and b[-1] == '"':
+                b = b[1:-1]
+            parts.append(b)
+        lines.append("||".join(parts))
+    return lines
+
+
+def _write_csv_dir(ds, out_dir: str, fields: list[str]) -> int:
+    """Each map task writes one header-prefixed ``||``-CSV file (the
+    reference writes a header per uploaded object — NeedHeader); row
+    count flows back as the only task output."""
+    import uuid
+
+    import pyarrow as pa
+
+    header = "||".join(fields)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        lines = marshal_csv_lines(batch, fields)
+        if lines:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.csv")
+            with open(path, "w") as f:
+                f.write(header + "\n")
+                f.write("\n".join(lines) + "\n")
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in counts))

@@ -787,3 +787,30 @@ def test_retry_high_water_no_duplicate_row_delivery(ray_session, tmp_path):
         assert res["written"] == 3 and res["dead"] == 2
     finally:
         srv.shutdown()
+
+
+def test_write_routed_csv_marshaller(ray_session, tmp_path):
+    # K6 CSV half: ||-delimited, JSON-escaped values, string quotes
+    # stripped, nulls empty, header line (marshaller.go:33-57)
+    import ray.data
+
+    from jitsu_ray.sinks.files import write_routed
+
+    tbl = pa.table(
+        {
+            "__table": pa.array(["t1", "t1"]),
+            "a": pa.array(['he said "hi"', "plain"]),
+            "b": pa.array([7, None], pa.int64()),
+            "c": pa.array([1.5, 2.0], pa.float64()),
+        }
+    )
+    counts = write_routed(ray.data.from_arrow(tbl), str(tmp_path), fmt="csv")
+    assert counts == {"t1": 2}
+    files = [f for f in os.listdir(tmp_path / "t1") if f.endswith(".csv")]
+    lines = []
+    for f in files:
+        with open(tmp_path / "t1" / f) as fh:
+            content = fh.read().splitlines()
+        assert content[0] == "a||b||c"
+        lines += content[1:]
+    assert sorted(lines) == sorted(['he said \\"hi\\"||7||1.5', "plain||||2.0"])
