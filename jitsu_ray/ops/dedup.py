@@ -31,16 +31,18 @@ _POLY_B = np.uint64(1_000_003)
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Stable polynomial hashes of character k-shingles, fully vectorized:
-    the UTF-8 byte string is viewed as a (n_shingles, k) strided window
-    matrix and hashed with one matrix-vector product (no per-shingle
-    Python loop — this stage runs over every document)."""
+    the text decoded to UTF-32 (one uint32 per CODEPOINT — shingling
+    over raw UTF-8 bytes would disagree with the SQL oracle's substr()
+    on non-ASCII text, round-2 ADVICE) is viewed as a (n_shingles, k)
+    strided window matrix and hashed with one matrix-vector product (no
+    per-shingle Python loop — this stage runs over every document). On
+    ASCII text the codepoint values equal the byte values, so hashes are
+    unchanged from the byte version."""
     s = " ".join((text or "").split())
     if len(s) < k:
         s = s.ljust(k)
-    b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    if len(b) < k:  # multibyte edge: pad
-        b = np.pad(b, (0, k - len(b)))
-    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    cp = np.frombuffer(s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    windows = np.lib.stride_tricks.sliding_window_view(cp, k).astype(np.uint64)
     powers = _POLY_B ** np.arange(k, dtype=np.uint64)  # wrapping mod 2^64
     return np.unique(windows @ powers)
 

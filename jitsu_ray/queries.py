@@ -1047,6 +1047,12 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+# NOTE (round-2 ADVICE): the engine's \w in DocAnalyzer is polars'
+# Unicode word class while DuckDB's RE2 \w is ASCII-only — the right
+# behavior for real multilingual corpora diverges from this oracle on
+# non-ASCII text. The testdata documents are ASCII, where both agree;
+# char shingles (minhash/ngram) were moved to codepoints so THEY agree
+# with substr() on any text.
 SQL_DOC_QUALITY = r"""
 WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 feat AS (
