@@ -124,7 +124,12 @@ class Replayer:
         paths = [f for f, mn, mx in self._file_stats if mx > lo and mn <= hi]
         if not paths:
             paths = [f for f, _, _ in self._file_stats] or self.changelog_path
-        ds = read_parquet_clean(
+        # plain read_parquet, NOT read_parquet_clean: the changelog is
+        # written by this engine (testgen/write_changelog) with no schema
+        # metadata, and the strip stage's extra operator costs a full
+        # block materialization between read and prep (measured +50%
+        # window wall — see BASELINE.md round-3 note)
+        ds = ray.data.read_parquet(
             paths,
             filter=(pc.field(SEQ_COL) > lo) & (pc.field(SEQ_COL) <= hi),
             override_num_blocks=self._window_num_blocks(hi - lo, streaming),
