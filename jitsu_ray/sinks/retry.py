@@ -52,11 +52,21 @@ class RetryingSinkStage:
     ``sink_with_retry``."""
 
     def __init__(self, write_batch, max_attempts: int = 3, backoff_sec: float = 0.05,
-                 classify=default_classify):
+                 classify=default_classify, cache=None, cache_dest: str = "",
+                 cache_id_col: str | None = None):
         self.write_batch = write_batch
         self.max_attempts = max_attempts
         self.backoff_sec = backoff_sec
         self.classify = classify
+        # T6 events cache: fire-and-forget per-batch succeed/error pushes
+        self.cache = cache
+        self.cache_dest = cache_dest
+        self.cache_id_col = cache_id_col
+
+    def _cache_ids(self, batch):
+        if self.cache is None or self.cache_id_col not in batch.column_names:
+            return None
+        return batch[self.cache_id_col].to_pylist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         attempts = 0
@@ -72,6 +82,9 @@ class RetryingSinkStage:
         while attempts < self.max_attempts:
             try:
                 self.write_batch(batch.slice(offset) if offset else batch)
+                ids = self._cache_ids(batch)
+                if ids is not None:
+                    self.cache.succeed_many.remote(self.cache_dest, ids)
                 return pa.table(
                     {
                         STATUS_COL: pa.array(["ok"] * batch.num_rows, pa.string()),
@@ -96,6 +109,11 @@ class RetryingSinkStage:
         msg = f"{type(err).__name__}: {err}"
         # JSON (not repr): replay_failed re-parses RAW_COL with json.loads
         n_dead = batch.num_rows - offset
+        ids = self._cache_ids(batch)
+        if ids is not None:
+            if offset:
+                self.cache.succeed_many.remote(self.cache_dest, ids[:offset])
+            self.cache.error_many.remote(self.cache_dest, ids[offset:], msg)
         raw = [json.dumps(r, default=str) for r in batch.slice(offset).to_pylist()]
         return pa.table(
             {
@@ -112,7 +130,8 @@ class RetryingSinkStage:
 def sink_with_retry(ds, write_batch, failed_dir: str | None = None,
                     max_attempts: int = 3, backoff_sec: float = 0.05,
                     classify=default_classify, concurrency: int = 2,
-                    batch_size: int | None = None) -> dict:
+                    batch_size: int | None = None, events_cache=None,
+                    cache_dest: str = "", cache_id_col: str | None = None) -> dict:
     """Drive a Dataset into a per-batch sink with retry/backoff and
     dead-letter fallback. Returns {"written", "dead", "max_attempts_seen"}.
 
@@ -132,6 +151,9 @@ def sink_with_retry(ds, write_batch, failed_dir: str | None = None,
             "max_attempts": max_attempts,
             "backoff_sec": backoff_sec,
             "classify": classify,
+            "cache": events_cache,
+            "cache_dest": cache_dest,
+            "cache_id_col": cache_id_col,
         },
     ).materialize()
     dead = stage.filter(lambda r: r[STATUS_COL] == "dead")

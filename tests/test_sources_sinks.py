@@ -814,3 +814,38 @@ def test_write_routed_csv_marshaller(ray_session, tmp_path):
         assert content[0] == "a||b||c"
         lines += content[1:]
     assert sorted(lines) == sorted(['he said \\"hi\\"||7||1.5', "plain||||2.0"])
+
+
+def test_events_cache_ring_and_sink_wiring(ray_session, tmp_path):
+    # T6: capped last-N per destination; sink reports succeed/error
+    import ray
+    import ray.data
+
+    from jitsu_ray.sinks.retry import PermanentSinkError, sink_with_retry
+    from jitsu_ray.state.events_cache import EventsCacheActor, observe_stage
+
+    cache = EventsCacheActor.remote(capacity_per_destination=5)
+    # ring semantics: 8 puts into cap-5 ring keeps the newest 5
+    ray.get(cache.put_many.remote("d1", list(range(8)), [{"v": i} for i in range(8)]))
+    recent = ray.get(cache.get_n.remote("d1", 10))
+    assert [r["event_id"] for r in recent] == ["7", "6", "5", "4", "3"]
+    assert ray.get(cache.get_total.remote("d1")) == 5
+
+    # sink wiring: rows observed pre-sink, then ok/error status per batch
+    tbl = pa.table({"eid": pa.array(["a", "b", "c"]), "v": pa.array([1, 2, 3])})
+    ds = ray.data.from_arrow(tbl).map_batches(
+        observe_stage(cache, "dest2", "eid"), batch_format="pyarrow"
+    )
+
+    def failing_sink(batch):
+        raise PermanentSinkError("nope")
+
+    res = sink_with_retry(
+        ds, failing_sink, failed_dir=str(tmp_path / "dead"), concurrency=1,
+        events_cache=cache, cache_dest="dest2", cache_id_col="eid",
+    )
+    assert res["dead"] == 3
+    entries = {r["event_id"]: r for r in ray.get(cache.get_n.remote("dest2", 10))}
+    assert set(entries) == {"a", "b", "c"}
+    assert all(r["status"] == "error" and "nope" in r["error"] for r in entries.values())
+    assert all("raw" in r for r in entries.values())  # original event kept
