@@ -214,23 +214,16 @@ def lsh_candidate_pairs(ds, num_shards: int = 32, distinct: bool = True):
     )
 
 
-def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int = 3):
-    """(doc_id, sh list<uint64>) for candidate docs only: the candidate
-    id set (ids, not texts — compact) is broadcast once via ray.put and
-    each batch is filtered + shingled in place. At extreme candidate
-    counts swap the exact set for a bloom filter; false positives only
-    add harmless rows."""
-    import ray
-
-    ref = ray.put(cand_ids)
-
-    def shingler(batch: pa.Table, _ref=ref) -> pa.Table:
+def _shingle_stage(kind: str, k: int, n: int, id_ref=None):
+    def shingler(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..util import once_per_process
+        sel = batch
+        if id_ref is not None:
+            from ..util import once_per_process
 
-        keys = once_per_process("shingle_table", _ref)
-        sel = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
+            keys = once_per_process("shingle_table", id_ref)
+            sel = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
         texts = sel["text"].to_pylist()
         fn = _shingle_hashes if kind == "char" else _word_ngrams
         arg = k if kind == "char" else n
@@ -244,7 +237,63 @@ def shingle_table(ds, cand_ids: pa.Array, kind: str = "char", k: int = 5, n: int
             }
         )
 
-    return ds.map_batches(shingler, batch_format="pyarrow")
+    return shingler
+
+
+def shingle_table(ds, cand_ids, kind: str = "char", k: int = 5, n: int = 3):
+    """(doc_id, sh list<uint64>) for candidate docs only.
+
+    ``cand_ids`` as a pa.Array (the common case — ids, not texts, are
+    compact): broadcast once via ray.put, each batch filtered + shingled
+    in place. ``cand_ids`` as a DATASET of distinct doc_id rows (the
+    scale path picked by candidate_doc_ids when the id set outgrows the
+    broadcast budget): the docs are semi-joined against it with one
+    bucket_hash_join shuffle, then shingled — ids never touch the
+    driver. (A bloom filter is the middle ground at extreme counts;
+    false positives only add harmless rows.)"""
+    import ray
+
+    if isinstance(cand_ids, pa.Array):
+        ref = ray.put(cand_ids)
+        return ds.map_batches(_shingle_stage(kind, k, n, ref), batch_format="pyarrow")
+    from .join import bucket_hash_join
+
+    sel = bucket_hash_join(
+        ds, cand_ids, "doc_id", "doc_id", how="left semi"
+    )
+    return sel.map_batches(_shingle_stage(kind, k, n), batch_format="pyarrow")
+
+
+def candidate_doc_ids(cands, broadcast_limit_bytes: int = 64 << 20):
+    """Distinct doc ids appearing in the candidate-pair Dataset, routed
+    by size (the last driver fold in the dedup pipelines, round-2 watch
+    item): under the budget -> a sorted pa.Array built driver-side
+    (cheap, and the broadcast filter beats a shuffle); over it -> a
+    distinct-id DATASET (one groupby shuffle) for the semi-join path.
+    Estimate = 16 bytes/id x 2 ids/pair upper bound."""
+    n_pairs = cands.count()
+    if n_pairs * 2 * 16 <= broadcast_limit_bytes:
+        ids = sorted(set(cands.unique("a")) | set(cands.unique("b")))
+        return pa.array(ids, pa.int64()), n_pairs
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch["a"].combine_chunks().cast(pa.int64()),
+             batch["b"].combine_chunks().cast(pa.int64())]
+        )
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    from ray.data.aggregate import Count
+
+    id_ds = (
+        cands.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="__n"))  # ray groupby needs >=1 agg
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    )
+    return id_ds, n_pairs
 
 
 def verify_pairs(pairs_ds, sh_ds, threshold: float, broadcast_limit_bytes: int = 64 << 20):
@@ -499,10 +548,8 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 1
         minhash_stage(num_perm=num_perm, bands=bands), batch_format="pyarrow"
     )
     cands = lsh_candidate_pairs(sig_ds, distinct=False).materialize()
-    cand_ids = pa.array(
-        sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
-    )
-    if len(cand_ids) == 0:
+    cand_ids, n_pairs = candidate_doc_ids(cands)
+    if n_pairs == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
     sh_ds = shingle_table(ds, cand_ids, kind="char")
     verified = verify_pairs(cands, sh_ds, threshold).materialize()
@@ -571,10 +618,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
     as minhash_dedup). Returns (a, b, jaccard_ppm) sorted."""
     sig_ds = ds.map_batches(minhash_stage(num_perm=64, bands=16), batch_format="pyarrow")
     cands = lsh_candidate_pairs(sig_ds, distinct=False).materialize()
-    cand_ids = pa.array(
-        sorted(set(cands.unique("a")) | set(cands.unique("b"))), pa.int64()
-    )
-    if len(cand_ids) == 0:
+    cand_ids, n_pairs = candidate_doc_ids(cands)
+    if n_pairs == 0:
         return pa.table(
             {
                 "a": pa.array([], pa.int64()),

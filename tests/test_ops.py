@@ -370,3 +370,39 @@ def test_embedding_near_dup_auto_routes_by_block_count(ray_session, monkeypatch)
     )
     assert calls == ["exact", "ivf"]
     assert (2, 5) in set(zip(out2["a"].to_pylist(), out2["b"].to_pylist()))
+
+
+def test_candidate_ids_semi_join_path_matches_broadcast(ray_session):
+    # round-2 watch item: the candidate-id driver fold gets a size guard;
+    # the over-budget Dataset/semi-join path must produce the same
+    # shingle table as the broadcast-array path
+    import ray.data
+
+    from jitsu_ray.ops.dedup import candidate_doc_ids, shingle_table
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array([f"document number {i} with words" for i in range(10)]),
+        }
+    )
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 3, 3], pa.int64()),
+            "b": pa.array([2, 5, 7], pa.int64()),
+        }
+    )
+    cands = ray.data.from_arrow(pairs)
+
+    arr, n1 = candidate_doc_ids(cands)
+    assert isinstance(arr, pa.Array) and n1 == 3
+    assert arr.to_pylist() == [1, 2, 3, 5, 7]
+
+    ds_ids, n2 = candidate_doc_ids(cands, broadcast_limit_bytes=0)
+    assert not isinstance(ds_ids, pa.Array) and n2 == 3
+    assert sorted(r["doc_id"] for r in ds_ids.take_all()) == [1, 2, 3, 5, 7]
+
+    d = ray.data.from_arrow(docs)
+    bcast = {r["doc_id"]: r["sh"] for r in shingle_table(d, arr).take_all()}
+    joined = {r["doc_id"]: r["sh"] for r in shingle_table(d, ds_ids).take_all()}
+    assert bcast == joined and set(bcast) == {1, 2, 3, 5, 7}
