@@ -63,10 +63,24 @@ class RetryingSinkStage:
         self.cache_dest = cache_dest
         self.cache_id_col = cache_id_col
 
+    CACHE_MAX_PUSH = 100  # ring keeps last-N; pushing more is waste
+
     def _cache_ids(self, batch):
         if self.cache is None or self.cache_id_col not in batch.column_names:
             return None
         return batch[self.cache_id_col].to_pylist()
+
+    def _push_status(self, ids, offset, msg=None):
+        """succeed for the delivered prefix, error for the unsent suffix
+        — each capped to the ring-size tail (older entries would be
+        evicted by the newer pushes anyway)."""
+        ok = ids[:offset][-self.CACHE_MAX_PUSH :]
+        if ok:
+            self.cache.succeed_many.remote(self.cache_dest, ok)
+        if msg is not None:
+            bad = ids[offset:][-self.CACHE_MAX_PUSH :]
+            if bad:
+                self.cache.error_many.remote(self.cache_dest, bad, msg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         attempts = 0
@@ -84,7 +98,7 @@ class RetryingSinkStage:
                 self.write_batch(batch.slice(offset) if offset else batch)
                 ids = self._cache_ids(batch)
                 if ids is not None:
-                    self.cache.succeed_many.remote(self.cache_dest, ids)
+                    self._push_status(ids, len(ids))
                 return pa.table(
                     {
                         STATUS_COL: pa.array(["ok"] * batch.num_rows, pa.string()),
@@ -111,9 +125,7 @@ class RetryingSinkStage:
         n_dead = batch.num_rows - offset
         ids = self._cache_ids(batch)
         if ids is not None:
-            if offset:
-                self.cache.succeed_many.remote(self.cache_dest, ids[:offset])
-            self.cache.error_many.remote(self.cache_dest, ids[offset:], msg)
+            self._push_status(ids, offset, msg)
         raw = [json.dumps(r, default=str) for r in batch.slice(offset).to_pylist()]
         return pa.table(
             {

@@ -81,15 +81,21 @@ def get_events_cache(name: str = DEFAULT_NAME, capacity_per_destination: int = 1
     ).remote(capacity_per_destination)
 
 
-def observe_stage(cache, dest: str, id_col: str):
+def observe_stage(cache, dest: str, id_col: str, max_per_batch: int = 100):
     """Pass-through map_batches stage that pushes each batch's ids+raw
     rows to the cache fire-and-forget — compose it before a sink stage;
-    the sink then reports succeed/error per batch."""
+    the sink then reports succeed/error per batch.
+
+    Only the LAST ``max_per_batch`` rows of each batch are pushed: the
+    ring keeps the newest ``capacity_per_destination`` entries, so
+    inserting a batch's full row list and then evicting down is
+    equivalent to inserting its tail — and shipping whole batches to one
+    actor would make observability a throughput bottleneck at scale."""
     import pyarrow as pa
 
     def run(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        cache.put_many.remote(dest, ids, batch.to_pylist())
+        tail = batch.slice(max(0, batch.num_rows - max_per_batch))
+        cache.put_many.remote(dest, tail[id_col].to_pylist(), tail.to_pylist())
         return batch
 
     return run
