@@ -56,6 +56,10 @@ def build_identity_map(ds, anon_col: str, user_col: str) -> pa.Table:
 
 
 def _broadcast_backfill(ds, anon_col: str, user_col: str, id_map: pa.Table):
+    if id_map.num_rows == 0:
+        # nothing to backfill; also dodges pa.array([])'s null-typed
+        # value set, which index_in rejects against a typed column
+        return ds
     keys = id_map[anon_col].combine_chunks()
     vals = id_map[user_col].combine_chunks()
     ref = ray.put((keys, vals))

@@ -281,15 +281,18 @@ class Replayer:
         }
 
     def replay_spooled(self, spooled: list[dict]) -> int:
-        """Re-apply spooled windows once the sink has recovered. Each
-        spool re-enters as a FRESH window above the committed watermark
-        (its original (lo, hi] is already passed); LWW order-independence
-        makes the late apply exact. Returns windows re-applied."""
+        """Re-apply spooled windows once the sink has recovered — at
+        their ORIGINAL (lo, hi] bounds with ``force=True`` (the stream
+        already advanced the watermark past them; committing them as
+        fresh higher windows would claim seq territory never read from
+        the changelog, silently skipping a future real event with that
+        seq). LWW order-independence makes the late apply exact; the
+        deterministic window tag makes a re-crashed recovery idempotent.
+        Returns windows re-applied."""
         n = 0
         for item in spooled:
-            hi0 = self.lake.last_committed_hi()
             ds = read_parquet_clean(item["dir"])
-            self.lake.apply_window(ds, hi0, hi0 + 1)
+            self.lake.apply_window(ds, item["lo"], item["hi"], force=True)
             n += 1
         return n
 

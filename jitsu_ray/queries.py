@@ -36,6 +36,24 @@ from .types import DataType
 CACHE_DIR = "/tmp/jitsu_ray_cache"
 
 
+
+def _sweep_stale_lakes(prefix: str) -> None:
+    """Remove leftover per-pid cache lakes from EARLIER runs only: a dir
+    whose trailing _<pid> belongs to a live process is another run
+    mid-query — deleting it out from under that process would corrupt
+    its result (round-3 review)."""
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(CACHE_DIR, prefix + "*")):
+        pid_part = stale.rsplit("_", 1)[-1]
+        if pid_part.isdigit() and pid_part != str(os.getpid()):
+            if os.path.exists(f"/proc/{pid_part}"):
+                continue  # owning process still alive
+        elif pid_part == str(os.getpid()):
+            pass  # our own prior leftover (pid reuse across runs): sweep
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -840,12 +858,9 @@ def q_interval_refresh(sf_dir: str):
     ds = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(prep, batch_format="pyarrow")
-    # per-pid dir (concurrent runs can't collide) + sweep of prior runs'
-    # leftovers so CACHE_DIR doesn't accumulate stale lakes across runs
-    import glob as _glob
-
-    for stale in _glob.glob(os.path.join(CACHE_DIR, "lake_refresh_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    # per-pid dir (concurrent runs can't collide) + sweep of DEAD
+    # prior runs' leftovers so CACHE_DIR doesn't accumulate stale lakes
+    _sweep_stale_lakes("lake_refresh_")
     lake_dir = os.path.join(CACHE_DIR, f"lake_refresh_{os.path.basename(sf_dir)}_{os.getpid()}")
     lake = LakeTable.create(lake_dir, ["event_id"], 8)
     hi = 20_000_000  # > any event_id at every sf
@@ -1214,7 +1229,10 @@ def q_schema_infer(sf_dir: str):
 
     rows = []
     for name in ("events", "documents"):
-        schema = read_parquet_clean(_t(sf_dir, name)).schema().base_schema
+        # plain read_parquet: .schema() resolves from parquet footers
+        # alone; the clean wrapper's strip stage would force block
+        # execution for a metadata-only answer (round-3 review)
+        schema = ray.data.read_parquet(_t(sf_dir, name)).schema().base_schema
         for f in schema:
             try:
                 lt = from_arrow(f.type).name
@@ -1307,7 +1325,6 @@ def q_pull_sync(sf_dir: str):
     sync_collections + SignatureStore into an int64-keyed lake, four DAY
     intervals (2024-01-01..04). A second sweep is run to prove the
     UPTODATE skip (it must move nothing). Result: the synced lake state."""
-    import glob as _glob
     from datetime import datetime as _dt
 
     from .pipelines.sync import Collection, sync_collections
@@ -1315,8 +1332,7 @@ def q_pull_sync(sf_dir: str):
     from .sources.http_pull import HttpPullSource
     from .state.signatures import DAY, SignatureStore, TimeInterval
 
-    for stale in _glob.glob(os.path.join(CACHE_DIR, "lake_pull_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    _sweep_stale_lakes("lake_pull_")
     root = os.path.join(CACHE_DIR, f"lake_pull_{os.path.basename(sf_dir)}_{os.getpid()}")
     lake = LakeTable.create(os.path.join(root, "lake"), ["event_id"], 8)
     store = SignatureStore(os.path.join(root, "sigs"))

@@ -319,9 +319,19 @@ class LakeTable:
         """Record any still-unrecorded key column's logical type from the
         first window's observed schema, then freeze it in _meta.json.
         UNKNOWN (all-null) observations stay unrecorded so a later window
-        with real values can still pin the type."""
+        with real values can still pin the type.
+
+        A LEGACY lake (created before key_types existed) that already
+        holds committed windows stored its keys stringified — pin STRING
+        for those, never the incoming window's type, or
+        full_arrow_schema() would conflict with the existing files."""
         missing = [k for k in self.key_cols if k not in self.key_types]
         if not missing:
+            return
+        if self.ledger.last_committed_hi() > 0:
+            for k in missing:
+                self.key_types[k] = DataType.STRING
+            self._save_meta()
             return
         names = set(ds_schema.names)
         changed = False
@@ -385,14 +395,27 @@ class LakeTable:
     # -- write path ---------------------------------------------------------
 
     def apply_window(
-        self, ds: "ray.data.Dataset", lo: int, hi: int, extra_metrics: dict | None = None
+        self,
+        ds: "ray.data.Dataset",
+        lo: int,
+        hi: int,
+        extra_metrics: dict | None = None,
+        force: bool = False,
     ) -> dict:
         """Apply one micro-batch window of change events.
 
         ``ds`` must contain op, commit_seq, the key columns, and any
         payload columns. Returns the committed ledger entry.
+
+        ``force=True`` bypasses the already-committed skip — the
+        RECOVERY path (Replayer.replay_spooled): a spooled window whose
+        (lo, hi] the stream has already advanced past must still be
+        applied at its ORIGINAL bounds so the watermark never claims seq
+        territory that was never read. Idempotent under re-crash: the
+        deterministic window tag overwrites the same delta files and
+        live_files() dedupes the repeated ledger row.
         """
-        if hi <= self.ledger.last_committed_hi():
+        if not force and hi <= self.ledger.last_committed_hi():
             # Idempotent replay: window already committed (M8 / D3 analog —
             # the "already uploaded" skip, logfiles/uploader.go:103-109).
             return {"kind": "window", "lo": lo, "hi": hi, "skipped": True}

@@ -53,17 +53,19 @@ class RetryingSinkStage:
 
     def __init__(self, write_batch, max_attempts: int = 3, backoff_sec: float = 0.05,
                  classify=default_classify, cache=None, cache_dest: str = "",
-                 cache_id_col: str | None = None):
+                 cache_id_col: str | None = None, cache_max_push: int = 100):
         self.write_batch = write_batch
         self.max_attempts = max_attempts
         self.backoff_sec = backoff_sec
         self.classify = classify
-        # T6 events cache: fire-and-forget per-batch succeed/error pushes
+        # T6 events cache: fire-and-forget per-batch succeed/error pushes.
+        # cache_max_push should match the ring's capacity_per_destination
+        # (pushing more than the ring keeps is waste; pushing less would
+        # leave earlier rows' statuses stale)
         self.cache = cache
         self.cache_dest = cache_dest
         self.cache_id_col = cache_id_col
-
-    CACHE_MAX_PUSH = 100  # ring keeps last-N; pushing more is waste
+        self.cache_max_push = cache_max_push
 
     def _cache_ids(self, batch):
         if self.cache is None or self.cache_id_col not in batch.column_names:
@@ -74,11 +76,11 @@ class RetryingSinkStage:
         """succeed for the delivered prefix, error for the unsent suffix
         — each capped to the ring-size tail (older entries would be
         evicted by the newer pushes anyway)."""
-        ok = ids[:offset][-self.CACHE_MAX_PUSH :]
+        ok = ids[:offset][-self.cache_max_push :]
         if ok:
             self.cache.succeed_many.remote(self.cache_dest, ok)
         if msg is not None:
-            bad = ids[offset:][-self.CACHE_MAX_PUSH :]
+            bad = ids[offset:][-self.cache_max_push :]
             if bad:
                 self.cache.error_many.remote(self.cache_dest, bad, msg)
 
@@ -143,7 +145,8 @@ def sink_with_retry(ds, write_batch, failed_dir: str | None = None,
                     max_attempts: int = 3, backoff_sec: float = 0.05,
                     classify=default_classify, concurrency: int = 2,
                     batch_size: int | None = None, events_cache=None,
-                    cache_dest: str = "", cache_id_col: str | None = None) -> dict:
+                    cache_dest: str = "", cache_id_col: str | None = None,
+                    cache_max_push: int = 100) -> dict:
     """Drive a Dataset into a per-batch sink with retry/backoff and
     dead-letter fallback. Returns {"written", "dead", "max_attempts_seen"}.
 
@@ -166,6 +169,7 @@ def sink_with_retry(ds, write_batch, failed_dir: str | None = None,
             "cache": events_cache,
             "cache_dest": cache_dest,
             "cache_id_col": cache_id_col,
+            "cache_max_push": cache_max_push,
         },
     ).materialize()
     dead = stage.filter(lambda r: r[STATUS_COL] == "dead")

@@ -91,22 +91,47 @@ class HttpPullSource:
     def objects_for(self, interval: TimeInterval) -> "ray.data.Dataset":
         """GetObjectsFor analog: the interval's rows as a Dataset.
 
-        Page 0 driver-side (learns ``total``), pages 1..N as parallel
-        Ray tasks whose Arrow tables become the Dataset's blocks."""
+        Page 0 driver-side; when the endpoint reports ``total`` the
+        remaining offsets fan out as Ray tasks — at most
+        ``max_parallel_pages`` in flight (ray.wait throttle; the tasks
+        are zero-cpu so nothing else bounds concurrent GETs against a
+        rate-limited API). Without ``total`` the offsets aren't knowable
+        up front, so pages are walked sequentially until a short page —
+        never silently truncated to page 0."""
         first = _fetch_json(self._page_url(interval, 0), self.headers)
-        total = int(first.get("total", len(first.get("rows", []))))
-        tables = [self.to_table(first.get("rows", []))]
+        first_rows = first.get("rows", [])
+        first_tbl = self.to_table(first_rows)
+        if "total" not in first:
+            return self._walk_pages(interval, first_tbl, len(first_rows))
+        total = int(first["total"])
         offsets = list(range(self.page_size, total, self.page_size))
-        refs = []
-        for i in range(0, len(offsets), self.max_parallel_pages):
-            chunk = offsets[i : i + self.max_parallel_pages]
-            batch_refs = [
-                _fetch_page_task.remote(
-                    self._page_url(interval, off), self.headers, self.to_table
-                )
-                for off in chunk
-            ]
-            refs.extend(batch_refs)
+        refs: list = []
+        in_flight: list = []
+        for off in offsets:
+            if len(in_flight) >= self.max_parallel_pages:
+                done, in_flight = ray.wait(in_flight, num_returns=1)
+            r = _fetch_page_task.remote(
+                self._page_url(interval, off), self.headers, self.to_table
+            )
+            refs.append(r)
+            in_flight.append(r)
         if not refs:
-            return ray.data.from_arrow(tables[0])
-        return ray.data.from_arrow_refs([ray.put(tables[0]), *refs])
+            return ray.data.from_arrow(first_tbl)
+        return ray.data.from_arrow_refs([ray.put(first_tbl), *refs])
+
+    def _walk_pages(self, interval: TimeInterval, first_tbl, first_len: int):
+        """Sequential cursor-less walk: fetch offset pages until one
+        comes back shorter than page_size (the token-chain degradation
+        documented in the module docstring)."""
+        tables = [first_tbl]
+        n = first_len
+        off = self.page_size
+        while n == self.page_size:
+            rows = _fetch_json(self._page_url(interval, off), self.headers).get(
+                "rows", []
+            )
+            n = len(rows)
+            if n:
+                tables.append(self.to_table(rows))
+            off += self.page_size
+        return ray.data.from_arrow(pa.concat_tables(tables))

@@ -60,7 +60,10 @@ class Ledger:
         for e in self.entries():
             if e["kind"] == "window":
                 for p, f in e["files"].items():
-                    parts.setdefault(int(p), []).append(f)
+                    cur = parts.setdefault(int(p), [])
+                    if f not in cur:  # forced re-apply commits the same
+                        cur.append(f)  # deterministic path twice
+
             elif e["kind"] == "compact":
                 for p, info in e["parts"].items():
                     cur = parts.setdefault(int(p), [])

@@ -340,3 +340,48 @@ def test_delete_where_on_int64_keys(ray_session, tmp_path):
     lake.delete_where(lambda b: pc.equal(b["kind"], "drop"))
     out = sorted(r["event_id"] for r in lake.read().take_all())
     assert out == [1, 3]
+
+
+def test_legacy_lake_pins_string_keys(ray_session, tmp_path):
+    # round-3 review: a lake created before key_types existed already
+    # stores stringified keys; opening it with typed input must pin
+    # STRING, not the incoming window's type
+    import json
+
+    import ray.data
+
+    lake = LakeTable.create(str(tmp_path / "legacy"), ["event_id"], 4)
+    meta_path = str(tmp_path / "legacy" / "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["key_types"]  # simulate a pre-round-3 lake
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    def win(seqs, ids, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "commit_seq": pa.array(seqs, pa.int64()),
+                    "op": pa.array(["insert"] * len(seqs), pa.string()),
+                    "event_id": pa.array(ids, pa.int64()),
+                    "v": pa.array(vals, pa.string()),
+                }
+            )
+        )
+
+    legacy = LakeTable.open(str(tmp_path / "legacy"))
+    legacy.apply_window(win([1], [5], ["a"]), 0, 1)  # no data yet: int64 pinned is fine
+    # now simulate the true legacy case: committed data, key_types lost
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["key_types"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    reopened = LakeTable.open(str(tmp_path / "legacy"))
+    reopened.apply_window(win([2], [6], ["b"]), 1, 2)
+    # committed (stringified-by-pre-round-3-rules) files must stay readable:
+    # keys pinned STRING, both rows come back
+    assert reopened.full_arrow_schema().field("event_id").type == pa.large_string()
+    rows = {r["event_id"]: r["v"] for r in reopened.read().take_all()}
+    assert len(rows) == 2

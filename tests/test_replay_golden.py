@@ -113,11 +113,11 @@ def test_streaming_mode_transient_retry_converges(ray_session, tmp_path):
     class FlakyLake(LakeTable):
         fails_left = 2
 
-        def apply_window(self, ds, lo, hi, extra_metrics=None):
+        def apply_window(self, ds, lo, hi, **kw):
             if FlakyLake.fails_left > 0 and lo >= 1000:
                 FlakyLake.fails_left -= 1
                 raise TransientSinkError("stub outage")
-            return super().apply_window(ds, lo, hi, extra_metrics)
+            return super().apply_window(ds, lo, hi, **kw)
 
     lake = FlakyLake.create(str(tmp_path / "lake"), ["repo", "path"], 4)
     rep = Replayer(log, lake, window_size=1000)
@@ -142,11 +142,11 @@ def test_streaming_mode_spool_and_replay(ray_session, tmp_path):
     class BrokenOnce(LakeTable):
         armed = True
 
-        def apply_window(self, ds, lo, hi, extra_metrics=None):
+        def apply_window(self, ds, lo, hi, **kw):
             if BrokenOnce.armed and lo == 2000:
                 BrokenOnce.armed = False
                 raise PermanentSinkError("bad destination")
-            return super().apply_window(ds, lo, hi, extra_metrics)
+            return super().apply_window(ds, lo, hi, **kw)
 
     lake = BrokenOnce.create(str(tmp_path / "lake"), ["repo", "path"], 4)
     rep = Replayer(log, lake, window_size=1000)

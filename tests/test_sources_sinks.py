@@ -849,3 +849,66 @@ def test_events_cache_ring_and_sink_wiring(ray_session, tmp_path):
     assert set(entries) == {"a", "b", "c"}
     assert all(r["status"] == "error" and "nope" in r["error"] for r in entries.values())
     assert all("raw" in r for r in entries.values())  # original event kept
+
+
+def test_user_recognition_empty_identity_map(ray_session):
+    # round-3 review: no identify events -> empty map must pass rows
+    # through unchanged, not crash on a null-typed value set
+    import ray.data
+
+    from jitsu_ray.pipelines.recognition import recognize_users
+
+    tbl = pa.table(
+        {
+            "anon": pa.array(["a1", "a2"]),
+            "user": pa.array([None, None], pa.int64()),
+        }
+    )
+    out = recognize_users(ray.data.from_arrow(tbl), "anon", "user").take_all()
+    assert [r["user"] for r in out] == [None, None]
+
+
+def test_http_pull_source_without_total_walks_pages(ray_session):
+    # round-3 review: endpoints that omit 'total' must page-walk to the
+    # end, not silently truncate to page 0
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse as _up
+    from datetime import datetime
+
+    from jitsu_ray.sources.http_pull import HttpPullSource
+    from jitsu_ray.state.signatures import DAY, TimeInterval
+
+    rows = [{"id": i} for i in range(37)]
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = dict(_up.parse_qsl(_up.urlparse(self.path).query))
+            off, lim = int(q["offset"]), int(q["limit"])
+            body = _json.dumps({"rows": rows[off : off + lim]}).encode()  # no total
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        src = HttpPullSource(
+            base, "/c", page_size=10,
+            to_table=lambda rs: pa.Table.from_pylist(
+                rs, schema=pa.schema([("id", pa.int64())])
+            ),
+        )
+        got = sorted(
+            r["id"]
+            for r in src.objects_for(TimeInterval(DAY, datetime(2024, 1, 1))).take_all()
+        )
+        assert got == list(range(37))
+    finally:
+        srv.shutdown()
