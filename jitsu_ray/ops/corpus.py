@@ -1,0 +1,119 @@
+"""Training-corpus construction operators.
+
+The steps an LLM-data pipeline runs between dedup/quality-filtering and
+tokenization — beyond the reference's own inventory (SURVEY §2 covers
+the CDC engine; these extend the LLM-data suite of ops/dedup, ops/text,
+ops/similarity):
+
+- ``hash_sample``: deterministic id-hash Bernoulli sampling — the
+  reproducible holdout/downsample split. Pure per-batch filter: no RNG
+  state, no shuffle, identical output at any cluster size or batch
+  boundary, and exactly DuckDB's ``md5_number_lower(id) % mod`` so the
+  split is SQL-auditable.
+- ``chunk_documents``: fixed word-window chunking with overlap (the
+  context-window packing precursor). A 1→N fan-out done in
+  ``map_batches`` (a returned batch may hold more rows than its input —
+  the flat-map shape without per-row Python tasks).
+- ``top_k_per_group``: per-group top-k selection (best-k docs per
+  language/domain/source). Per-batch partial top-k BEFORE the group
+  shuffle, so the exchange carries at most k rows per (group, batch) —
+  the same combiner discipline as the lake's LWW prep.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow as pa
+
+from ..util import md5_lower64
+
+
+def hash_sample(ds, id_col: str, rate_pct: int, mod: int = 100):
+    """Keep rows where md5_lower64(str(id)) % mod < rate_pct.
+
+    ``rate_pct``/``mod`` of the id space is kept (20/100 = a 20%
+    sample); the complement selects the disjoint holdout. Stable under
+    re-runs, repartitioning and row order by construction."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = pa.array(
+            [v is not None and md5_lower64(str(v)) % mod < rate_pct for v in ids],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    stride: int = 40,
+):
+    """Split each document's whitespace words into windows of
+    ``chunk_words`` starting every ``stride`` words (overlap =
+    chunk_words - stride). Emits (id, chunk_id, n_words, chunk_md5);
+    empty/whitespace-only docs emit no rows. ``chunk_md5`` (hex md5 of
+    the space-joined window) stands in for the chunk text so the fan-out
+    rows stay narrow — the real pipeline would carry the text or token
+    ids here."""
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+
+    def chunker(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_cid, out_n, out_md5 = [], [], [], []
+        for d, t in zip(ids, texts):
+            words = (t or "").split()
+            start = 0
+            cid = 0
+            while start < len(words):
+                window = words[start : start + chunk_words]
+                out_id.append(d)
+                out_cid.append(cid)
+                out_n.append(len(window))
+                out_md5.append(hashlib.md5(" ".join(window).encode()).hexdigest())
+                cid += 1
+                start += stride
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.schema.field(id_col).type),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "n_words": pa.array(out_n, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunker, batch_format="pyarrow")
+
+
+def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]]):
+    """Top-k rows per group, ordered by ``sort_keys`` [(col,
+    descending), ...]. The tie-breaking order must be TOTAL (include a
+    unique column last) for deterministic output."""
+    cols = [c for c, _ in sort_keys]
+    desc = [d for _, d in sort_keys]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.sort(cols, descending=desc)
+            .group_by(group_col, maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow().cast(batch.schema)
+
+    def final(group: pa.Table) -> pa.Table:
+        return partial(group)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1260,6 +1260,118 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+# -- training-corpus construction (ops/corpus) ------------------------------
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 20% holdout sample of the documents table by id
+    hash (ops/corpus.hash_sample): reproducible across runs, cluster
+    sizes and batch boundaries; SQL-auditable via md5_number_lower."""
+    from .ops.corpus import hash_sample
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = _pc.utf8_length(
+            _pc.coalesce(batch["text"], pa.scalar("", batch.schema.field("text").type))
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_chars": _pc.cast(n, pa.int64())}
+        )
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return hash_sample(ds, "doc_id", rate_pct=20).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed word-window chunking with overlap (50-word chunks every 40
+    words — ops/corpus.chunk_documents): the context-window packing
+    precursor, exercising the 1->N flat-map fan-out shape."""
+    from .ops.corpus import chunk_documents
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_words=50, stride=40)
+
+
+SQL_CHUNK_DOCS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words, unnest(generate_series(0, len(words) - 1, 40)) AS start
+  FROM w
+  WHERE len(words) > 0
+)
+SELECT doc_id,
+       CAST(start / 40 AS BIGINT) AS chunk_id,
+       CAST(least(50, len(words) - start) AS BIGINT) AS n_words,
+       md5(array_to_string(words[start + 1 : least(start + 50, len(words))], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group selection: the 3 longest (by BPE-ish token count)
+    documents per predicted language (ops/corpus.top_k_per_group over
+    ops/text.DocAnalyzer features) — the best-k-per-domain curation
+    step. Partial top-k per batch before the group shuffle."""
+    from .ops.corpus import top_k_per_group
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    feats = ds.map_batches(DocAnalyzer(), batch_format="pyarrow").map_batches(
+        lambda b: b.select(["lang_pred", "doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+    return top_k_per_group(
+        feats, "lang_pred", k=3, sort_keys=[("n_bpe_tokens", True), ("doc_id", False)]
+    )
+
+
+SQL_TOP_PER_LANG = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+feat AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+')[1:200], x -> lower(x)) AS lws,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+  FROM t
+),
+scored AS (
+  SELECT doc_id, n_bpe_tokens,
+         len(list_filter(lws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den'], x))) AS s_de,
+         len(list_filter(lws, x -> list_contains(['the','and','of','a','to','in','is','for','on','with','that','this'], x))) AS s_en,
+         len(list_filter(lws, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por'], x))) AS s_es,
+         len(list_filter(lws, x -> list_contains(['le','la','de','et','un','une','les','des','est','dans','pour'], x))) AS s_fr
+  FROM feat
+),
+lng AS (
+  SELECT doc_id, n_bpe_tokens,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+              WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scored
+),
+r AS (
+  SELECT lang_pred, doc_id, n_bpe_tokens,
+         row_number() OVER (PARTITION BY lang_pred ORDER BY n_bpe_tokens DESC, doc_id) rn
+  FROM lng
+)
+SELECT lang_pred, doc_id, n_bpe_tokens FROM r WHERE rn <= 3
+"""
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -1434,6 +1546,9 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "doc_sample": q_doc_sample,
+    "chunk_docs": q_chunk_docs,
+    "top_docs_per_lang": q_top_docs_per_lang,
 }
 
 ORACLES = {
@@ -1470,6 +1585,9 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "doc_sample": SQL_DOC_SAMPLE,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "top_docs_per_lang": SQL_TOP_PER_LANG,
 }
 
 

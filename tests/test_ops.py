@@ -406,3 +406,67 @@ def test_candidate_ids_semi_join_path_matches_broadcast(ray_session):
     bcast = {r["doc_id"]: r["sh"] for r in shingle_table(d, arr).take_all()}
     joined = {r["doc_id"]: r["sh"] for r in shingle_table(d, ds_ids).take_all()}
     assert bcast == joined and set(bcast) == {1, 2, 3, 5, 7}
+
+
+def test_corpus_hash_sample_partition_and_disjoint(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import hash_sample
+
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    keep = {r["doc_id"] for r in hash_sample(ds, "doc_id", 20).take_all()}
+    hold = {r["doc_id"] for r in hash_sample(ds, "doc_id", 20).take_all()}
+    assert keep == hold  # deterministic
+    # complement via rate offset: rows NOT in the 20% sample are exactly
+    # those with hash % 100 >= 20
+    from jitsu_ray.util import md5_lower64
+
+    expect = {i for i in range(200) if md5_lower64(str(i)) % 100 < 20}
+    assert keep == expect
+    # stable under repartitioning
+    keep7 = {r["doc_id"] for r in hash_sample(ds.repartition(7), "doc_id", 20).take_all()}
+    assert keep7 == expect
+
+
+def test_corpus_chunking_edges(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import chunk_documents
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c d e f g", "   ", None, "x y"]),
+        }
+    )
+    out = chunk_documents(
+        ray.data.from_arrow(tbl), chunk_words=5, stride=3
+    ).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 7 words -> starts 0,3,6 -> sizes 5,4,1; docs 2,3 empty; doc 4 one chunk
+    assert [r["n_words"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [5, 4, 1]
+    assert 2 not in by_doc and 3 not in by_doc
+    assert [r["n_words"] for r in by_doc[4]] == [2]
+
+
+def test_corpus_top_k_per_group_deterministic(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import top_k_per_group
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 3),
+            "score": pa.array([3, 1, 3, 2, 5, 9, 9, 9], pa.int64()),
+            "id": pa.array(list(range(8)), pa.int64()),
+        }
+    )
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = top_k_per_group(ds, "g", 2, [("score", True), ("id", False)]).take_all()
+        got = sorted((r["g"], r["score"], r["id"]) for r in out)
+        # a: score 5 (id 4), then 3 (tie -> lowest id 0); b: 9 (id 5), 9 (id 6)
+        assert got == [("a", 3, 0), ("a", 5, 4), ("b", 9, 5), ("b", 9, 6)]
