@@ -61,6 +61,94 @@ def semi_anti_filter(ds, keys: pa.Array, col: str, anti: bool = False):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def _tag_stage(side: int, key: str, union_fields, num_buckets: int):
+    """Shared tagging half of the bucket joins: pad a batch to the union
+    schema, add __bucket (key hash) and __side columns."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        b = hash_mod_column(
+            batch.select([key]).rename_columns(["__k"]), ["__k"], num_buckets
+        )
+        cols = {}
+        for f in union_fields:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                cols[f.name] = col.cast(f.type) if not col.type.equals(f.type) else col
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        out = pa.table(cols)
+        out = out.append_column("__bucket", b)
+        return out.append_column(
+            "__side", pa.array([side] * batch.num_rows, pa.int8())
+        )
+
+    return run
+
+
+def bucket_asof_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 32,
+    right_pre_join=None,
+):
+    """Distributed backward as-of join: each left row picks the right
+    row with the greatest ``right_ts`` <= its ``left_ts`` for the same
+    ``key`` (DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >=
+    r.ts`` semantics; unmatched left rows keep nulls).
+
+    Same one-shuffle shape as bucket_hash_join: both sides tagged and
+    bucketed by key hash, ONE union groupby co-locates each bucket, and
+    the per-bucket combine is polars ``join_asof`` (sorted backward
+    search, vectorized across the bucket's keys). Partitioning
+    assumption: a bucket's rows from both sides fit one task — raise
+    ``num_buckets`` for bigger sides. ``right_pre_join`` runs on the
+    right slice inside the bucket (bucketing by key guarantees it sees
+    every row of its keys — e.g. per-(key, ts) pre-aggregation)."""
+    import polars as pl
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = [f.name for f in l_schema]
+    r_names = [f.name for f in r_schema]
+    overlap = (set(l_names) & set(r_names)) - {key}
+    if overlap:
+        raise ValueError(f"non-key column overlap in asof join: {overlap}")
+    union_fields = list(l_schema) + [f for f in r_schema if f.name not in l_names]
+    out_schema = pa.schema(
+        list(l_schema) + [f for f in r_schema if f.name not in (key, right_ts)]
+    )
+
+    lt = left.map_batches(
+        _tag_stage(0, key, union_fields, num_buckets), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        _tag_stage(1, key, union_fields, num_buckets), batch_format="pyarrow"
+    )
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group["__side"], 0)
+        lg = group.filter(mask).select(l_names)
+        rg = group.filter(pc.invert(mask)).select(r_names)
+        if right_pre_join is not None:
+            rg = right_pre_join(rg)
+        ldf = pl.from_arrow(lg).sort(left_ts)
+        rdf = pl.from_arrow(rg).sort(right_ts)
+        out = ldf.join_asof(
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            by=key,
+            strategy="backward",
+        )
+        return out.to_arrow().select(out_schema.names).cast(out_schema)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
+
+
 def bucket_hash_join(
     left,
     right,

@@ -1260,6 +1260,68 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_asof_last_order(sf_dir: str):
+    """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
+    operator Ray Data lacks natively): each event picks the same user's
+    most recent order activation at-or-before the event time. Order
+    activations are mapped deterministically into the event era
+    (2024-01-01 + (o_orderkey % 720) hours) and pre-aggregated per
+    (user, ts) INSIDE the bucket via right_pre_join, so the as-of match
+    is unambiguous. One union shuffle total; DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    from .ops.join import bucket_asof_join
+
+    BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch us
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"]
+        mod = pc.subtract(okey, pc.multiply(pc.divide(okey, 720), 720))
+        us = pc.add(pc.multiply(pc.cast(mod, pa.int64()), 3_600_000_000), BASE_US)
+        spend = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch["o_custkey"],
+                "order_ts": pc.cast(us, pa.timestamp("us")),
+                "spend_c": spend,
+            }
+        )
+
+    def agg_right(rg: pa.Table) -> pa.Table:
+        df = pl.from_arrow(rg)
+        out = df.group_by(["user_id", "order_ts"]).agg(
+            pl.sum("spend_c").alias("spend_c")
+        )
+        return out.to_arrow().cast(rg.schema)
+
+    events = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = read_parquet_clean(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    out = bucket_asof_join(
+        events, orders, "user_id", "ts", "order_ts", right_pre_join=agg_right
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "spend_c"]), batch_format="pyarrow"
+    )
+
+
+SQL_ASOF = """
+WITH o AS (
+  SELECT o_custkey AS user_id,
+         TIMESTAMP '2024-01-01' + (o_orderkey % 720) * INTERVAL 1 HOUR AS order_ts,
+         CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.spend_c
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.order_ts
+"""
+
+
 # -- training-corpus construction (ops/corpus) ------------------------------
 
 
@@ -1546,6 +1608,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "asof_last_order": q_asof_last_order,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -1585,6 +1648,7 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "asof_last_order": SQL_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

@@ -912,3 +912,34 @@ def test_http_pull_source_without_total_walks_pages(ray_session):
         assert got == list(range(37))
     finally:
         srv.shutdown()
+
+
+def test_bucket_asof_join_semantics(ray_session):
+    # backward as-of: greatest right ts <= left ts per key; equality
+    # included; unmatched -> null; stable across partitionings
+    import ray.data
+
+    from jitsu_ray.ops.join import bucket_asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "lts": pa.array([10, 20, 25, 5, 7], pa.int64()),
+            "lid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rts": pa.array([5, 20, 30, 9], pa.int64()),
+            "val": pa.array([100, 200, 300, 400], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        lds = ray.data.from_arrow(left).repartition(parts)
+        rds = ray.data.from_arrow(right).repartition(parts)
+        out = bucket_asof_join(lds, rds, "k", "lts", "rts", num_buckets=4).take_all()
+        got = {r["lid"]: r["val"] for r in out}
+        # lid0: ts10 -> rts5 (100); lid1: ts20 -> rts20 equality (200);
+        # lid2: ts25 -> rts20 (200); lid3: ts5 < rts9 -> null; lid4: no key 3 -> null
+        assert got == {0: 100, 1: 200, 2: 200, 3: None, 4: None}
