@@ -1260,6 +1260,60 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_vocab_top20(sf_dir: str):
+    """Corpus-wide vocabulary top-k: per-batch partial word counts
+    (polars explode+count — the combiner) so the shuffle carries one row
+    per (word, batch), then a global Sum groupby, per-block partial
+    top-20, and a driver fold of the tiny partials (knn top-k pattern).
+    Total order (n DESC, word ASC) makes the cut deterministic."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        out = (
+            df.select(pl.col("text").fill_null("").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"w": "word"})
+        )
+        return out.to_arrow()
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.sort(["n", "word"], descending=[True, False]).head(20).to_arrow()
+        )
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    partials = counts.map_batches(block_topk, batch_format="pyarrow").take_all()
+    final = (
+        pl.from_arrow(
+            pa.Table.from_pylist(
+                partials, schema=pa.schema([("word", pa.string()), ("n", pa.int64())])
+            )
+        )
+        .sort(["n", "word"], descending=[True, False])
+        .head(20)
+    )
+    return final.to_arrow().cast(pa.schema([("word", pa.string()), ("n", pa.int64())]))
+
+
+SQL_VOCAB = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM words GROUP BY w ORDER BY n DESC, w LIMIT 20
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -1608,6 +1662,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
@@ -1648,6 +1703,7 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
