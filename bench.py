@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "geo_enrich",
     "embedding_near_dup",
     "ngram_jaccard_docs",
+    "asof_last_order",
+    "chunk_docs",
+    "vocab_top20",
+    "pull_sync",
 ]
 
 
