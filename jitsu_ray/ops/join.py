@@ -142,6 +142,9 @@ def bucket_asof_join(
             right_on=right_ts,
             by=key,
             strategy="backward",
+            # both frames sorted on their ts two lines up; skipping the
+            # check also silences the per-task sortedness UserWarning
+            check_sortedness=False,
         )
         return out.to_arrow().select(out_schema.names).cast(out_schema)
 
@@ -182,28 +185,12 @@ def bucket_hash_join(
     # union schema both tagged sides are padded to (union() needs it uniform)
     union_fields = list(l_schema) + [f for f in r_schema if f.name not in l_names]
 
-    def tag(side: int, key: str):
-        def run(batch: pa.Table) -> pa.Table:
-            b = hash_mod_column(
-                batch.select([key]).rename_columns(["__k"]), ["__k"], num_buckets
-            )
-            cols = {}
-            for f in union_fields:
-                if f.name in batch.column_names:
-                    col = batch[f.name]
-                    cols[f.name] = col.cast(f.type) if not col.type.equals(f.type) else col
-                else:
-                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
-            out = pa.table(cols)
-            out = out.append_column("__bucket", b)
-            return out.append_column(
-                "__side", pa.array([side] * batch.num_rows, pa.int8())
-            )
-
-        return run
-
-    lt = left.map_batches(tag(0, left_key), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, right_key), batch_format="pyarrow")
+    lt = left.map_batches(
+        _tag_stage(0, left_key, union_fields, num_buckets), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        _tag_stage(1, right_key, union_fields, num_buckets), batch_format="pyarrow"
+    )
 
     def join_bucket(group: pa.Table) -> pa.Table:
         mask = pc.equal(group["__side"], 0)

@@ -416,14 +416,16 @@ def test_corpus_hash_sample_partition_and_disjoint(ray_session):
     tbl = pa.table({"doc_id": pa.array(range(200), pa.int64())})
     ds = ray.data.from_arrow(tbl)
     keep = {r["doc_id"] for r in hash_sample(ds, "doc_id", 20).take_all()}
-    hold = {r["doc_id"] for r in hash_sample(ds, "doc_id", 20).take_all()}
-    assert keep == hold  # deterministic
-    # complement via rate offset: rows NOT in the 20% sample are exactly
-    # those with hash % 100 >= 20
+    rerun = {r["doc_id"] for r in hash_sample(ds, "doc_id", 20).take_all()}
+    assert keep == rerun  # deterministic
     from jitsu_ray.util import md5_lower64
 
     expect = {i for i in range(200) if md5_lower64(str(i)) % 100 < 20}
     assert keep == expect
+    # holdout = everything the sample excluded; disjoint and covering
+    hold = set(range(200)) - keep
+    assert hold == {i for i in range(200) if md5_lower64(str(i)) % 100 >= 20}
+    assert keep.isdisjoint(hold) and keep | hold == set(range(200))
     # stable under repartitioning
     keep7 = {r["doc_id"] for r in hash_sample(ds.repartition(7), "doc_id", 20).take_all()}
     assert keep7 == expect
