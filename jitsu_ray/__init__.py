@@ -16,6 +16,19 @@ import os as _os
 # scheduler, not per-worker thread pools.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+# pyarrow 16 schemas with metadata are unhashable, so Ray's
+# unify_schemas logs "Failed to hash the schemas" per concat of blocks
+# whose parquet source embedded b'pandas' metadata. read_parquet_clean
+# strips it where a stage can; reads with override_num_blocks concat
+# INSIDE the read task before any stage runs, so belt-and-suspenders:
+# silence that one module's logger (it emits nothing else). Runs in
+# every worker because workers import this package.
+import logging as _logging
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    _logging.ERROR
+)
+
 from .types import DataType, promote
 from .sinks.lake import LakeTable
 from .pipelines.replay import Replayer, replay_changelog
