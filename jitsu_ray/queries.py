@@ -164,7 +164,7 @@ def q_route_tables(sf_dir: str):
         out = df.group_by(TABLE_COL).agg(pl.len().cast(pl.Int64).alias("n"))
         return out.rename({TABLE_COL: "table_name"}).to_arrow()
 
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_type"])
     return (
         ds.map_batches(route_stage(router), batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
@@ -190,7 +190,7 @@ def q_mapping_project(sf_dir: str):
         ],
         keep_unmapped=False,
     )
-    ds = read_parquet_clean(
+    ds = _read_sized(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "event_type"]
     )
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -205,7 +205,7 @@ FROM events
 
 def q_flatten_props(sf_dir: str):
     """M3/M4/S4: JSON props column exploded to a typed column."""
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "props"])
     return ds.map_batches(
         explode_json_column("props", {"k": DataType.INT64}), batch_format="pyarrow"
     ).select_columns(["event_id", "props_k"])
@@ -226,7 +226,7 @@ def q_pii_hash(sf_dir: str):
             {"c_custkey": out["c_custkey"], "email_hash": out["c_name"]}
         )
 
-    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _read_sized(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(run, batch_format="pyarrow")
 
 
@@ -240,14 +240,14 @@ def q_anti_join_inactive_customers(sf_dir: str):
     distinct-user set, filter per batch. At 100 TB the broadcast side is
     a Bloom filter via ray.put; same shape."""
     seen = set(
-        read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"]).unique("user_id")
+        _read_sized(_t(sf_dir, "events"), columns=["user_id"]).unique("user_id")
     )
     value_set = pa.array(sorted(seen), pa.int64())
 
     def anti(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=value_set)))
 
-    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _read_sized(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
@@ -259,7 +259,7 @@ WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
 
 def q_top_events_recent(sf_dir: str):
     """O2: time-range + limit (events-cache debug query)."""
-    ds = read_parquet_clean(
+    ds = _read_sized(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     )
     return ds.sort(["ts", "event_id"], descending=True).limit(100)
@@ -297,7 +297,7 @@ def q_q1_pricing_summary(sf_dir: str):
         )
         return out.to_arrow()
 
-    ds = read_parquet_clean(
+    ds = _read_sized(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -332,7 +332,7 @@ def q_timestamp_format(sf_dir: str):
         iso = cast_array(batch["ts"], DataType.STRING)
         return pa.table({"event_id": batch["event_id"], "ts_iso": pc.cast(iso, pa.string())})
 
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "ts"])
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
@@ -350,7 +350,7 @@ def q_user_segment_join(sf_dir: str):
 
     small = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     small = small.rename_columns(["user_id", "segment"])
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     return broadcast_join(ds, small, "user_id", ["segment"])
 
 
@@ -419,7 +419,7 @@ def q_tumbling_daily(sf_dir: str):
         )
         return batch.append_column("value_c", v)
 
-    ds = read_parquet_clean(
+    ds = _read_sized(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(cents, batch_format="pyarrow")
     return tumbling_aggregate(ds, "ts", 86400, ["event_type"], "value_c")
@@ -467,7 +467,7 @@ FROM s GROUP BY user_id, sid
 
 
 def q_doc_text_stats(sf_dir: str):
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(TextStats(), batch_format="pyarrow").select_columns(
         ["doc_id", "n_chars2", "n_tokens"]
     )
@@ -481,7 +481,7 @@ FROM documents
 
 
 def q_dedup_exact_docs(sf_dir: str):
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return (
         ds.map_batches(exact_dedup_hash_stage(), batch_format="pyarrow")
         .select_columns(["text_md5", "doc_id"])
@@ -497,7 +497,7 @@ FROM documents GROUP BY 1
 
 
 def q_embedding_label_counts(sf_dir: str):
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["label"])
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["label"])
     return ds.groupby("label").aggregate(Count(alias_name="n"))
 
 
@@ -506,7 +506,7 @@ SQL_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
 
 def _load_queries(sf_dir: str, n: int = 10):
     tbl = (
-        read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {n}")
         .take_all()
     )
@@ -520,7 +520,7 @@ def q_knn_cosine_topk(sf_dir: str):
     """Brute-force exact cosine top-5 for the first 10 vectors (ids only:
     cosine values differ in ulps between numpy and duckdb summation)."""
     qids, qmat = _load_queries(sf_dir)
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_cosine(ds, qids, qmat, k=5)
     return out.select(["query_id", "neighbor_id"])
 
@@ -552,7 +552,7 @@ def q_geo_enrich(sf_dir: str):
     def add_ip(batch: pa.Table) -> pa.Table:
         return batch.append_column("ip", derive_ip_column(batch["user_id"]))
 
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     out = geo_enrich(ds.map_batches(add_ip, batch_format="pyarrow"), geo_tbl)
     return out.select_columns(["event_id", "ip", "country", "city"])
 
@@ -585,7 +585,7 @@ def q_ua_parse(sf_dir: str):
     def add_ua(batch: pa.Table) -> pa.Table:
         return batch.append_column("ua", derive_ua_column(batch["event_id"]))
 
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id"])
     return ds.map_batches(add_ua, batch_format="pyarrow").map_batches(
         UserAgentParser(), batch_format="pyarrow"
     ).select_columns(["event_id", "ua", "browser", "browser_version", "os"])
@@ -800,7 +800,7 @@ def q_rule_chain(sf_dir: str):
             add_constant("channel", "paid", pa.string()),
         ),
     )
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "event_type"])
     return ds.map_batches(rules, batch_format="pyarrow").select_columns(
         ["event_id", "event_type", "src", "channel"]
     )
@@ -832,7 +832,7 @@ def q_user_recognition(sf_dir: str):
         user = pc.if_else(has_user, batch["user_id"], pa.nulls(batch.num_rows, pa.int64()))
         return pa.table({"event_id": eid, "anon_id": anon, "user_id": user})
 
-    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     derived = ds.map_batches(derive, batch_format="pyarrow")
     return recognize_users(derived, "anon_id", "user_id")
 
@@ -869,7 +869,7 @@ def q_interval_refresh(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(
+    ds = _read_sized(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(prep, batch_format="pyarrow")
     # per-pid dir (concurrent runs can't collide) + sweep of DEAD
@@ -965,7 +965,7 @@ def q_minhash_dedup_docs(sf_dir: str):
     exact char-5-gram Jaccard >= 0.8 + recursive-CTE closure — valid
     because the (deterministic, seeded) LSH has 100% recall on the
     testdata corpus (P(miss) per true pair at s=0.8 is ~2e-4)."""
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.8, cluster_mode="distributed")
 
 
@@ -998,7 +998,7 @@ def q_ngram_jaccard_docs(sf_dir: str):
     """Word-3-gram Jaccard pairs (LSH candidates + distributed exact
     verification); jaccard_ppm = floor(inter*1e6/union + 0.5) — integer
     so the oracle hash is float-format-proof."""
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, n=3, threshold=0.6)
 
 
@@ -1030,7 +1030,7 @@ def q_simhash_docs(sf_dir: str):
     """64-bit SimHash per doc (md5-lower64 token hashes, batch-level
     vectorized bit voting). Oracle: the same vote in SQL via
     md5_number_lower + bit arithmetic."""
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     # stateless stage: plain tasks on warm workers beat an actor pool
     # (no per-query actor startup; cf. minhash_stage)
     return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
@@ -1069,7 +1069,7 @@ def q_doc_quality(sf_dir: str):
     language vote and rolling md5 fingerprint (ops/text.DocAnalyzer) —
     replaces the former QualityScore->LangId->Fingerprint actor chain
     (3x text serialization). Every column has an exact SQL twin."""
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(DocAnalyzer(), batch_format="pyarrow").select_columns(
         ["doc_id", "stopword_ratio", "punct_ratio", "mean_word_len", "n_bpe_tokens",
          "quality_ok", "lang_pred", "fingerprint"]
@@ -1139,7 +1139,7 @@ def q_ann_ivf_topk(sf_dir: str):
     merge). The approximate operating point (n_probe < n_centroids) is
     covered by the recall assertion in tests/test_ops.py."""
     qids, qmat = _load_queries(sf_dir)
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = ann_ivf(ds, qids, qmat, k=5, n_centroids=16, n_probe=16)
     return out.select(["query_id", "neighbor_id"])
 
@@ -1151,7 +1151,7 @@ def q_embedding_near_dup(sf_dir: str):
     cannot flip a pair across the oracle boundary."""
     from .ops.similarity import embedding_near_dup_auto
 
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     # auto-router: at sf block counts this stays on the exact (oracle-
     # checkable) tile path; a many-block corpus routes to the IVF variant
     return embedding_near_dup_auto(ds, threshold=0.4)
@@ -1180,7 +1180,7 @@ def q_multimodal_decode(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return decode_media(ds.map_batches(to_media, batch_format="pyarrow"), batch_size=128)
 
 
@@ -1225,7 +1225,7 @@ def q_frame_sample(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return sample_frames(ds.map_batches(to_media, batch_format="pyarrow"), every_n=10)
 
 
@@ -1407,7 +1407,7 @@ def q_doc_sample(sf_dir: str):
             {"doc_id": batch["doc_id"], "n_chars": _pc.cast(n, pa.int64())}
         )
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return hash_sample(ds, "doc_id", rate_pct=20).map_batches(
         project, batch_format="pyarrow"
     )
@@ -1426,7 +1426,7 @@ def q_chunk_docs(sf_dir: str):
     precursor, exercising the 1->N flat-map fan-out shape."""
     from .ops.corpus import chunk_documents
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return chunk_documents(ds, chunk_words=50, stride=40)
 
 
@@ -1456,7 +1456,7 @@ def q_top_docs_per_lang(sf_dir: str):
     step. Partial top-k per batch before the group shuffle."""
     from .ops.corpus import top_k_per_group
 
-    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     feats = ds.map_batches(DocAnalyzer(), batch_format="pyarrow").map_batches(
         lambda b: b.select(["lang_pred", "doc_id", "n_bpe_tokens"]),
         batch_format="pyarrow",
