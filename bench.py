@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "asof_last_order",
     "chunk_docs",
     "vocab_top20",
+    "value_quantiles",
     "pull_sync",
 ]
 

@@ -117,3 +117,25 @@ def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
+    """Exact discrete quantiles per group (DuckDB quantile_disc rule:
+    sorted[ceil(q*n)-1]) — the distribution-QA step over token counts /
+    event values. One groupby exchange co-locates each group; one sort
+    per group. Bounded by the largest group's values; at group sizes
+    where that breaks, swap in a mergeable sketch (t-digest/KLL) per
+    batch with a final merge — approximate, which is why this exact form
+    stays the oracle-checkable default."""
+    import numpy as np
+
+    def per_group(g: pa.Table) -> pa.Table:
+        vals = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+        n = len(vals)
+        cols = {group_col: pa.array([g[group_col][0].as_py()])}
+        for q in qs:
+            idx = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
+            cols[f"q{int(round(q * 100))}"] = pa.array([int(vals[idx])], pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")

@@ -56,15 +56,23 @@ def _sweep_stale_lakes(prefix: str) -> None:
 
 
 def _read_sized(path: str, columns: list[str]):
-    """read_parquet_clean with cpu-sized blocks for queries that feed a
-    Dataset groupby/sort: Ray's 200-block read default splits a
-    single-file table into sub-MB blocks whose per-block exchange
-    overhead dominates the shuffle at this scale (measured at
-    sf0.1/32cpus: asof join 9.2->1.9s, exact dedup 3.9->2.9s), and a
-    finer split also multiplies per-batch partial-agg output rows."""
+    """read_parquet_clean with explicitly sized blocks: Ray's 200-block
+    read default splits a single-file table into sub-MB blocks whose
+    per-block overhead dominates every stage at test scale (measured at
+    sf0.1/32cpus: asof join 9.2->1.9s, geo 0.77->0.45s), and a finer
+    split also multiplies per-batch partial-agg output rows. Sizing:
+    one block per ~64 MB of file bytes, floored at cluster CPUs (full
+    parallelism even for tiny tables), capped at 16x CPUs (huge inputs
+    keep bounded task counts; Ray's dynamic block splitting caps the
+    per-block memory regardless)."""
     import ray as _ray
 
-    nb = max(8, min(64, int(_ray.cluster_resources().get("CPU", 8))))
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    try:
+        by_bytes = os.path.getsize(path) // (64 << 20) + 1
+    except OSError:
+        by_bytes = 1
+    nb = int(min(max(cpus, by_bytes), 16 * cpus))
     return read_parquet_clean(path, columns=columns, override_num_blocks=nb)
 
 
@@ -1274,6 +1282,38 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact per-group value distribution: p50/p90/p99 of the cent value
+    per event_type (ops/corpus.exact_group_quantiles, quantile_disc
+    rule). The distribution-QA shape a data pipeline runs over token
+    counts per source."""
+    from .ops.corpus import exact_group_quantiles
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"event_type": batch["event_type"], "value_c": v})
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return exact_group_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"), "event_type", "value_c",
+        [0.5, 0.9, 0.99],
+    )
+
+
+SQL_QUANTILES = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events
+)
+SELECT event_type,
+       quantile_disc(value_c, 0.5) AS q50,
+       quantile_disc(value_c, 0.9) AS q90,
+       quantile_disc(value_c, 0.99) AS q99
+FROM t GROUP BY event_type
+"""
+
+
 def q_vocab_top20(sf_dir: str):
     """Corpus-wide vocabulary top-k: per-batch partial word counts
     (polars explode+count — the combiner) so the shuffle carries one row
@@ -1674,6 +1714,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "value_quantiles": q_value_quantiles,
     "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
     "doc_sample": q_doc_sample,
@@ -1715,6 +1756,7 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "value_quantiles": SQL_QUANTILES,
     "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,

@@ -472,3 +472,25 @@ def test_corpus_top_k_per_group_deterministic(ray_session):
         got = sorted((r["g"], r["score"], r["id"]) for r in out)
         # a: score 5 (id 4), then 3 (tie -> lowest id 0); b: 9 (id 5), 9 (id 6)
         assert got == [("a", 3, 0), ("a", 5, 4), ("b", 9, 5), ("b", 9, 6)]
+
+
+def test_exact_group_quantiles_rule(ray_session):
+    # quantile_disc rule sorted[ceil(q*n)-1], incl. single-element groups
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_quantiles
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 10 + ["b"]),
+            "v": pa.array(list(range(1, 11)) + [7], pa.int64()),
+        }
+    )
+    out = {
+        r["g"]: r
+        for r in exact_group_quantiles(
+            ray.data.from_arrow(tbl), "g", "v", [0.5, 0.9, 0.99]
+        ).take_all()
+    }
+    assert (out["a"]["q50"], out["a"]["q90"], out["a"]["q99"]) == (5, 9, 10)
+    assert (out["b"]["q50"], out["b"]["q90"], out["b"]["q99"]) == (7, 7, 7)
