@@ -130,13 +130,27 @@ SELECT user_id, ts, event_type, value, event_id FROM r WHERE rn = 1
 
 def q_dedup_exact_events(sf_dir: str):
     """D1: exact dedup by natural key, keep lowest event_id + dup count.
-    Partial (per-batch polars groupby) then final Sum/Min — the shuffle
-    carries one row per key per batch."""
+    Per-batch polars partial (one row per key per batch into the
+    exchange), then a 32-way hash-shard groupby with one vectorized
+    polars final agg per shard — Ray's sort shuffle orders ONE int
+    shard column instead of the 3-column natural key (the lww shape;
+    measured ~2x cheaper than groupby(keys).aggregate at sf0.1)."""
+    from .util import hash_mod_column
+
+    KEYS = ["user_id", "event_type", "value"]
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
-        out = df.group_by(["user_id", "event_type", "value"]).agg(
+        out = df.group_by(KEYS).agg(
             pl.min("event_id").alias("event_id"), pl.len().cast(pl.Int64).alias("n")
+        )
+        tbl = out.to_arrow()
+        return tbl.append_column("__shard", hash_mod_column(tbl, KEYS, 32))
+
+    def final_shard(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["__shard"]))
+        out = df.group_by(KEYS).agg(
+            pl.min("event_id").alias("event_id"), pl.sum("n").alias("n")
         )
         return out.to_arrow()
 
@@ -145,8 +159,8 @@ def q_dedup_exact_events(sf_dir: str):
     )
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type", "value"])
-        .aggregate(Min("event_id", alias_name="event_id"), Sum("n", alias_name="n"))
+        .groupby("__shard")
+        .map_groups(final_shard, batch_format="pyarrow")
     )
 
 
