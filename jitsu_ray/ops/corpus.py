@@ -129,13 +129,24 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
     stays the oracle-checkable default."""
     import numpy as np
 
+    labels = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide after rounding: {labels}")
+
     def per_group(g: pa.Table) -> pa.Table:
-        vals = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+        field = g.schema.field(value_col)
+        # NULLs are ignored, as quantile_disc does
+        col = g[value_col].combine_chunks().drop_null()
+        vals = np.sort(col.to_numpy(zero_copy_only=False))
         n = len(vals)
         cols = {group_col: pa.array([g[group_col][0].as_py()])}
-        for q in qs:
+        for q, label in zip(qs, labels):
+            if n == 0:
+                cols[label] = pa.nulls(1, field.type)
+                continue
             idx = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
-            cols[f"q{int(round(q * 100))}"] = pa.array([int(vals[idx])], pa.int64())
+            # preserve the input dtype — no silent float->int truncation
+            cols[label] = pa.array([vals[idx].item()], field.type)
         return pa.table(cols)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")

@@ -204,3 +204,27 @@ def bucket_hash_join(
     # union of tagged sides -> ONE shuffle on __bucket co-locates both
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def hash_shard_finalize(ds, key_cols: list[str], final_fn, num_shards: int = 32):
+    """Shared finalize idiom for shuffle-heavy per-key reductions:
+    append an int hash shard of ``key_cols``, groupby the SINGLE shard
+    column (Ray's sort shuffle orders one int instead of the
+    multi-column natural key — measured ~2x cheaper at sf0.1), then run
+    one vectorized ``final_fn`` per shard with the shard column already
+    dropped. Correct for any per-key reduction because every row of a
+    key hashes to exactly one shard."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__shard", hash_mod_column(batch, key_cols, num_shards)
+        )
+
+    def run(group: pa.Table) -> pa.Table:
+        return final_fn(group.drop_columns(["__shard"]))
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(run, batch_format="pyarrow")
+    )

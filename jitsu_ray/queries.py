@@ -67,7 +67,11 @@ def _read_sized(path: str, columns: list[str]):
     per-block memory regardless)."""
     import ray as _ray
 
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    # cluster_resources() raises before ray.init(); read_parquet would
+    # auto-init — keep that behavior for external callers by defaulting
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
     try:
         by_bytes = os.path.getsize(path) // (64 << 20) + 1
     except OSError:
@@ -89,6 +93,8 @@ def q_lww_latest_by_user(sf_dir: str):
     event_id) event. Per-batch combiner collapses to one row per user
     per batch before the shuffle."""
 
+    from .ops.join import hash_shard_finalize
+
     def reduce_batch(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         out = df.sort(["ts", "event_id"], descending=True).unique(
@@ -96,25 +102,13 @@ def q_lww_latest_by_user(sf_dir: str):
         )
         return out.to_arrow().cast(batch.schema)
 
-    from .util import hash_mod_column
-
-    def shard(batch: pa.Table) -> pa.Table:
-        bk = hash_mod_column(batch.select(["user_id"]).rename_columns(["k"]), ["k"], 32)
-        return batch.append_column("__shard", bk)
-
-    def reduce_shard(group: pa.Table) -> pa.Table:
-        return reduce_batch(group.drop_columns(["__shard"]))
-
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value", "event_id"]
     )
-    # combiner per batch, then ONE vectorized polars pass per hash
-    # shard (32 groups) instead of one map_groups call per user
-    return (
-        ds.map_batches(reduce_batch, batch_format="pyarrow")
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby("__shard")
-        .map_groups(reduce_shard, batch_format="pyarrow")
+    # combiner per batch, then the shared hash-shard finalize (ONE
+    # vectorized polars pass per shard instead of per user)
+    return hash_shard_finalize(
+        ds.map_batches(reduce_batch, batch_format="pyarrow"), ["user_id"], reduce_batch
     )
 
 
@@ -135,7 +129,7 @@ def q_dedup_exact_events(sf_dir: str):
     polars final agg per shard — Ray's sort shuffle orders ONE int
     shard column instead of the 3-column natural key (the lww shape;
     measured ~2x cheaper than groupby(keys).aggregate at sf0.1)."""
-    from .util import hash_mod_column
+    from .ops.join import hash_shard_finalize
 
     KEYS = ["user_id", "event_type", "value"]
 
@@ -144,11 +138,10 @@ def q_dedup_exact_events(sf_dir: str):
         out = df.group_by(KEYS).agg(
             pl.min("event_id").alias("event_id"), pl.len().cast(pl.Int64).alias("n")
         )
-        tbl = out.to_arrow()
-        return tbl.append_column("__shard", hash_mod_column(tbl, KEYS, 32))
+        return out.to_arrow()
 
     def final_shard(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group.drop_columns(["__shard"]))
+        df = pl.from_arrow(group)
         out = df.group_by(KEYS).agg(
             pl.min("event_id").alias("event_id"), pl.sum("n").alias("n")
         )
@@ -157,10 +150,8 @@ def q_dedup_exact_events(sf_dir: str):
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "value", "event_id"]
     )
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("__shard")
-        .map_groups(final_shard, batch_format="pyarrow")
+    return hash_shard_finalize(
+        ds.map_batches(partial, batch_format="pyarrow"), KEYS, final_shard
     )
 
 

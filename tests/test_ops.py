@@ -494,3 +494,23 @@ def test_exact_group_quantiles_rule(ray_session):
     }
     assert (out["a"]["q50"], out["a"]["q90"], out["a"]["q99"]) == (5, 9, 10)
     assert (out["b"]["q50"], out["b"]["q90"], out["b"]["q99"]) == (7, 7, 7)
+
+
+def test_exact_group_quantiles_nulls_and_float_dtype(ray_session):
+    # round-3 review: NULLs ignored (quantile_disc semantics), input
+    # dtype preserved (no silent float->int truncation)
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_quantiles
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "v": pa.array([1.5, 2.5, 3.5, None], pa.float64()),
+        }
+    )
+    out = exact_group_quantiles(ray.data.from_arrow(tbl), "g", "v", [0.5]).take_all()
+    assert out[0]["q50"] == 2.5  # n=3 after null drop; ceil(1.5)-1 = 1
+
+    with pytest.raises(ValueError):
+        exact_group_quantiles(ray.data.from_arrow(tbl), "g", "v", [0.495, 0.5])
