@@ -18,6 +18,10 @@ ops/similarity):
   language/domain/source). Per-batch partial top-k BEFORE the group
   shuffle, so the exchange carries at most k rows per (group, batch) —
   the same combiner discipline as the lake's LWW prep.
+- ``exact_group_quantiles``: distribution QA (token-count / value
+  percentiles per group), DuckDB quantile_disc rule.
+- ``stratified_sample``: per-group rates over the hash_sample rule —
+  the domain-mixing downsample.
 """
 
 from __future__ import annotations
@@ -150,3 +154,29 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
         return pa.table(cols)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds, id_col: str, group_col: str, rates: dict, default_pct: int = 100, mod: int = 100
+):
+    """Per-group deterministic downsampling — the domain-mixing step of
+    corpus assembly (keep 10% of crawl, 100% of books, ...). Same
+    id-hash Bernoulli rule as hash_sample but the keep threshold comes
+    from the row's group: md5_lower64(str(id)) % mod < rates.get(group,
+    default_pct). Pure per-batch filter: reproducible, shuffle-free,
+    SQL-auditable (CASE over md5_number_lower)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        mask = pa.array(
+            [
+                v is not None
+                and md5_lower64(str(v)) % mod < rates.get(g, default_pct)
+                for v, g in zip(ids, groups)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

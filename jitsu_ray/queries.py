@@ -1287,6 +1287,50 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Domain-mixing downsample (ops/corpus.stratified_sample): keep 10%
+    of 'click' events, 50% of 'view', everything else — per-group rates
+    over the same deterministic id-hash rule as doc_sample."""
+    from .ops.corpus import stratified_sample
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    return stratified_sample(
+        ds, "event_id", "event_type", {"click": 10, "view": 50}
+    )
+
+
+SQL_STRATIFIED = """
+SELECT event_id, event_type FROM events
+WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 100 <
+      CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 50 ELSE 100 END
+"""
+
+
+def q_dedup_keep_docs(sf_dir: str):
+    """The END of the dedup story: the deduplicated corpus. MinHash
+    clusters computed fully distributed, then every cluster member
+    except its min-id representative is dropped from the documents table
+    via the broadcast anti-filter (ops/join.semi_anti_filter — the
+    duplicate set is orders of magnitude smaller than the corpus;
+    bucket_hash_join anti is the over-budget fallback shape)."""
+    from .ops.dedup import minhash_dedup
+    from .ops.join import semi_anti_filter
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    clusters = minhash_dedup(ds, threshold=0.8, cluster_mode="distributed")
+    drop = pc.filter(
+        clusters["doc_id"], pc.not_equal(clusters["doc_id"], clusters["cluster"])
+    )
+    ids = _read_sized(_t(sf_dir, "documents"), columns=["doc_id"])
+    return semi_anti_filter(ids, drop.combine_chunks(), "doc_id", anti=True)
+
+
+SQL_DEDUP_KEEP = (
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+    "SELECT doc_id FROM (" + SQL_MINHASH + ") WHERE doc_id <> cluster)"
+)
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-group value distribution: p50/p90/p99 of the cent value
     per event_type (ops/corpus.exact_group_quantiles, quantile_disc
@@ -1719,6 +1763,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "stratified_sample": q_stratified_sample,
+    "dedup_keep_docs": q_dedup_keep_docs,
     "value_quantiles": q_value_quantiles,
     "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
@@ -1761,6 +1807,8 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "stratified_sample": SQL_STRATIFIED,
+    "dedup_keep_docs": SQL_DEDUP_KEEP,
     "value_quantiles": SQL_QUANTILES,
     "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,

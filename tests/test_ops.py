@@ -514,3 +514,26 @@ def test_exact_group_quantiles_nulls_and_float_dtype(ray_session):
 
     with pytest.raises(ValueError):
         exact_group_quantiles(ray.data.from_arrow(tbl), "g", "v", [0.495, 0.5])
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import stratified_sample
+    from jitsu_ray.util import md5_lower64
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(300), pa.int64()),
+            "g": pa.array((["a", "b", "c"] * 100)),
+        }
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), "id", "g", {"a": 0, "b": 30}
+    ).take_all()
+    got = {(r["id"], r["g"]) for r in out}
+    # group a fully dropped; b at 30%; c (unlisted) fully kept
+    assert not any(g == "a" for _, g in got)
+    assert {i for i, g in got if g == "c"} == {i for i in range(300) if i % 3 == 2}
+    expect_b = {i for i in range(300) if i % 3 == 1 and md5_lower64(str(i)) % 100 < 30}
+    assert {i for i, g in got if g == "b"} == expect_b
