@@ -143,3 +143,63 @@ def test_hot_single_key(ray_session, tmp_path):
     out = lake.read().take_all()
     assert len(out) == 1
     assert out[0]["commit_seq"] == n and out[0]["content"] == f"v{n-1}"
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right: (key, ts, val) — (key, ts) may collide; pre-agg dedupes
+        st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_bucket_asof_join_matches_global_polars(ray_session, case):
+    # distributed bucketed as-of == one global polars join_asof for
+    # arbitrary key/ts interleavings (incl. empty right, all-miss keys)
+    import polars as pl
+    import ray.data
+
+    from jitsu_ray.ops.join import bucket_asof_join
+
+    lrows, rrows = case
+    left = pa.table(
+        {
+            "k": pa.array([k for k, _ in lrows], pa.int64()),
+            "lts": pa.array([t for _, t in lrows], pa.int64()),
+            "lid": pa.array(range(len(lrows)), pa.int64()),
+        }
+    )
+    # dedupe right (key, ts) by max val — the right_pre_join contract
+    rmap: dict = {}
+    for k, t, v in rrows:
+        rmap[(k, t)] = max(v, rmap.get((k, t), -1))
+    right = pa.table(
+        {
+            "k": pa.array([k for k, _ in rmap], pa.int64()),
+            "rts": pa.array([t for _, t in rmap], pa.int64()),
+            "val": pa.array(list(rmap.values()), pa.int64()),
+        }
+    )
+    got_tbl = bucket_asof_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2) if right.num_rows else ray.data.from_arrow(right),
+        "k", "lts", "rts", num_buckets=3,
+    ).take_all()
+    got = {r["lid"]: r["val"] for r in got_tbl}
+    exp_df = (
+        pl.from_arrow(left)
+        .sort("lts")
+        .join_asof(
+            pl.from_arrow(right).sort("rts"),
+            left_on="lts", right_on="rts", by="k", strategy="backward",
+            check_sortedness=False,
+        )
+    )
+    exp = dict(zip(exp_df["lid"].to_list(), exp_df["val"].to_list()))
+    assert got == exp
