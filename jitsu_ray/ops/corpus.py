@@ -39,17 +39,11 @@ def hash_sample(ds, id_col: str, rate_pct: int, mod: int = 100):
 
     ``rate_pct``/``mod`` of the id space is kept (20/100 = a 20%
     sample); the complement selects the disjoint holdout. Stable under
-    re-runs, repartitioning and row order by construction."""
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        mask = pa.array(
-            [v is not None and md5_lower64(str(v)) % mod < rate_pct for v in ids],
-            pa.bool_(),
-        )
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    re-runs, repartitioning and row order by construction. The uniform
+    case of ``stratified_sample`` (one shared filter implementation)."""
+    return stratified_sample(
+        ds, id_col, id_col, rates={}, default_pct=rate_pct, mod=mod
+    )
 
 
 def chunk_documents(

@@ -191,6 +191,9 @@ def test_bucket_asof_join_matches_global_polars(ray_session, case):
         ray.data.from_arrow(right).repartition(2) if right.num_rows else ray.data.from_arrow(right),
         "k", "lts", "rts", num_buckets=3,
     ).take_all()
+    # exactly one output row per left row (a bucketing bug that emits a
+    # row twice would be masked by the dict comprehension below)
+    assert len(got_tbl) == left.num_rows
     got = {r["lid"]: r["val"] for r in got_tbl}
     exp_df = (
         pl.from_arrow(left)
