@@ -61,9 +61,15 @@ def read_singer_output(paths) -> SingerOutput:
     the reference stores it in its meta storage)."""
     raw = ray.data.read_text(paths)
 
-    # small control-plane pass: SCHEMA + STATE lines only
+    # small control-plane pass: SCHEMA + STATE lines only. Reduced PER
+    # BATCH so the driver fold stays bounded even against a tap that
+    # emits STATE every few records (common checkpointing style): one
+    # SCHEMA per stream per batch + only the batch's LAST STATE — map
+    # output order is preserved, so the last surviving STATE is still
+    # the global last.
     def control(batch: pa.Table) -> pa.Table:
-        keep = []
+        schema_by_stream: dict = {}
+        last_state = None
         for line in batch["text"].to_pylist():
             s = (line or "").strip()
             if not s:
@@ -74,8 +80,14 @@ def read_singer_output(paths) -> SingerOutput:
                     obj = json.loads(s)
                 except Exception:
                     continue
-                if obj.get("type") in ("SCHEMA", "STATE"):
-                    keep.append(s)
+                if obj.get("type") == "SCHEMA":
+                    # last SCHEMA per stream wins (schema evolution mid-run)
+                    schema_by_stream[obj.get("stream")] = s
+                elif obj.get("type") == "STATE":
+                    last_state = s
+        keep = list(schema_by_stream.values())
+        if last_state is not None:
+            keep.append(last_state)
         return pa.table({"text": pa.array(keep, pa.string())})
 
     out = SingerOutput()
