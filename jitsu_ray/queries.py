@@ -1287,6 +1287,114 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """Flagship LLM-data composition — the full corpus-assembly chain in
+    one lazy pipeline, every stage an operator proven above on its own:
+    quality filter (DocAnalyzer quality_ok) -> language filter (en) ->
+    MinHash near-dup removal (keep cluster representatives) -> 50%
+    deterministic hash sample -> overlapping 50-word chunking. Output =
+    the training chunks (doc_id, chunk_id, n_words, chunk_md5); the
+    oracle composes the same SQL pieces end-to-end."""
+    from .ops.corpus import chunk_documents, hash_sample
+    from .ops.dedup import minhash_dedup
+    from .ops.join import semi_anti_filter
+
+    analyzer = DocAnalyzer(("quality_ok", "lang_pred"))
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        out = analyzer(batch)
+        mask = pc.and_(
+            pc.fill_null(out["quality_ok"], False),
+            pc.equal(out["lang_pred"], "en"),
+        )
+        return out.filter(mask).select(["doc_id", "text"])
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    kept = ds.map_batches(keep_fn, batch_format="pyarrow")
+    clusters = minhash_dedup(kept, threshold=0.8, cluster_mode="distributed")
+    drop = pc.filter(
+        clusters["doc_id"], pc.not_equal(clusters["doc_id"], clusters["cluster"])
+    )
+    uniq = semi_anti_filter(kept, drop.combine_chunks(), "doc_id", anti=True)
+    sampled = hash_sample(uniq, "doc_id", 50)
+    return chunk_documents(sampled, chunk_words=50, stride=40)
+
+
+SQL_CORPUS_PIPELINE = r"""
+WITH RECURSIVE t0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+feat AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[A-Za-z]+') AS ws,
+         list_transform(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+')[1:200], x -> lower(x)) AS lws,
+         len(regexp_extract_all(text, '[^\w\s]')) AS np,
+         greatest(length(text), 1) AS nc
+  FROM t0
+),
+scored AS (
+  SELECT doc_id, text,
+         len(list_filter(ws, x -> list_contains(['the','and','of','a','to','in','is','for','on','with','that','this'], lower(x)))) AS stop_hits,
+         len(ws) AS nw, np, nc,
+         len(list_filter(lws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den'], x))) AS s_de,
+         len(list_filter(lws, x -> list_contains(['the','and','of','a','to','in','is','for','on','with','that','this'], x))) AS s_en,
+         len(list_filter(lws, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por'], x))) AS s_es,
+         len(list_filter(lws, x -> list_contains(['le','la','de','et','un','une','les','des','est','dans','pour'], x))) AS s_fr
+  FROM feat
+),
+kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE (stop_hits * 1.0 / greatest(nw, 1)) > 0.01 AND (np * 1.0 / nc) < 0.3
+    AND CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+             WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END = 'en'
+),
+ksh AS (
+  SELECT doc_id,
+         list(DISTINCT substr(s, CAST(i AS INT), 5)) AS gs,
+         count(DISTINCT substr(s, CAST(i AS INT), 5)) AS n
+  FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM kept) k
+  CROSS JOIN UNNEST(range(1, greatest(len(s) - 3, 2))) AS g(i)
+  GROUP BY doc_id
+),
+kp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS c, x.n + y.n AS sn
+  FROM ksh x JOIN ksh y ON x.doc_id < y.doc_id
+),
+kpairs AS (SELECT a, b FROM kp WHERE c * 1.0 / (sn - c) >= 0.8),
+kedges AS (SELECT a AS x, b AS y FROM kpairs UNION SELECT b, a FROM kpairs),
+kreach(x, y) AS (
+  SELECT x, y FROM kedges
+  UNION
+  SELECT r.x, e.y FROM kreach r JOIN kedges e ON r.y = e.x
+),
+kdrop AS (
+  SELECT x AS doc_id FROM (SELECT x, least(x, min(y)) AS c FROM kreach GROUP BY x)
+  WHERE x <> c
+),
+final_docs AS (
+  SELECT doc_id, text FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM kdrop)
+    AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM final_docs
+),
+s2 AS (
+  SELECT doc_id, words, unnest(generate_series(0, len(words) - 1, 40)) AS start
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id,
+       CAST(start / 40 AS BIGINT) AS chunk_id,
+       CAST(least(50, len(words) - start) AS BIGINT) AS n_words,
+       md5(array_to_string(words[start + 1 : least(start + 50, len(words))], ' ')) AS chunk_md5
+FROM s2
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Domain-mixing downsample (ops/corpus.stratified_sample): keep 10%
     of 'click' events, 50% of 'view', everything else — per-group rates
@@ -1763,6 +1871,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
     "value_quantiles": q_value_quantiles,
@@ -1807,6 +1916,7 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,
     "value_quantiles": SQL_QUANTILES,
