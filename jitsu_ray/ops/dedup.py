@@ -648,3 +648,18 @@ def exact_dedup_hash_stage(text_col: str = "text", out: str = "text_md5"):
         return batch.append_column(out, md5_hex_column(batch[text_col], sep=""))
 
     return run
+
+
+def minhash_drop_ids(ds, threshold: float = 0.8) -> pa.Array:
+    """Doc ids to REMOVE for a deduplicated corpus: every near-dup
+    cluster member except its representative (= the cluster's min id —
+    one definition shared by dedup_keep_docs and the corpus pipeline).
+    Bounded by the duplicate count, orders of magnitude below the
+    corpus; feed into ops.join.semi_anti_filter(anti=True)."""
+    import pyarrow.compute as pc
+
+    clusters = minhash_dedup(ds, threshold=threshold, cluster_mode="distributed")
+    drop = pc.filter(
+        clusters["doc_id"], pc.not_equal(clusters["doc_id"], clusters["cluster"])
+    )
+    return drop.combine_chunks()

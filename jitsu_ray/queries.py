@@ -1296,7 +1296,7 @@ def q_corpus_pipeline(sf_dir: str):
     the training chunks (doc_id, chunk_id, n_words, chunk_md5); the
     oracle composes the same SQL pieces end-to-end."""
     from .ops.corpus import chunk_documents, hash_sample
-    from .ops.dedup import minhash_dedup
+    from .ops.dedup import minhash_drop_ids
     from .ops.join import semi_anti_filter
 
     analyzer = DocAnalyzer(("quality_ok", "lang_pred"))
@@ -1310,12 +1310,12 @@ def q_corpus_pipeline(sf_dir: str):
         return out.filter(mask).select(["doc_id", "text"])
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    kept = ds.map_batches(keep_fn, batch_format="pyarrow")
-    clusters = minhash_dedup(kept, threshold=0.8, cluster_mode="distributed")
-    drop = pc.filter(
-        clusters["doc_id"], pc.not_equal(clusters["doc_id"], clusters["cluster"])
-    )
-    uniq = semi_anti_filter(kept, drop.combine_chunks(), "doc_id", anti=True)
+    # materialized once: the filtered corpus feeds the signature pass,
+    # the shingle/verify pass and the final sample/chunk pass — without
+    # this the analyzer regex stages re-run for each consumer
+    kept = ds.map_batches(keep_fn, batch_format="pyarrow").materialize()
+    drop = minhash_drop_ids(kept, threshold=0.8)
+    uniq = semi_anti_filter(kept, drop, "doc_id", anti=True)
     sampled = hash_sample(uniq, "doc_id", 50)
     return chunk_documents(sampled, chunk_words=50, stride=40)
 
@@ -1421,16 +1421,13 @@ def q_dedup_keep_docs(sf_dir: str):
     via the broadcast anti-filter (ops/join.semi_anti_filter — the
     duplicate set is orders of magnitude smaller than the corpus;
     bucket_hash_join anti is the over-budget fallback shape)."""
-    from .ops.dedup import minhash_dedup
+    from .ops.dedup import minhash_drop_ids
     from .ops.join import semi_anti_filter
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    clusters = minhash_dedup(ds, threshold=0.8, cluster_mode="distributed")
-    drop = pc.filter(
-        clusters["doc_id"], pc.not_equal(clusters["doc_id"], clusters["cluster"])
-    )
+    drop = minhash_drop_ids(ds, threshold=0.8)
     ids = _read_sized(_t(sf_dir, "documents"), columns=["doc_id"])
-    return semi_anti_filter(ids, drop.combine_chunks(), "doc_id", anti=True)
+    return semi_anti_filter(ids, drop, "doc_id", anti=True)
 
 
 SQL_DEDUP_KEEP = (

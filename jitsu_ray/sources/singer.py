@@ -91,7 +91,18 @@ def read_singer_output(paths) -> SingerOutput:
         return pa.table({"text": pa.array(keep, pa.string())})
 
     out = SingerOutput()
-    for line in raw.map_batches(control, batch_format="pyarrow").take_all():
+    # "last STATE wins" requires block order = input order; Ray's
+    # streaming executor emits blocks in task-completion order unless
+    # preserve_order is set, and the per-batch reduction above discards
+    # non-last STATEs, so a misordering would be unrecoverable
+    ctx = ray.data.DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        control_lines = raw.map_batches(control, batch_format="pyarrow").take_all()
+    finally:
+        ctx.execution_options.preserve_order = prev_order
+    for line in control_lines:
         obj = json.loads(line["text"])
         if obj["type"] == "SCHEMA":
             out.schemas[obj["stream"]] = obj.get("schema", {})
