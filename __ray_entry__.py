@@ -28,10 +28,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """No-arg call (the driver contract) yields the sf=0.01 oracles;
+    the optional sf_dir lets local harness sweeps at other scale
+    factors get oracles over matching generated inputs."""
     d = dict(ORACLES)
     # oracles over generated inputs (cdc changelog, geo table) embed a
-    # cached parquet path the builder ensures exists; the driver runs
-    # the correctness gate at sf=0.01
-    d.update(dynamic_oracles())
+    # cached parquet path the builder ensures exists
+    d.update(dynamic_oracles(sf_dir))
     return d

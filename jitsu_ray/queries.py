@@ -1925,15 +1925,17 @@ ORACLES = {
 }
 
 
-def dynamic_oracles() -> dict[str, str]:
+def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Oracles whose SQL embeds a generated-parquet path (and must
     therefore ensure the file exists first) or is assembled from a
-    shared corpus. The driver correctness gate runs at sf=0.01."""
+    shared corpus. The driver correctness gate runs at sf=0.01 (the
+    default); harness_sim passes its sf_dir so off-contract sweeps at
+    other scale factors compare against matching generated inputs."""
     return {
-        "cdc_replay": cdc_replay_oracle_sql(sf=0.01),
+        "cdc_replay": cdc_replay_oracle_sql(sf=_sf_of(sf_dir)),
         "geo_enrich": geo_oracle_sql(),
         "ua_parse": _ua_oracle_sql(),
-        "ndjson_read": ndjson_oracle_sql(),
-        "csv_read": csv_oracle_sql(),
-        "singer_read": singer_oracle_sql(),
+        "ndjson_read": ndjson_oracle_sql(sf_dir),
+        "csv_read": csv_oracle_sql(sf_dir),
+        "singer_read": singer_oracle_sql(sf_dir),
     }

@@ -59,7 +59,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
     report = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
