@@ -1,0 +1,211 @@
+"""Probabilistic sketches — the scale paths that the exact operators
+document ("swap in a sketch when the broadcast outgrows the budget"),
+made real:
+
+- ``BloomFilter``: bits-per-key membership over int64 keys, built once
+  and broadcast via ``ray.put``. Used as a PREFILTER, never as the
+  answer: a Bloom "no" is definite, a "yes" is a candidate that still
+  gets the exact check — so ``semi_anti_filter_scaled`` is EXACT while
+  broadcasting ~10 bits/key instead of 64+ (the M8 anti-join shape at
+  100 TB, q_anti_join docstring).
+- ``QuantileSketch``: mergeable bounded-size quantile summary (GK-style
+  compaction of a sorted (value, weight) summary). Per-batch partials
+  merge associatively, so group quantiles become one small-state
+  groupby instead of co-locating every value
+  (ops/corpus.exact_group_quantiles' documented upgrade path).
+  Approximate by construction — rank error <= ~1/capacity — so the
+  exact form stays the oracle-checkable default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — the standard public-domain
+    integer mixer; wrapping uint64 arithmetic throughout."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _MIX1
+    z = (z ^ (z >> np.uint64(27))) * _MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over int64 keys (double hashing:
+    probe_i = h1 + i*h2 mod m)."""
+
+    def __init__(self, bits: np.ndarray, m: int, k: int):
+        self.bits = bits  # uint8 bitset, ceil(m/8) bytes
+        self.m = m
+        self.k = k
+
+    @classmethod
+    def build(cls, values, fpr: float = 0.01) -> "BloomFilter":
+        vals = np.asarray(values, dtype=np.int64).view(np.uint64)
+        n = max(1, len(vals))
+        m = int(max(64, np.ceil(-n * np.log(fpr) / (np.log(2) ** 2))))
+        k = max(1, int(round(m / n * np.log(2))))
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        h1 = _splitmix64(vals)
+        h2 = _splitmix64(vals ^ _MIX1) | np.uint64(1)  # odd => full cycle
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return cls(bits, m, k)
+
+    def contains_many(self, values) -> np.ndarray:
+        vals = np.asarray(values, dtype=np.int64).view(np.uint64)
+        h1 = _splitmix64(vals)
+        h2 = _splitmix64(vals ^ _MIX1) | np.uint64(1)
+        out = np.ones(len(vals), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            out &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return out
+
+
+def semi_anti_filter_scaled(ds, keys: pa.Array, col: str, anti: bool = False,
+                            fpr: float = 0.01):
+    """EXACT semi/anti filter with a Bloom prefilter: rows the filter
+    rules out skip the exact probe entirely (for anti: a Bloom "no"
+    passes immediately — no false drops); only the Bloom-positive
+    candidates run the exact ``is_in``. Same result as
+    ops.join.semi_anti_filter, with the exact set consulted for a small
+    candidate fraction — at scale the exact side becomes a partitioned
+    lookup while the broadcast is ~10 bits/key."""
+    import pyarrow.compute as pc
+    import ray
+
+    key_np = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=np.int64)
+    bloom = BloomFilter.build(key_np, fpr)
+    ref = ray.put((bloom, keys))
+
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
+
+        bl, ks = once_per_process("semi_anti_bloom", _ref)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        maybe = bl.contains_many(vals)
+        # exact probe ONLY for bloom-positive rows
+        exact = np.zeros(len(vals), dtype=bool)
+        if maybe.any():
+            idx = np.nonzero(maybe)[0]
+            sub = batch[col].take(pa.array(idx))
+            exact[idx] = pc.is_in(sub, value_set=ks).to_numpy(zero_copy_only=False)
+        keep = ~exact if anti else exact
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+class QuantileSketch:
+    """Bounded-size mergeable quantile summary: keeps at most
+    ``capacity`` (value, weight) pairs; compaction collapses adjacent
+    pairs (weights add), so rank error is bounded by ~total/capacity.
+    merge() is associative/commutative — safe as a per-batch partial
+    folded through any tree or groupby."""
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.int64)
+
+    def add_many(self, vals: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.values = np.concatenate([self.values, np.sort(v)])
+        self.weights = np.concatenate([self.weights, np.ones(len(v), dtype=np.int64)])
+        self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(max(self.capacity, other.capacity))
+        out.values = np.concatenate([self.values, other.values])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out._compact()
+        return out
+
+    def _compact(self) -> None:
+        if len(self.values) == 0:
+            return
+        order = np.argsort(self.values, kind="stable")
+        self.values = self.values[order]
+        self.weights = self.weights[order]
+        n = len(self.values)
+        if n <= self.capacity:
+            return
+        # collapse to `capacity` buckets of ~equal weight; bucket value =
+        # the member covering the bucket's midpoint rank (a real sample,
+        # never an average — quantiles stay members of the input)
+        cum = np.cumsum(self.weights)
+        total = cum[-1]
+        targets = (np.arange(self.capacity) + 0.5) * (total / self.capacity)
+        idx = np.unique(np.searchsorted(cum, targets))
+        new_vals = self.values[idx]
+        bounds = np.concatenate([[0], cum[idx][:-1]])
+        new_wts = cum[idx] - bounds
+        self.values, self.weights = new_vals, new_wts
+
+    def quantile(self, q: float) -> float:
+        if len(self.values) == 0:
+            raise ValueError("empty sketch")
+        cum = np.cumsum(self.weights)
+        total = cum[-1]
+        target = np.ceil(q * total)
+        i = int(np.searchsorted(cum, max(1, target)))
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def to_state(self) -> dict:
+        return {"v": self.values.tolist(), "w": self.weights.tolist(), "c": self.capacity}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "QuantileSketch":
+        out = cls(st["c"])
+        out.values = np.asarray(st["v"], dtype=np.float64)
+        out.weights = np.asarray(st["w"], dtype=np.int64)
+        return out
+
+
+def sketch_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                           capacity: int = 512):
+    """Approximate per-group quantiles via mergeable sketches: one
+    sketch per group per BATCH (map_batches partial), merged per group
+    in the groupby — state per group is O(capacity), never the group's
+    values. The scale path of ops.corpus.exact_group_quantiles; rank
+    error <= ~n_group/capacity."""
+    import json
+
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([group_col, value_col]))
+        groups, states = [], []
+        for (g,), sub in df.group_by(group_col):
+            sk = QuantileSketch(capacity).add_many(
+                sub[value_col].drop_nulls().to_numpy()
+            )
+            groups.append(g)
+            states.append(json.dumps(sk.to_state()))
+        return pa.table({group_col: pa.array(groups), "__sk": pa.array(states, pa.string())})
+
+    def final(group: pa.Table) -> pa.Table:
+        sk = QuantileSketch(capacity)
+        for st in group["__sk"].to_pylist():
+            sk = sk.merge(QuantileSketch.from_state(json.loads(st)))
+        cols = {group_col: pa.array([group[group_col][0].as_py()])}
+        for q in qs:
+            cols[f"q{int(round(q * 100))}"] = pa.array([sk.quantile(q)], pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

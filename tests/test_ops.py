@@ -537,3 +537,67 @@ def test_stratified_sample_rates(ray_session):
     assert {i for i, g in got if g == "c"} == {i for i in range(300) if i % 3 == 2}
     expect_b = {i for i in range(300) if i % 3 == 1 and md5_lower64(str(i)) % 100 < 30}
     assert {i for i, g in got if g == "b"} == expect_b
+
+
+def test_bloom_prefiltered_filter_is_exact(ray_session):
+    # the bloom prefilter must never change the answer (a "no" is
+    # definite; positives get the exact probe) — for semi AND anti
+    import ray.data
+
+    from jitsu_ray.ops.join import semi_anti_filter
+    from jitsu_ray.ops.sketch import BloomFilter, semi_anti_filter_scaled
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(100_000, size=5000, replace=False).astype(np.int64)
+    keys = pa.array(sorted(rng.choice(ids, size=800, replace=False).tolist()), pa.int64())
+    tbl = pa.table({"id": pa.array(ids, pa.int64()), "v": pa.array(rng.integers(0, 9, 5000))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    for anti in (False, True):
+        exact = sorted(r["id"] for r in semi_anti_filter(ds, keys, "id", anti=anti).take_all())
+        scaled = sorted(
+            r["id"] for r in semi_anti_filter_scaled(ds, keys, "id", anti=anti).take_all()
+        )
+        assert exact == scaled
+    # the filter itself: zero false negatives, bounded false positives
+    bl = BloomFilter.build(np.asarray(keys), fpr=0.01)
+    assert bl.contains_many(np.asarray(keys)).all()
+    non_members = np.setdiff1d(ids, np.asarray(keys))
+    fpr = bl.contains_many(non_members).mean()
+    assert fpr < 0.05
+
+
+def test_quantile_sketch_merge_and_error_bound(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_quantiles
+    from jitsu_ray.ops.sketch import QuantileSketch, sketch_group_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 100, 20_000)
+    # merged partial sketches == one sketch, within rank-error bound
+    a = QuantileSketch(256).add_many(vals[:9000])
+    b = QuantileSketch(256).add_many(vals[9000:])
+    m = a.merge(b)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = m.quantile(q)
+        true_rank = (vals <= est).mean()
+        assert abs(true_rank - q) < 0.05, (q, true_rank)
+
+    # distributed: sketch path tracks the exact path per group
+    tbl = pa.table(
+        {
+            "g": pa.array(["a" if i % 2 else "b" for i in range(20_000)]),
+            "v": pa.array(np.round(vals).astype(np.int64), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    exact = {r["g"]: r for r in exact_group_quantiles(ds, "g", "v", [0.5, 0.9]).take_all()}
+    approx = {r["g"]: r for r in sketch_group_quantiles(ds, "g", "v", [0.5, 0.9]).take_all()}
+    for g in ("a", "b"):
+        for q in ("q50", "q90"):
+            sub = np.asarray(
+                [r for r, gg in zip(np.round(vals).astype(np.int64), tbl["g"].to_pylist()) if gg == g]
+            )
+            est_rank = (sub <= approx[g][q]).mean()
+            want_rank = (sub <= exact[g][q]).mean()
+            assert abs(est_rank - want_rank) < 0.05
