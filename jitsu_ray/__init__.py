@@ -25,8 +25,17 @@ _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 # every worker because workers import this package.
 import logging as _logging
 
-_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
-    _logging.ERROR
+
+class _DropSchemaHashWarning(_logging.Filter):
+    def filter(self, record):  # noqa: A003 - logging API name
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+# a FILTER, not setLevel: Ray Data re-applies its logging config at
+# every dataset execution, resetting levels — filters attached to the
+# (singleton) emitting logger survive reconfiguration
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _DropSchemaHashWarning()
 )
 
 from .types import DataType, promote
