@@ -5,6 +5,7 @@ contract); designed for `ray job submit -- python -m jitsu_ray ...` on
 a cluster, `address="local"` here.
 
     python -m jitsu_ray replay  --log DIR --lake DIR [--window N] [--partitions P]
+    python -m jitsu_ray stream  --log DIR --lake DIR [--window 1000] [--spool DIR]
     python -m jitsu_ray compact --lake DIR [--watermark N]
     python -m jitsu_ray report  --lake DIR
     python -m jitsu_ray read    --lake DIR --out DIR [--columns a,b]
@@ -47,6 +48,15 @@ def main(argv=None):
     r.add_argument("--window", type=int, default=100_000)
     r.add_argument("--partitions", type=int, default=64)
 
+    st = sub.add_parser(
+        "stream", help="low-latency small-window replay (retry + spool)"
+    )
+    st.add_argument("--log", required=True)
+    st.add_argument("--lake", required=True)
+    st.add_argument("--window", type=int, default=1000)
+    st.add_argument("--partitions", type=int, default=64)
+    st.add_argument("--spool", default=None)
+
     c = sub.add_parser("compact", help="fold deltas into base files")
     c.add_argument("--lake", required=True)
     c.add_argument("--watermark", type=int, default=0)
@@ -73,6 +83,14 @@ def main(argv=None):
             window_size=args.window,
         )
         print(json.dumps(metrics))
+    elif args.cmd == "stream":
+        from .pipelines.replay import Replayer
+
+        lake = LakeTable.create(args.lake, ["repo", "path"], args.partitions)
+        rep = Replayer(args.log, lake, window_size=args.window)
+        m = rep.run_streaming(spool_dir=args.spool)
+        m["spooled"] = len(m["spooled"])
+        print(json.dumps(m))
     elif args.cmd == "compact":
         lake = LakeTable.open(args.lake)
         entry = lake.compact(min_files=1, tombstone_watermark=args.watermark)
@@ -85,7 +103,9 @@ def main(argv=None):
     elif args.cmd == "read":
         lake = LakeTable.open(args.lake)
         cols = args.columns.split(",") if args.columns else None
-        ds = lake.read(columns=cols)
+        # materialize once: count() after write_parquet would otherwise
+        # re-run the whole read+resolve pipeline
+        ds = lake.read(columns=cols).materialize()
         ds.write_parquet(args.out)
         print(json.dumps({"rows": ds.count(), "out": args.out}))
     ray.shutdown()
