@@ -1287,6 +1287,46 @@ FROM d ORDER BY table_name, "column"
 """
 
 
+def q_time_travel(sf_dir: str):
+    """Lakehouse time travel over the ledger: load all events, tombstone
+    every 'click' in a later window, then read the table AS OF the
+    commit point BEFORE the delete — the pre-delete state must come back
+    exactly (sinks/lake.read(as_of=...); ledger-replay file selection in
+    state/ledger.live_files)."""
+    from .sinks.lake import LakeTable
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {
+                "commit_seq": batch["event_id"],
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_c": v,
+            }
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    _sweep_stale_lakes("lake_tt_")
+    lake_dir = os.path.join(CACHE_DIR, f"lake_tt_{os.path.basename(sf_dir)}_{os.getpid()}")
+    lake = LakeTable.create(lake_dir, ["event_id"], 8)
+    hi = 20_000_000
+    lake.apply_window(ds, 0, hi)
+    lake.delete_where(lambda b: pc.equal(b["event_type"], "click"))
+    # current state excludes clicks; the as-of view must NOT
+    return lake.read(as_of=hi).select_columns(["event_id", "event_type", "value_c"])
+
+
+SQL_TIME_TRAVEL = """
+SELECT event_id, event_type,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+FROM events
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """Flagship LLM-data composition — the full corpus-assembly chain in
     one lazy pipeline, every stage an operator proven above on its own:
@@ -1868,6 +1908,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
+    "time_travel": q_time_travel,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -1913,6 +1954,7 @@ ORACLES = {
     "user_recognition": SQL_RECOGNITION,
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
+    "time_travel": SQL_TIME_TRAVEL,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

@@ -517,14 +517,16 @@ class LakeTable:
 
     # -- read path ----------------------------------------------------------
 
-    def live_files(self) -> dict[int, list[str]]:
+    def live_files(self, as_of: int | None = None) -> dict[int, list[str]]:
         return {
             p: [os.path.join(self.dir, f) for f in fs]
-            for p, fs in self.ledger.live_files().items()
+            for p, fs in self.ledger.live_files(as_of_hi=as_of).items()
             if fs
         }
 
-    def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
+    def read(
+        self, columns: list[str] | None = None, as_of: int | None = None
+    ) -> "ray.data.Dataset":
         """Resolved view of the table as a streaming Dataset — one task
         per partition, NO shuffle: a partition's base+delta files are
         co-located by construction, so per-partition resolution equals
@@ -533,8 +535,21 @@ class LakeTable:
 
         ``columns`` prunes at the read: only the requested payload
         columns plus the key/seq/op system columns leave storage.
-        """
-        live = self.live_files()
+
+        ``as_of``: TIME TRAVEL — the state as of the ledger commit whose
+        window ``hi`` <= as_of (windows above it excluded via ledger
+        replay, state/ledger.live_files). Valid until a later compaction
+        vacuumed the requested history (raises then, with the missing
+        files named); window files carry only their own (lo, hi] seqs,
+        so no row-level seq filter is needed."""
+        live = self.live_files(as_of=as_of)
+        if as_of is not None:
+            missing = [f for fs in live.values() for f in fs if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"time-travel history at as_of={as_of} was vacuumed by a "
+                    f"later compaction; missing: {missing[:3]}"
+                )
         target = self.full_arrow_schema()
         out_cols = [
             f.name for f in target if f.name not in (PART_COL, OP_COL)

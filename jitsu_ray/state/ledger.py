@@ -54,10 +54,26 @@ class Ledger:
 
     # -- derived state ------------------------------------------------------
 
-    def live_files(self) -> dict[int, list[str]]:
-        """Replay the ledger into {partition: [relative file paths]}."""
+    def live_files(self, as_of_hi: int | None = None) -> dict[int, list[str]]:
+        """Replay the ledger into {partition: [relative file paths]}.
+
+        ``as_of_hi``: TIME TRAVEL — stop the replay just before the
+        first window whose ``hi`` exceeds it, yielding the file set of
+        the table's state at that commit point. Compactions encountered
+        before the stop only fold already-included windows, so they are
+        safe to apply (and their tombstone watermark <= as_of cannot
+        change a resolved read). Valid as long as the replaced files'
+        folds are still on disk — i.e. until a LATER compaction removed
+        history past the requested point, the standard lakehouse
+        time-travel-until-vacuum contract."""
         parts: dict[int, list[str]] = {}
         for e in self.entries():
+            if (
+                as_of_hi is not None
+                and e["kind"] == "window"
+                and int(e["hi"]) > as_of_hi
+            ):
+                break
             if e["kind"] == "window":
                 for p, f in e["files"].items():
                     cur = parts.setdefault(int(p), [])

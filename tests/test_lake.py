@@ -385,3 +385,26 @@ def test_legacy_lake_pins_string_keys(ray_session, tmp_path):
     assert reopened.full_arrow_schema().field("event_id").type == pa.large_string()
     rows = {r["event_id"]: r["v"] for r in reopened.read().take_all()}
     assert len(rows) == 2
+
+
+def test_time_travel_read(ray_session, tmp_path):
+    # as_of reads reconstruct the state at any committed window boundary
+    lake = new_lake(tmp_path)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "p1", "c1", "py", "v1")]), 0, 1)
+    lake.apply_window(make_ds([ev(2, "insert", "r", "p2", "c2", "py", "v2")]), 1, 2)
+    lake.apply_window(make_ds([ev(3, "delete", "r", "p1", None, None, None)]), 2, 3)
+
+    now = {(r["repo"], r["path"]) for r in lake.read().take_all()}
+    assert now == {("r", "p2")}
+    at2 = {(r["repo"], r["path"]) for r in lake.read(as_of=2).take_all()}
+    assert at2 == {("r", "p1"), ("r", "p2")}
+    at1 = {(r["repo"], r["path"]) for r in lake.read(as_of=1).take_all()}
+    assert at1 == {("r", "p1")}
+    assert lake.read(as_of=0).take_all() == []
+    # a compaction folding windows BEYOND as_of vacuums that history:
+    # the time-travel read must fail loudly, not silently mis-answer
+    lake.compact(min_files=1, tombstone_watermark=0)
+    with pytest.raises(FileNotFoundError):
+        lake.read(as_of=2)
+    # current state unaffected
+    assert {(r["repo"], r["path"]) for r in lake.read().take_all()} == {("r", "p2")}
