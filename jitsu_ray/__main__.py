@@ -103,11 +103,19 @@ def main(argv=None):
     elif args.cmd == "read":
         lake = LakeTable.open(args.lake)
         cols = args.columns.split(",") if args.columns else None
-        # materialize once: count() after write_parquet would otherwise
-        # re-run the whole read+resolve pipeline
-        ds = lake.read(columns=cols).materialize()
-        ds.write_parquet(args.out)
-        print(json.dumps({"rows": ds.count(), "out": args.out}))
+        # stream the write (no materialize — the resolved table may not
+        # fit the object store); row count comes from the written files'
+        # parquet footers, not a second pipeline execution
+        lake.read(columns=cols).write_parquet(args.out)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"rows": n, "out": args.out}))
     ray.shutdown()
 
 

@@ -5,9 +5,11 @@ made real:
 - ``BloomFilter``: bits-per-key membership over int64 keys, built once
   and broadcast via ``ray.put``. Used as a PREFILTER, never as the
   answer: a Bloom "no" is definite, a "yes" is a candidate that still
-  gets the exact check — so ``semi_anti_filter_scaled`` is EXACT while
-  broadcasting ~10 bits/key instead of 64+ (the M8 anti-join shape at
-  100 TB, q_anti_join docstring).
+  gets the exact check — so ``semi_anti_filter_scaled`` is EXACT. The
+  bits (~10/key) go to every worker; the exact key set is a separate
+  ref fetched lazily only where Bloom positives appear (the M8
+  anti-join shape; at true 100-TB key counts the exact side becomes a
+  partitioned lookup instead of a ref).
 - ``QuantileSketch``: mergeable bounded-size quantile summary (GK-style
   compaction of a sorted (value, weight) summary). Per-batch partials
   merge associatively, so group quantiles become one small-state
@@ -85,19 +87,31 @@ def semi_anti_filter_scaled(ds, keys: pa.Array, col: str, anti: bool = False,
 
     key_np = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=np.int64)
     bloom = BloomFilter.build(key_np, fpr)
-    ref = ray.put((bloom, keys))
+    # SEPARATE refs: every worker fetches the bits; the exact key set is
+    # fetched lazily, only by workers that ever see a Bloom-positive row
+    # (an anti-join of mostly-absent keys never pulls it). The true
+    # 100-TB form replaces the lazy fetch with a partitioned lookup.
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys)
 
-    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+    def run(batch: pa.Table, _bref=bloom_ref, _kref=keys_ref) -> pa.Table:
         from ..util import once_per_process
 
-        bl, ks = once_per_process("semi_anti_bloom", _ref)
-        vals = batch[col].to_numpy(zero_copy_only=False)
-        maybe = bl.contains_many(vals)
+        bl = once_per_process("semi_anti_bloom_bits", _bref)
+        column = batch[col].combine_chunks()
+        # null-safe int extraction: to_numpy on a null-bearing int64
+        # column silently converts to float64 (corrupting keys > 2^53);
+        # fill nulls pre-extraction and mask them out (null is never a
+        # member, matching is_in)
+        null_mask = pc.is_null(column).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(column, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        maybe = bl.contains_many(vals) & ~null_mask
         # exact probe ONLY for bloom-positive rows
         exact = np.zeros(len(vals), dtype=bool)
         if maybe.any():
+            ks = once_per_process("semi_anti_bloom_keys", _kref)
             idx = np.nonzero(maybe)[0]
-            sub = batch[col].take(pa.array(idx))
+            sub = column.take(pa.array(idx))
             exact[idx] = pc.is_in(sub, value_set=ks).to_numpy(zero_copy_only=False)
         keep = ~exact if anti else exact
         return batch.filter(pa.array(keep))
@@ -147,7 +161,9 @@ class QuantileSketch:
         cum = np.cumsum(self.weights)
         total = cum[-1]
         targets = (np.arange(self.capacity) + 0.5) * (total / self.capacity)
-        idx = np.unique(np.searchsorted(cum, targets))
+        # n-1 forced in: without it the tail bucket (incl. the true max)
+        # is dropped and merged weights stop summing to the input count
+        idx = np.unique(np.append(np.searchsorted(cum, targets), n - 1))
         new_vals = self.values[idx]
         bounds = np.concatenate([[0], cum[idx][:-1]])
         new_wts = cum[idx] - bounds

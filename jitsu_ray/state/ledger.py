@@ -57,23 +57,25 @@ class Ledger:
     def live_files(self, as_of_hi: int | None = None) -> dict[int, list[str]]:
         """Replay the ledger into {partition: [relative file paths]}.
 
-        ``as_of_hi``: TIME TRAVEL — stop the replay just before the
-        first window whose ``hi`` exceeds it, yielding the file set of
-        the table's state at that commit point. Compactions encountered
-        before the stop only fold already-included windows, so they are
-        safe to apply (and their tombstone watermark <= as_of cannot
-        change a resolved read). Valid as long as the replaced files'
-        folds are still on disk — i.e. until a LATER compaction removed
-        history past the requested point, the standard lakehouse
-        time-travel-until-vacuum contract."""
+        ``as_of_hi``: TIME TRAVEL — include only windows whose ``hi`` is
+        within the bound. The whole ledger is scanned (not stopped at
+        the first excluded window): a recovery re-apply
+        (Replayer.replay_spooled, force=True) legally commits a
+        LOWER-hi window after higher ones, and it must be part of the
+        as-of view. Compactions stay safe only while no window has been
+        excluded yet (they then fold included windows exclusively);
+        once any window is excluded, later compactions may fold
+        excluded data and are skipped — if such a compaction vacuumed
+        needed deltas, the read raises FileNotFoundError (the standard
+        lakehouse time-travel-until-vacuum contract)."""
         parts: dict[int, list[str]] = {}
+        skipped_window = False
         for e in self.entries():
-            if (
-                as_of_hi is not None
-                and e["kind"] == "window"
-                and int(e["hi"]) > as_of_hi
-            ):
-                break
+            if as_of_hi is not None and e["kind"] == "window" and int(e["hi"]) > as_of_hi:
+                skipped_window = True
+                continue
+            if as_of_hi is not None and e["kind"] == "compact" and skipped_window:
+                continue
             if e["kind"] == "window":
                 for p, f in e["files"].items():
                     cur = parts.setdefault(int(p), [])

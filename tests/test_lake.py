@@ -408,3 +408,17 @@ def test_time_travel_read(ray_session, tmp_path):
         lake.read(as_of=2)
     # current state unaffected
     assert {(r["repo"], r["path"]) for r in lake.read().take_all()} == {("r", "p2")}
+
+
+def test_time_travel_includes_late_spooled_window(ray_session, tmp_path):
+    # replay_spooled commits a LOWER-hi window after higher ones
+    # (force=True); a time-travel read within the bound must include it
+    lake = new_lake(tmp_path)
+    lake.apply_window(make_ds([ev(2, "insert", "r", "pA", "c", "py", "vA")]), 1, 2)
+    # window (2,4] commits BEFORE the recovered window (0,1]
+    lake.apply_window(make_ds([ev(4, "insert", "r", "pB", "c", "py", "vB")]), 2, 4)
+    lake.apply_window(make_ds([ev(1, "insert", "r", "pC", "c", "py", "vC")]), 0, 1, force=True)
+    at2 = {(r["repo"], r["path"]) for r in lake.read(as_of=2).take_all()}
+    assert at2 == {("r", "pA"), ("r", "pC")}  # pC committed late but hi<=2
+    allofit = {(r["repo"], r["path"]) for r in lake.read().take_all()}
+    assert allofit == {("r", "pA"), ("r", "pB"), ("r", "pC")}

@@ -601,3 +601,35 @@ def test_quantile_sketch_merge_and_error_bound(ray_session):
             est_rank = (sub <= approx[g][q]).mean()
             want_rank = (sub <= exact[g][q]).mean()
             assert abs(est_rank - want_rank) < 0.05
+
+
+def test_sketch_weight_conservation_and_max():
+    from jitsu_ray.ops.sketch import QuantileSketch
+
+    sk = QuantileSketch(16).add_many(np.arange(1000, dtype=np.float64))
+    assert int(sk.weights.sum()) == 1000  # no tail weight dropped
+    assert sk.quantile(1.0) == 999.0  # true max survives compaction
+    merged = sk.merge(QuantileSketch(16).add_many(np.arange(500, dtype=np.float64)))
+    assert int(merged.weights.sum()) == 1500
+
+
+def test_bloom_filter_nulls_and_big_keys(ray_session):
+    # null-bearing int64 column must not corrupt 2^53+ keys via float64
+    import ray.data
+
+    from jitsu_ray.ops.join import semi_anti_filter
+    from jitsu_ray.ops.sketch import semi_anti_filter_scaled
+
+    big = (1 << 60) + 1
+    tbl = pa.table({"id": pa.array([big, None, 5, big + 2], pa.int64())})
+    keys = pa.array([big, 7], pa.int64())
+    ds = ray.data.from_arrow(tbl)
+    for anti in (False, True):
+        exact = sorted(
+            str(r["id"]) for r in semi_anti_filter(ds, keys, "id", anti=anti).take_all()
+        )
+        scaled = sorted(
+            str(r["id"])
+            for r in semi_anti_filter_scaled(ds, keys, "id", anti=anti).take_all()
+        )
+        assert exact == scaled, (anti, exact, scaled)
