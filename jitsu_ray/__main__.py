@@ -89,7 +89,15 @@ def main(argv=None):
         lake = LakeTable.create(args.lake, ["repo", "path"], args.partitions)
         rep = Replayer(args.log, lake, window_size=args.window)
         m = rep.run_streaming(spool_dir=args.spool)
-        m["spooled"] = len(m["spooled"])
+        # keep the {lo, hi, dir} records: replay_spooled needs them for
+        # force-apply recovery at the ORIGINAL window bounds. Persist
+        # them next to the spooled parquet too, so recovery survives the
+        # CLI process (round-3 ADVICE: the count-only summary shipped no
+        # recovery path).
+        if args.spool and m["spooled"]:
+            with open(os.path.join(args.spool, "spooled.json"), "w") as f:
+                json.dump(m["spooled"], f)
+        m["spooled_count"] = len(m["spooled"])
         print(json.dumps(m))
     elif args.cmd == "compact":
         lake = LakeTable.open(args.lake)

@@ -101,7 +101,10 @@ def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         out = (
-            df.sort(cols, descending=desc)
+            # nulls_last: polars default puts null sort keys FIRST even
+            # descending, which would let null-scored rows win the top-k;
+            # DuckDB's ORDER BY ... DESC oracle defaults to NULLS LAST
+            df.sort(cols, descending=desc, nulls_last=True)
             .group_by(group_col, maintain_order=True)
             .head(k)
         )
@@ -137,7 +140,11 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
         col = g[value_col].combine_chunks().drop_null()
         vals = np.sort(col.to_numpy(zero_copy_only=False))
         n = len(vals)
-        cols = {group_col: pa.array([g[group_col][0].as_py()])}
+        # slice (not pa.array([...as_py()])) keeps the group key's EXACT
+        # input type: type inference would null-type a null key and
+        # int64-widen an int32 one, diverging per-group output schemas
+        # and crashing Ray's block unification (round-3 ADVICE)
+        cols = {group_col: g[group_col].slice(0, 1).combine_chunks()}
         for q, label in zip(qs, labels):
             if n == 0:
                 cols[label] = pa.nulls(1, field.type)

@@ -201,6 +201,7 @@ def sketch_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     import polars as pl
 
     def partial(batch: pa.Table) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
         df = pl.from_arrow(batch.select([group_col, value_col]))
         groups, states = [], []
         for (g,), sub in df.group_by(group_col):
@@ -209,13 +210,18 @@ def sketch_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
             )
             groups.append(g)
             states.append(json.dumps(sk.to_state()))
-        return pa.table({group_col: pa.array(groups), "__sk": pa.array(states, pa.string())})
+        # pin the group key's input type: inference would null-type a
+        # null key / widen an int32 one, and per-group schema drift
+        # breaks Ray's block unification (round-3 ADVICE)
+        return pa.table(
+            {group_col: pa.array(groups, gtype), "__sk": pa.array(states, pa.string())}
+        )
 
     def final(group: pa.Table) -> pa.Table:
         sk = QuantileSketch(capacity)
         for st in group["__sk"].to_pylist():
             sk = sk.merge(QuantileSketch.from_state(json.loads(st)))
-        cols = {group_col: pa.array([group[group_col][0].as_py()])}
+        cols = {group_col: group[group_col].slice(0, 1).combine_chunks()}
         for q in qs:
             cols[f"q{int(round(q * 100))}"] = pa.array([sk.quantile(q)], pa.float64())
         return pa.table(cols)

@@ -44,13 +44,31 @@ class Ledger:
         return 1 + max((self._seq_of(n) for n in names), default=0)
 
     def append(self, entry: dict) -> int:
-        seq = self.next_seq()
-        final = os.path.join(self.dir, f"{seq:08d}.json")
+        """Commit one ledger row under OPTIMISTIC multi-writer locking:
+        the entry is written fully to a tmp file, then the sequence
+        number is CLAIMED by hard-linking the tmp onto ``{seq}.json`` —
+        ``os.link`` atomically fails with FileExistsError if another
+        writer process took that seq first, in which case we re-scan and
+        retry at the next free number. Readers only ever see a name
+        whose content is complete (the link appears atomically), and two
+        independent driver processes appending to one lake can no longer
+        last-writer-wins each other's row (reference semantics: the
+        double diff-check under the etcd table lock,
+        server/storages/table_helper.go:104-148)."""
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
-        os.replace(tmp, final)
-        return seq
+        try:
+            while True:
+                seq = self.next_seq()
+                final = os.path.join(self.dir, f"{seq:08d}.json")
+                try:
+                    os.link(tmp, final)
+                    return seq
+                except FileExistsError:
+                    continue  # lost the claim race; re-scan for next seq
+        finally:
+            os.unlink(tmp)
 
     # -- derived state ------------------------------------------------------
 
@@ -69,6 +87,9 @@ class Ledger:
         needed deltas, the read raises FileNotFoundError (the standard
         lakehouse time-travel-until-vacuum contract)."""
         parts: dict[int, list[str]] = {}
+        seen: dict[int, set[str]] = {}  # per-partition membership (the
+        # ordered list alone makes this replay O(windows^2) on
+        # long-running streaming lakes — round-3 ADVICE)
         skipped_window = False
         for e in self.entries():
             if as_of_hi is not None and e["kind"] == "window" and int(e["hi"]) > as_of_hi:
@@ -78,17 +99,22 @@ class Ledger:
                 continue
             if e["kind"] == "window":
                 for p, f in e["files"].items():
-                    cur = parts.setdefault(int(p), [])
-                    if f not in cur:  # forced re-apply commits the same
-                        cur.append(f)  # deterministic path twice
+                    pi = int(p)
+                    s = seen.setdefault(pi, set())
+                    if f not in s:  # forced re-apply commits the same
+                        s.add(f)  # deterministic path twice
+                        parts.setdefault(pi, []).append(f)
 
             elif e["kind"] == "compact":
                 for p, info in e["parts"].items():
-                    cur = parts.setdefault(int(p), [])
+                    pi = int(p)
+                    cur = parts.setdefault(pi, [])
                     replaced = set(info["replaces"])
-                    parts[int(p)] = [f for f in cur if f not in replaced]
+                    parts[pi] = [f for f in cur if f not in replaced]
+                    seen.setdefault(pi, set()).difference_update(replaced)
                     if info.get("file"):
-                        parts[int(p)].append(info["file"])
+                        parts[pi].append(info["file"])
+                        seen[pi].add(info["file"])
         return parts
 
     def last_committed_hi(self) -> int:

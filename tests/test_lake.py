@@ -422,3 +422,58 @@ def test_time_travel_includes_late_spooled_window(ray_session, tmp_path):
     assert at2 == {("r", "pA"), ("r", "pC")}  # pC committed late but hi<=2
     allofit = {(r["repo"], r["path"]) for r in lake.read().take_all()}
     assert allofit == {("r", "pA"), ("r", "pB"), ("r", "pC")}
+
+
+def test_ledger_append_concurrent_writers(tmp_path):
+    # round-3 verdict: two independent writer processes must not
+    # last-writer-wins each other's ledger row — seqs are claimed via
+    # atomic hard link, losers re-scan and retry
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jitsu_ray.state.ledger import Ledger
+
+    d = str(tmp_path / "ledger")
+
+    def writer(tag):
+        led = Ledger(d)  # each writer its own instance (process analog)
+        return [
+            led.append({"kind": "window", "lo": i, "hi": i + 1, "tag": tag})
+            for i in range(25)
+        ]
+
+    with ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(writer, t) for t in range(4)]
+        seqs = [s for f in futs for s in f.result()]
+    assert sorted(seqs) == list(range(1, 101))  # no lost or duplicate seq
+    entries = Ledger(d).entries()
+    assert len(entries) == 100
+    assert sorted((e["tag"], e["lo"]) for e in entries) == sorted(
+        (t, i) for t in range(4) for i in range(25)
+    )
+
+
+def test_concurrent_apply_window_two_writers(ray_session, tmp_path):
+    # two driver-side writers (separate LakeTable instances on one lake
+    # dir) applying different windows concurrently: both ledger rows
+    # land, key types pin once (meta lock), read sees both windows
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "lake")
+    l1 = LakeTable.create(path, ["repo", "path"], 4)
+    l2 = LakeTable.open(path)
+
+    def w(lake, seq, p, lo, hi):
+        return lake.apply_window(
+            make_ds([ev(seq, "insert", "r", p, "c", "py", f"v{seq}")]),
+            lo, hi, force=True,
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(w, l1, 1, "p1", 0, 1)
+        f2 = ex.submit(w, l2, 2, "p2", 1, 2)
+        e1, e2 = f1.result(), f2.result()
+    assert not e1.get("skipped") and not e2.get("skipped")
+    lake = LakeTable.open(path)
+    assert set(read_rows(lake)) == {("r", "p1"), ("r", "p2")}
+    assert len(lake.ledger.window_metrics()) == 2
+    assert lake.key_types["repo"].name == "STRING"

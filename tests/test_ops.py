@@ -633,3 +633,44 @@ def test_bloom_filter_nulls_and_big_keys(ray_session):
             for r in semi_anti_filter_scaled(ds, keys, "id", anti=anti).take_all()
         )
         assert exact == scaled, (anti, exact, scaled)
+
+
+def test_group_quantiles_null_and_int32_group_key(ray_session):
+    # round-3 ADVICE (medium): a NULL group key or non-default group
+    # dtype must not drift the per-group output schema (type inference
+    # null-types a null key and int64-widens int32)
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_quantiles
+    from jitsu_ray.ops.sketch import sketch_group_quantiles
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, None, None, 2], pa.int32()),
+            "v": pa.array([1, 3, 5, 7, 9], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = exact_group_quantiles(ds, "g", "v", [0.5]).take_all()
+    assert {r["g"]: r["q50"] for r in out} == {1: 1, None: 5, 2: 9}
+    sk = sketch_group_quantiles(ds, "g", "v", [0.5]).take_all()
+    assert {r["g"] for r in sk} == {1, 2, None}
+
+
+def test_top_k_per_group_nulls_last(ray_session):
+    # round-3 ADVICE: null sort keys must not win the top-k (DuckDB's
+    # ORDER BY ... DESC oracle defaults to NULLS LAST)
+    import ray.data
+
+    from jitsu_ray.ops.corpus import top_k_per_group
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 4),
+            "score": pa.array([None, 5, None, 3], pa.int64()),
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = top_k_per_group(ds, "g", 2, [("score", True), ("id", False)]).take_all()
+    assert sorted((r["score"], r["id"]) for r in out) == [(3, 3), (5, 1)]
