@@ -425,21 +425,162 @@ def _min_label_merge(*tables: pa.Table) -> pa.Table:
     )
 
 
-def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
+def _init_label_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch initial labels: for each dst, min(dst, min incoming src)
+    — the combiner half shared by both label-propagation modes."""
+    import polars as _pl
+
+    df = _pl.from_arrow(batch)
+    out = (
+        df.group_by("dst")
+        .agg(_pl.col("src").min().alias("label"))
+        .with_columns(
+            _pl.min_horizontal(_pl.col("dst"), _pl.col("label")).alias("label")
+        )
+        .select(_pl.col("dst").alias("node"), "label")
+    )
+    return out.to_arrow().cast(_MIN_LABEL_SCHEMA)
+
+
+def _min_fold_dataset(ds):
+    """Dataset (node, label) -> Dataset with one min-label row per node:
+    per-batch polars partial (the combiner — the shuffle carries at most
+    one row per (node, batch)), then ONE int-hash-shard groupby
+    (ops/join.hash_shard_finalize). No driver fold anywhere — the label
+    table never leaves the cluster, which is the whole point of the
+    join-mode scale path."""
+    import polars as _pl
+
+    from .join import hash_shard_finalize
+
+    def node_min(tbl: pa.Table) -> pa.Table:
+        return (
+            _pl.from_arrow(tbl)
+            .group_by("node")
+            .agg(_pl.col("label").min())
+            .to_arrow()
+            .cast(_MIN_LABEL_SCHEMA)
+        )
+
+    return hash_shard_finalize(
+        ds.map_batches(node_min, batch_format="pyarrow"), ["node"], node_min
+    )
+
+
+def _cluster_join_mode(edges, max_iters: int):
+    """Label propagation with the label table PARTITIONED, never
+    broadcast — the >1e8-node path (round-3 verdict #1). Per round:
+
+      1. pointer jump: labels ⨝ labels on label=node (bucket hash join,
+         one shuffle) -> label2 = label(label); keep min(label, label2).
+      2. proposals: edges ⨝ labels on src=node (one shuffle) -> each dst
+         receives label(src).
+      3. fold: union of (1) and (2) -> per-node min via one int-shard
+         groupby.
+
+    Labels are monotone non-increasing per node and the node set is
+    fixed, so sum(label) strictly decreases until the fixpoint —
+    convergence is detected by one cheap Sum aggregate instead of
+    comparing label tables. Returns the converged labels Dataset."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from .join import bucket_hash_join
+
+    def rename_to(n_col: str, l_col: str):
+        def run(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([n_col, l_col])
+
+        return run
+
+    labels = _min_fold_dataset(
+        edges.map_batches(_init_label_partial, batch_format="pyarrow")
+    ).materialize()
+    if labels.count() == 0:
+        return labels
+    cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    # FIXED per-round block budget: Ray's sort shuffle emits ~as many
+    # blocks as it consumes, and each round stacks two joins + a fold —
+    # without the coalesce the label table's block count triples per
+    # round (measured 4 -> 364 over 5 rounds, round time x5 per round)
+    n_blocks = max(4, labels.num_blocks())
+
+    def jump_fold(batch: pa.Table) -> pa.Table:
+        l2 = _pc.coalesce(batch["label2"], batch["label"])
+        return pa.table(
+            {"node": batch["node"], "label": _pc.min_element_wise(batch["label"], l2)}
+        ).cast(_MIN_LABEL_SCHEMA)
+
+    def proposal(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["dst"], "label": batch["label3"]}).cast(
+            _MIN_LABEL_SCHEMA
+        )
+
+    for _ in range(max_iters):
+        # pointer jump first (labels x labels, one row per node), then
+        # propose the JUMPED label over each edge — label(label(src)),
+        # the same doubled step as the broadcast path's lookup(lookup()),
+        # so both modes converge in the same number of rounds
+        jumped = (
+            bucket_hash_join(
+                labels,
+                labels.map_batches(rename_to("node2", "label2"), batch_format="pyarrow"),
+                "label",
+                "node2",
+                how="left outer",
+            )
+            .map_batches(jump_fold, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+        proposals = bucket_hash_join(
+            edges,
+            jumped.map_batches(rename_to("node3", "label3"), batch_format="pyarrow"),
+            "src",
+            "node3",
+        ).map_batches(proposal, batch_format="pyarrow")
+        new_labels = (
+            _min_fold_dataset(jumped.union(proposals))
+            .repartition(n_blocks)
+            .materialize()
+        )
+        new_sum = new_labels.aggregate(Sum("label"))["sum(label)"]
+        labels = new_labels
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    return labels
+
+
+def cluster_pairs_dataset(
+    pairs_ds,
+    max_iters: int = 50,
+    label_mode: str = "auto",
+    broadcast_node_limit: int = 4_000_000,
+) -> pa.Table:
     """Distributed connected components by min-label propagation with
     pointer jumping: each round every edge proposes label(label(src))
     to its destination, chains collapse in O(log diameter) rounds.
 
     Data placement: the EDGES stay a distributed Dataset and all
     proposal work runs in map_batches with a per-batch partial min
-    (polars groupby) — the shuffle-free combiner shape. The per-batch
-    partials are folded by a TREE REDUCE of block refs (fan-in 8): the
-    driver fetches only the root table, never the partial list (round-2
-    verdict #5). The label table (nodes of the duplicate graph — orders
-    of magnitude smaller than the corpus, same boundedness argument as
-    knn's top-k partials) is broadcast per round via ray.put; above
-    ~10^8 nodes swap that broadcast for a partitioned join
-    (ops/join.bucket_hash_join) — same round structure.
+    (polars groupby) — the shuffle-free combiner shape.
+
+    ``label_mode`` picks where the LABEL table lives:
+      * ``broadcast`` — per-batch partials folded by a TREE REDUCE of
+        block refs (fan-in 8, driver fetches only the root), labels
+        broadcast per round via ``ray.put``. Fastest while the node
+        array fits a worker heap (nodes of the duplicate graph are
+        orders of magnitude fewer than corpus docs).
+      * ``join`` — labels stay a partitioned DATASET; each round is two
+        ``bucket_hash_join`` shuffles (pointer jump + edge proposal) and
+        one int-shard min fold (_cluster_join_mode). The >1e8-node path:
+        nothing is ever broadcast or driver-resident.
+      * ``auto`` — join when the edge count exceeds
+        ``broadcast_node_limit`` (nodes <= edges; limit default ~64 MB
+        of int64 pairs per worker heap), else broadcast.
+
     Returns pa.Table (doc_id, cluster=component min id), sorted."""
     import polars as _pl
     import ray as _ray
@@ -451,6 +592,15 @@ def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
         return pa.concat_tables([fwd.cast(schema), rev.cast(schema)])
 
     edges = pairs_ds.map_batches(bidir, batch_format="pyarrow").materialize()
+    if label_mode == "join" or (
+        label_mode == "auto" and edges.count() > broadcast_node_limit
+    ):
+        out = _cluster_join_mode(edges, max_iters)
+        tbl = pa.Table.from_pylist(out.take_all(), schema=_MIN_LABEL_SCHEMA)
+        return (
+            tbl.rename_columns(["doc_id", "cluster"])
+            .sort_by([("doc_id", "ascending")])
+        )
 
     def fold_partials(ds) -> _pl.DataFrame:
         mat = ds.materialize()
@@ -469,20 +619,8 @@ def cluster_pairs_dataset(pairs_ds, max_iters: int = 50) -> pa.Table:
             return _pl.DataFrame(schema={"node": _pl.Int64, "label": _pl.Int64})
         return _pl.from_arrow(tbl)
 
-    def init_partial(batch: pa.Table) -> pa.Table:
-        df = _pl.from_arrow(batch)
-        out = (
-            df.group_by("dst")
-            .agg(_pl.col("src").min().alias("label"))
-            .with_columns(
-                _pl.min_horizontal(_pl.col("dst"), _pl.col("label")).alias("label")
-            )
-            .select(_pl.col("dst").alias("node"), "label")
-        )
-        return out.to_arrow().cast(pa.schema([("node", pa.int64()), ("label", pa.int64())]))
-
     labels = fold_partials(
-        edges.map_batches(init_partial, batch_format="pyarrow")
+        edges.map_batches(_init_label_partial, batch_format="pyarrow")
     ).sort("node")
     if labels.height == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})

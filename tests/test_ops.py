@@ -674,3 +674,31 @@ def test_top_k_per_group_nulls_last(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(2)
     out = top_k_per_group(ds, "g", 2, [("score", True), ("id", False)]).take_all()
     assert sorted((r["score"], r["id"]) for r in out) == [(3, 3), (5, 1)]
+
+
+def test_cluster_pairs_dataset_join_mode_forced(ray_session):
+    """round-3 verdict #1: the partitioned-join label path (no per-round
+    label broadcast, no driver fold) must match union-find exactly on
+    the same random graphs as the broadcast path."""
+    import ray.data
+
+    from jitsu_ray.ops.dedup import cluster_pairs_dataset
+
+    rng = np.random.default_rng(78)
+    for trial in range(3):
+        n_edges = int(rng.integers(5, 60))
+        a = rng.integers(0, 40, size=n_edges)
+        b = a + rng.integers(1, 10, size=n_edges)
+        pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        uf = cluster_pairs(pairs)
+        out = cluster_pairs_dataset(
+            ray.data.from_arrow(pairs), label_mode="join"
+        )
+        got = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+        assert got == {k: uf[k] for k in got} and set(got) == set(uf), f"trial {trial}"
+    # the worst-case chain (deep diameter) through the join path too
+    a = list(range(100, 111))
+    b = list(range(101, 112))
+    pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    out = cluster_pairs_dataset(ray.data.from_arrow(pairs), label_mode="join")
+    assert set(out["cluster"].to_pylist()) == {100}
