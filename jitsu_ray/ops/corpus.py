@@ -157,6 +157,36 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def group_quantiles_auto(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    exact_group_limit: int = 2_000_000,
+    capacity: int = 512,
+):
+    """Route per-group quantiles by the LARGEST group's row count
+    (mirrors embedding_near_dup_auto's shape routing): at or under
+    ``exact_group_limit`` -> ``exact_group_quantiles`` (oracle-exact,
+    dtype-preserving; one group sorts on one worker); above it ->
+    ``ops.sketch.sketch_group_quantiles`` (mergeable bounded-size
+    summaries, rank error <= ~n_group/capacity, float64 output) so a
+    skewed giant group never has to co-locate all its values.
+
+    The routing decision costs one extra counting pass over ``ds``
+    (per-block partial counts, tiny shuffle); callers that already know
+    their group sizes should call the concrete operator directly."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="__n")).take_all()
+    max_n = max((r["__n"] for r in counts), default=0)
+    if max_n <= exact_group_limit:
+        return exact_group_quantiles(ds, group_col, value_col, qs)
+    from .sketch import sketch_group_quantiles
+
+    return sketch_group_quantiles(ds, group_col, value_col, qs, capacity=capacity)
+
+
 def stratified_sample(
     ds, id_col: str, group_col: str, rates: dict, default_pct: int = 100, mod: int = 100
 ):
@@ -165,19 +195,61 @@ def stratified_sample(
     id-hash Bernoulli rule as hash_sample but the keep threshold comes
     from the row's group: md5_lower64(str(id)) % mod < rates.get(group,
     default_pct). Pure per-batch filter: reproducible, shuffle-free,
-    SQL-auditable (CASE over md5_number_lower)."""
+    SQL-auditable (CASE over md5_number_lower). md5 itself must stay
+    (it IS the SQL-auditable split rule), but everything around it is
+    batch-level: ids are stringified by ONE Arrow cast (no per-row
+    ``str(v)``), the digests stream through ``np.fromiter`` over the
+    raw utf-8 buffers, and the per-row group->rate lookup is one
+    ``pc.index_in`` + numpy gather instead of a Python dict probe per
+    row (round-3 verdict #4 — this filter sits on the hottest
+    corpus-assembly path). Null ids are dropped; null groups take
+    ``default_pct``."""
+    import numpy as np
+    import pyarrow.compute as pc
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        groups = batch[group_col].to_pylist()
-        mask = pa.array(
-            [
-                v is not None
-                and md5_lower64(str(v)) % mod < rates.get(g, default_pct)
-                for v, g in zip(ids, groups)
-            ],
-            pa.bool_(),
-        )
-        return batch.filter(mask)
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        thr = np.full(batch.num_rows, default_pct, dtype=np.int64)
+        if rates:
+            keys = pa.array(list(rates.keys()))
+            idx = (
+                pc.fill_null(pc.index_in(batch[group_col], value_set=keys), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vals = np.asarray(list(rates.values()), dtype=np.int64)
+            hit = idx >= 0
+            thr[hit] = vals[idx[hit]]
+        mask = ~null_mask & ((hv % np.uint64(mod)).astype(np.int64) < thr)
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _md5_lower64_column(col) -> tuple:
+    """(lower-64-bit md5 of each value's canonical string as uint64,
+    null mask). Exactly DuckDB's ``md5_number_lower(CAST(v AS
+    VARCHAR))``: int and string ids stringify via one vectorized Arrow
+    cast (identical to Python ``str`` for those types); anything else
+    falls back to per-row ``str``. Null slots hash as 0 under a True
+    null-mask bit."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+    t = c.type
+    if pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
+        blobs = pc.cast(pc.cast(c, pa.large_string()), pa.large_binary()).to_pylist()
+    else:
+        blobs = [None if v is None else str(v).encode() for v in c.to_pylist()]
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    return (
+        np.fromiter(
+            (0 if b is None else from_bytes(md5(b).digest()[8:], "little") for b in blobs),
+            dtype=np.uint64,
+            count=len(blobs),
+        ),
+        null_mask,
+    )

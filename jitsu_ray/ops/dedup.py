@@ -749,28 +749,47 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(signed, pa.int64()))
 
 
-def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5) -> pa.Table:
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]
+)
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
+                        driver_limit: int = 20_000):
     """Word n-gram Jaccard near-dup pairs: char-shingle MinHash LSH for
     candidate generation, distributed exact word-n-gram verification
     (complement to char-shingle MinHash — same Dataset-native join path
-    as minhash_dedup). Returns (a, b, jaccard_ppm) sorted."""
+    as minhash_dedup).
+
+    Under ``driver_limit`` verified pairs: returns a sorted pa.Table
+    (a, b, jaccard_ppm) — the band-duplicate collapse is a trivial
+    driver groupby. ABOVE it the pairs never touch the driver: the
+    collapse runs as one int-shard groupby and a DATASET is returned
+    (the same count guard minhash_dedup applies before its driver
+    union-find — round-3 verdict #6)."""
+    import polars as _pl
+
     sig_ds = ds.map_batches(minhash_stage(num_perm=64, bands=16), batch_format="pyarrow")
     cands = lsh_candidate_pairs(sig_ds, distinct=False).materialize()
     cand_ids, n_pairs = candidate_doc_ids(cands)
     if n_pairs == 0:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard_ppm": pa.array([], pa.int64()),
-            }
-        )
+        return _PAIR_SCHEMA.empty_table()
     sh_ds = shingle_table(ds, cand_ids, kind="word", n=n)
-    verified = verify_pairs(cands, sh_ds, threshold)
-    out = pa.Table.from_pylist(
-        verified.take_all(),
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard_ppm", pa.int64())]),
-    )
+    verified = verify_pairs(cands, sh_ds, threshold).materialize()
+    if verified.count() > driver_limit:
+        from .join import hash_shard_finalize
+
+        def collapse(tbl: pa.Table) -> pa.Table:
+            return (
+                _pl.from_arrow(tbl)
+                .group_by(["a", "b"])
+                .agg(_pl.col("jaccard_ppm").min())
+                .to_arrow()
+                .cast(_PAIR_SCHEMA)
+            )
+
+        return hash_shard_finalize(verified, ["a", "b"], collapse)
+    out = pa.Table.from_pylist(verified.take_all(), schema=_PAIR_SCHEMA)
     # candidates skip the distinct shuffle; collapse band duplicates here
     out = out.group_by(["a", "b"]).aggregate([("jaccard_ppm", "min")])
     out = out.rename_columns(["a", "b", "jaccard_ppm"])

@@ -702,3 +702,81 @@ def test_cluster_pairs_dataset_join_mode_forced(ray_session):
     pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     out = cluster_pairs_dataset(ray.data.from_arrow(pairs), label_mode="join")
     assert set(out["cluster"].to_pylist()) == {100}
+
+
+def test_group_quantiles_auto_routing(ray_session):
+    # round-3 verdict #3: the router must pick the sketch when a group
+    # exceeds the exact limit (respecting the rank bound) and stay on
+    # the dtype-preserving exact path otherwise
+    import ray.data
+
+    from jitsu_ray.ops.corpus import group_quantiles_auto
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 10_000, size=30_000)  # skewed giant group
+    small = rng.integers(0, 100, size=50)
+    tbl = pa.table(
+        {
+            "g": pa.array(["big"] * len(big) + ["small"] * len(small)),
+            "v": pa.array(np.concatenate([big, small]), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    exact = {r["g"]: r for r in group_quantiles_auto(ds, "g", "v", [0.5]).take_all()}
+    assert isinstance(exact["big"]["q50"], int)  # exact path, dtype kept
+    routed = {
+        r["g"]: r
+        for r in group_quantiles_auto(
+            ds, "g", "v", [0.5], exact_group_limit=1000
+        ).take_all()
+    }
+    assert isinstance(routed["big"]["q50"], float)  # sketch path picked
+    true_rank = (big <= routed["big"]["q50"]).mean()
+    assert abs(true_rank - 0.5) < 0.05  # rank bound respected
+
+
+def test_stratified_sample_string_and_null_ids(ray_session):
+    # vectorized md5 filter parity: string ids hash identically to
+    # md5_lower64(str(v)); null ids drop; null groups take the default
+    import ray.data
+
+    from jitsu_ray.ops.corpus import stratified_sample
+    from jitsu_ray.util import md5_lower64
+
+    ids = [f"id-{i}" for i in range(200)] + [None]
+    groups = (["a", "b", None, "c"] * 51)[: len(ids)]
+    tbl = pa.table({"id": pa.array(ids, pa.string()), "g": pa.array(groups)})
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), "id", "g", {"a": 25}, default_pct=60
+    ).take_all()
+    got = {(r["id"], r["g"]) for r in out}
+    expect = {
+        (v, g)
+        for v, g in zip(ids, groups)
+        if v is not None
+        and md5_lower64(str(v)) % 100 < (25 if g == "a" else 60)
+    }
+    assert got == expect
+
+
+def test_ngram_pairs_dataset_guard(ray_session):
+    # round-3 verdict #6: above the driver limit, verified pairs stay a
+    # Dataset (distributed band-duplicate collapse), identical rows
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    tbl = ngram_jaccard_pairs(ds, n=3, threshold=0.5)  # table path
+    guarded = ngram_jaccard_pairs(ds, n=3, threshold=0.5, driver_limit=0)
+    assert not isinstance(guarded, pa.Table)
+    got = sorted(
+        (r["a"], r["b"], r["jaccard_ppm"]) for r in guarded.take_all()
+    )
+    want = sorted(
+        zip(
+            tbl["a"].to_pylist(),
+            tbl["b"].to_pylist(),
+            tbl["jaccard_ppm"].to_pylist(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -206,3 +206,23 @@ def test_bucket_asof_join_matches_global_polars(ray_session, case):
     )
     exp = dict(zip(exp_df["lid"].to_list(), exp_df["val"].to_list()))
     assert got == exp
+
+
+def test_corpus_pipeline_staged_path_matches(ray_session, monkeypatch):
+    # round-3 verdict #5: forcing the staging budget to 0 routes the
+    # pinned intermediate through a durable parquet staging write; the
+    # pipeline output must be identical to the object-store path
+    from jitsu_ray.queries import q_corpus_pipeline
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(
+            (r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_md5"])
+            for r in ds.take_all()
+        )
+
+    base = rows(q_corpus_pipeline(sf))
+    monkeypatch.setenv("JITSU_STAGE_BUDGET_BYTES", "0")
+    staged = rows(q_corpus_pipeline(sf))
+    assert staged == base and len(base) > 0
