@@ -164,6 +164,7 @@ def group_quantiles_auto(
     qs: list[float],
     exact_group_limit: int = 2_000_000,
     capacity: int = 512,
+    total_rows_hint: int | None = None,
 ):
     """Route per-group quantiles by the LARGEST group's row count
     (mirrors embedding_near_dup_auto's shape routing): at or under
@@ -173,9 +174,17 @@ def group_quantiles_auto(
     summaries, rank error <= ~n_group/capacity, float64 output) so a
     skewed giant group never has to co-locate all its values.
 
-    The routing decision costs one extra counting pass over ``ds``
-    (per-block partial counts, tiny shuffle); callers that already know
-    their group sizes should call the concrete operator directly."""
+    ``total_rows_hint`` — an UPPER BOUND on the input row count (e.g.
+    parquet footer ``num_rows`` the caller already has from the read):
+    no group can exceed the total, so a hint at or under the limit
+    settles the routing for FREE. Without a settling hint the decision
+    costs one extra counting pass over ``ds`` (per-block partial
+    counts, tiny shuffle — measured ~0.7 s on a 100k-row sf0.1 input,
+    i.e. the pass roughly doubles small-job wall time); callers that
+    already know their group sizes should call the concrete operator
+    directly."""
+    if total_rows_hint is not None and total_rows_hint <= exact_group_limit:
+        return exact_group_quantiles(ds, group_col, value_col, qs)
     from ray.data.aggregate import Count
 
     counts = ds.groupby(group_col).aggregate(Count(alias_name="__n")).take_all()

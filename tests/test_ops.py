@@ -734,6 +734,26 @@ def test_group_quantiles_auto_routing(ray_session):
     assert isinstance(routed["big"]["q50"], float)  # sketch path picked
     true_rank = (big <= routed["big"]["q50"]).mean()
     assert abs(true_rank - 0.5) < 0.05  # rank bound respected
+    # a total-rows hint at or under the limit settles routing for free
+    # (no counting pass) and must give the exact path
+    hinted = {
+        r["g"]: r
+        for r in group_quantiles_auto(
+            ds, "g", "v", [0.5], total_rows_hint=len(big) + len(small)
+        ).take_all()
+    }
+    assert hinted == exact
+    # an over-limit hint must NOT force the sketch: the counting pass
+    # still runs and routes by the actual max group size
+    loose = {
+        r["g"]: r
+        for r in group_quantiles_auto(
+            ds, "g", "v", [0.5],
+            exact_group_limit=len(big) + 1,
+            total_rows_hint=len(big) + len(small),
+        ).take_all()
+    }
+    assert loose == exact
 
 
 def test_stratified_sample_string_and_null_ids(ray_session):
