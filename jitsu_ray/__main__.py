@@ -19,6 +19,25 @@ import os
 import sys
 
 
+def merge_spooled_records(spool_dir: str, records: list[dict]) -> list[dict]:
+    """Merge this run's spooled-window records into
+    ``<spool_dir>/spooled.json`` and return the merged list. MERGE, not
+    overwrite: a restarted stream resumes past the watermark, so an
+    earlier run's still-unrecovered {lo, hi, dir} records must survive —
+    they are the only shipped input to ``replay_spooled`` force-apply
+    recovery. Records dedupe by spool ``dir`` (one dir per window)."""
+    sp_path = os.path.join(spool_dir, "spooled.json")
+    prior: list[dict] = []
+    if os.path.exists(sp_path):
+        with open(sp_path) as f:
+            prior = json.load(f)
+    seen_dirs = {e["dir"] for e in prior}
+    prior.extend(e for e in records if e["dir"] not in seen_dirs)
+    with open(sp_path, "w") as f:
+        json.dump(prior, f)
+    return prior
+
+
 def _session():
     import ray
 
@@ -91,12 +110,12 @@ def main(argv=None):
         m = rep.run_streaming(spool_dir=args.spool)
         # keep the {lo, hi, dir} records: replay_spooled needs them for
         # force-apply recovery at the ORIGINAL window bounds. Persist
-        # them next to the spooled parquet too, so recovery survives the
+        # them next to the spooled parquet too (merged with earlier
+        # runs' still-unrecovered records), so recovery survives the
         # CLI process (round-3 ADVICE: the count-only summary shipped no
         # recovery path).
         if args.spool and m["spooled"]:
-            with open(os.path.join(args.spool, "spooled.json"), "w") as f:
-                json.dump(m["spooled"], f)
+            merge_spooled_records(args.spool, m["spooled"])
         m["spooled_count"] = len(m["spooled"])
         print(json.dumps(m))
     elif args.cmd == "compact":

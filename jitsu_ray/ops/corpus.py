@@ -218,7 +218,10 @@ def stratified_sample(
 
     def keep(batch: pa.Table) -> pa.Table:
         hv, null_mask = _md5_lower64_column(batch[id_col])
-        thr = np.full(batch.num_rows, default_pct, dtype=np.int64)
+        # float64 thresholds: the pre-vectorization Python comparison
+        # accepted fractional rates (25.5 kept hashes 0..25), and an
+        # int64 cast would silently truncate them; exact for mod < 2^53
+        thr = np.full(batch.num_rows, float(default_pct), dtype=np.float64)
         if rates:
             keys = pa.array(list(rates.keys()))
             idx = (
@@ -226,10 +229,10 @@ def stratified_sample(
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            vals = np.asarray(list(rates.values()), dtype=np.int64)
+            vals = np.asarray(list(rates.values()), dtype=np.float64)
             hit = idx >= 0
             thr[hit] = vals[idx[hit]]
-        mask = ~null_mask & ((hv % np.uint64(mod)).astype(np.int64) < thr)
+        mask = ~null_mask & ((hv % np.uint64(mod)).astype(np.float64) < thr)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -467,7 +467,7 @@ def _min_fold_dataset(ds):
     )
 
 
-def _cluster_join_mode(edges, max_iters: int):
+def _cluster_join_mode(edges, max_iters: int, hot_label_threshold: int = 2_000_000):
     """Label propagation with the label table PARTITIONED, never
     broadcast — the >1e8-node path (round-3 verdict #1). Per round:
 
@@ -481,12 +481,28 @@ def _cluster_join_mode(edges, max_iters: int):
     Labels are monotone non-increasing per node and the node set is
     fixed, so sum(label) strictly decreases until the fixpoint —
     convergence is detected by one cheap Sum aggregate instead of
-    comparing label tables. Returns the converged labels Dataset."""
+    comparing label tables. Returns the converged labels Dataset.
+
+    SKEW: the jump's LEFT side buckets by label value, and a collapsing
+    giant component concentrates most rows under ONE label — the exact
+    one-bucket co-location this path exists to avoid. Per round a
+    label-frequency count (per-batch partial + int-shard fold, output
+    <= label-table rows) finds labels with count > ``hot_label_threshold``;
+    hot rows skip the join and jump through a TINY lookup of just the
+    hot labels' own label rows — at most rows/threshold entries by
+    definition (50 at 1e8 rows / 2e6 threshold), so the closure capture
+    is bounded regardless of graph shape. Cold rows take the bucket
+    join against the full (key-unique, uniformly bucketed) label table.
+    The proposal join's left side buckets by src, where per-node skew
+    is bounded by max candidate-pair degree (LSH bands cap pairs per
+    doc upstream), not by component size."""
+    import numpy as _np
+    import polars as _pl
     import pyarrow.compute as _pc
 
     from ray.data.aggregate import Sum
 
-    from .join import bucket_hash_join
+    from .join import bucket_hash_join, hash_shard_finalize
 
     def rename_to(n_col: str, l_col: str):
         def run(batch: pa.Table) -> pa.Table:
@@ -517,20 +533,94 @@ def _cluster_join_mode(edges, max_iters: int):
             _MIN_LABEL_SCHEMA
         )
 
+    _freq_schema = pa.schema([("label", pa.int64()), ("n", pa.int64())])
+
+    def freq_partial(tbl: pa.Table) -> pa.Table:
+        return (
+            _pl.from_arrow(tbl)
+            .group_by("label")
+            .agg(_pl.len().cast(_pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(_freq_schema)
+        )
+
+    def freq_final(tbl: pa.Table) -> pa.Table:
+        return (
+            _pl.from_arrow(tbl)
+            .group_by("label")
+            .agg(_pl.col("n").sum())
+            .to_arrow()
+            .cast(_freq_schema)
+        )
+
+    def hot_labels(lbls) -> _np.ndarray:
+        """Sorted array of label values whose row count exceeds the hot
+        threshold — bounded by rows/threshold entries by definition."""
+        freq = hash_shard_finalize(
+            lbls.map_batches(freq_partial, batch_format="pyarrow"),
+            ["label"],
+            freq_final,
+        )
+        rows = freq.map_batches(
+            lambda t: t.filter(_pc.greater(t["n"], hot_label_threshold)),
+            batch_format="pyarrow",
+        ).take_all()
+        return _np.array(sorted(r["label"] for r in rows), dtype=_np.int64)
+
     for _ in range(max_iters):
         # pointer jump first (labels x labels, one row per node), then
         # propose the JUMPED label over each edge — label(label(src)),
         # the same doubled step as the broadcast path's lookup(lookup()),
         # so both modes converge in the same number of rounds
-        jumped = (
-            bucket_hash_join(
-                labels,
-                labels.map_batches(rename_to("node2", "label2"), batch_format="pyarrow"),
-                "label",
-                "node2",
-                how="left outer",
+        hot = hot_labels(labels)
+        if len(hot):
+            hot_pa = pa.array(hot, pa.int64())
+            # the hot labels' OWN rows give label(h) for each hot h —
+            # at most len(hot) rows, fetched once per round
+            l2_of = {
+                r["node"]: r["label"]
+                for r in labels.map_batches(
+                    lambda t: t.filter(_pc.is_in(t["node"], value_set=hot_pa)),
+                    batch_format="pyarrow",
+                ).take_all()
+            }
+            hot_l2 = _np.array(
+                [l2_of.get(int(h), int(h)) for h in hot], dtype=_np.int64
             )
-            .map_batches(jump_fold, batch_format="pyarrow")
+
+            def jump_hot(batch: pa.Table, _hot=hot, _l2=hot_l2) -> pa.Table:
+                lab = batch["label"].to_numpy(zero_copy_only=False)
+                idx = _np.clip(_np.searchsorted(_hot, lab), 0, len(_hot) - 1)
+                l2 = _np.where(_hot[idx] == lab, _l2[idx], lab)
+                return pa.table(
+                    {
+                        "node": batch["node"],
+                        "label": pa.array(_np.minimum(lab, l2), pa.int64()),
+                    }
+                ).cast(_MIN_LABEL_SCHEMA)
+
+            def pick(want_hot: bool, _hot_pa=hot_pa):
+                def run(t: pa.Table) -> pa.Table:
+                    m = _pc.is_in(t["label"], value_set=_hot_pa)
+                    return t.filter(m if want_hot else _pc.invert(m))
+
+                return run
+
+            cold = labels.map_batches(pick(False), batch_format="pyarrow")
+            hot_jumped = labels.map_batches(
+                pick(True), batch_format="pyarrow"
+            ).map_batches(jump_hot, batch_format="pyarrow")
+        else:
+            cold, hot_jumped = labels, None
+        cold_jumped = bucket_hash_join(
+            cold,
+            labels.map_batches(rename_to("node2", "label2"), batch_format="pyarrow"),
+            "label",
+            "node2",
+            how="left outer",
+        ).map_batches(jump_fold, batch_format="pyarrow")
+        jumped = (
+            (cold_jumped.union(hot_jumped) if hot_jumped is not None else cold_jumped)
             .repartition(n_blocks)
             .materialize()
         )
@@ -558,7 +648,9 @@ def cluster_pairs_dataset(
     max_iters: int = 50,
     label_mode: str = "auto",
     broadcast_node_limit: int = 4_000_000,
-) -> pa.Table:
+    as_dataset: bool = False,
+    hot_label_threshold: int = 2_000_000,
+):
     """Distributed connected components by min-label propagation with
     pointer jumping: each round every edge proposes label(label(src))
     to its destination, chains collapse in O(log diameter) rounds.
@@ -581,7 +673,11 @@ def cluster_pairs_dataset(
         ``broadcast_node_limit`` (nodes <= edges; limit default ~64 MB
         of int64 pairs per worker heap), else broadcast.
 
-    Returns pa.Table (doc_id, cluster=component min id), sorted."""
+    Returns pa.Table (doc_id, cluster=component min id), sorted — or,
+    with ``as_dataset=True``, the same columns as a doc_id-sorted
+    DATASET that never lands on the driver (the return shape a
+    >1e8-node run must use: even as zero-copy Arrow the label table is
+    GBs there)."""
     import polars as _pl
     import ray as _ray
 
@@ -595,12 +691,30 @@ def cluster_pairs_dataset(
     if label_mode == "join" or (
         label_mode == "auto" and edges.count() > broadcast_node_limit
     ):
-        out = _cluster_join_mode(edges, max_iters)
-        tbl = pa.Table.from_pylist(out.take_all(), schema=_MIN_LABEL_SCHEMA)
-        return (
-            tbl.rename_columns(["doc_id", "cluster"])
-            .sort_by([("doc_id", "ascending")])
-        )
+        out = _cluster_join_mode(edges, max_iters, hot_label_threshold)
+
+        def to_result(batch: pa.Table) -> pa.Table:
+            return batch.cast(_MIN_LABEL_SCHEMA).rename_columns(
+                ["doc_id", "cluster"]
+            )
+
+        renamed = out.map_batches(to_result, batch_format="pyarrow")
+        if as_dataset:
+            return renamed.sort("doc_id")
+        # table return: fetch the ARROW BLOCKS (zero per-row Python —
+        # take_all()+from_pylist would build 1e8 dicts on the driver)
+        blocks = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in _ray.get(
+                [r for bd in renamed.iter_internal_ref_bundles() for r in bd.block_refs]
+            )
+        ]
+        blocks = [b for b in blocks if b.num_rows]
+        if not blocks:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(blocks).sort_by([("doc_id", "ascending")])
 
     def fold_partials(ds) -> _pl.DataFrame:
         mat = ds.materialize()

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import numpy as np
 import polars as pl
@@ -99,9 +98,11 @@ def _materialize_or_stage(ds, input_bytes_hint: int, tag: str):
     budget = int(os.environ.get("JITSU_STAGE_BUDGET_BYTES", str(4 << 30)))
     if input_bytes_hint <= budget:
         return ds.materialize()
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), "jitsu_ray_cache", f"stage_{tag}_{os.getpid()}"
-    )
+    # stale-sweep dead processes' staging dirs (live-pid protected) so
+    # above-budget runs can't accumulate corpus-sized parquet on disk;
+    # our own same-tag leftover (incl. pid reuse) is swept and rebuilt
+    _sweep_stale_lakes(f"stage_{tag}_")
+    stage_dir = os.path.join(CACHE_DIR, f"stage_{tag}_{os.getpid()}")
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir, exist_ok=True)
     ds.write_parquet(stage_dir)

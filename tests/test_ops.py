@@ -800,3 +800,56 @@ def test_ngram_pairs_dataset_guard(ray_session):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_cluster_join_mode_hot_path_and_dataset_return(ray_session):
+    # round-4 review: (a) a collapsing giant component must not funnel
+    # the jump join into one bucket — hot labels take the bounded-lookup
+    # path (forced here with threshold 1 so EVERY label is hot); (b) the
+    # as_dataset return never drivers the label table
+    import ray.data
+
+    from jitsu_ray.ops.dedup import cluster_pairs_dataset
+
+    # star + chain: one giant component (all of 0..30) plus a 2-node one
+    a = [0] * 15 + list(range(15, 30)) + [100]
+    b = list(range(1, 16)) + list(range(16, 31)) + [101]
+    pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    uf = cluster_pairs(pairs)
+    for thr in (1, 3):
+        out = cluster_pairs_dataset(
+            ray.data.from_arrow(pairs), label_mode="join", hot_label_threshold=thr
+        )
+        got = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+        assert got == uf, f"threshold {thr}"
+    ds_out = cluster_pairs_dataset(
+        ray.data.from_arrow(pairs), label_mode="join", as_dataset=True,
+        hot_label_threshold=1,
+    )
+    assert not isinstance(ds_out, pa.Table)
+    rows = ds_out.take_all()
+    assert {r["doc_id"]: r["cluster"] for r in rows} == uf
+    assert [r["doc_id"] for r in rows] == sorted(uf)  # doc_id-sorted
+
+
+def test_stratified_sample_fractional_rates(ray_session):
+    # round-4 review: fractional percentages must not silently truncate
+    # (25.5 keeps hashes 0..25, exactly like the pre-vectorized filter)
+    import ray.data
+
+    from jitsu_ray.ops.corpus import stratified_sample
+    from jitsu_ray.util import md5_lower64
+
+    ids = list(range(400))
+    groups = ["a", "b"] * 200
+    tbl = pa.table({"id": pa.array(ids, pa.int64()), "g": pa.array(groups)})
+    out = stratified_sample(
+        ray.data.from_arrow(tbl), "id", "g", {"a": 25.5}, default_pct=60.5
+    ).take_all()
+    got = {r["id"] for r in out}
+    expect = {
+        v
+        for v, g in zip(ids, groups)
+        if md5_lower64(str(v)) % 100 < (25.5 if g == "a" else 60.5)
+    }
+    assert got == expect

@@ -158,3 +158,21 @@ def test_streaming_mode_spool_and_replay(ray_session, tmp_path):
     got = state_fingerprint(lake.read().take_all())
     exp = state_fingerprint(oracle_final_state(tbl).to_pylist())
     assert got == exp
+
+
+def test_merge_spooled_records_survives_restart(tmp_path):
+    # round-4 review: a restarted stream's spooled.json must MERGE with
+    # earlier runs' still-unrecovered records, not overwrite them
+    from jitsu_ray.__main__ import merge_spooled_records
+
+    spool = str(tmp_path)
+    w1 = {"lo": 0, "hi": 1000, "dir": str(tmp_path / "w0")}
+    w2 = {"lo": 3000, "hi": 4000, "dir": str(tmp_path / "w3")}
+    assert merge_spooled_records(spool, [w1]) == [w1]
+    assert merge_spooled_records(spool, [w2]) == [w1, w2]  # run 2 keeps W1
+    # idempotent on re-report of the same window
+    assert merge_spooled_records(spool, [w2]) == [w1, w2]
+    import json as _json
+
+    with open(tmp_path / "spooled.json") as f:
+        assert _json.load(f) == [w1, w2]
