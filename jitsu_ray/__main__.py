@@ -25,17 +25,44 @@ def merge_spooled_records(spool_dir: str, records: list[dict]) -> list[dict]:
     overwrite: a restarted stream resumes past the watermark, so an
     earlier run's still-unrecovered {lo, hi, dir} records must survive —
     they are the only shipped input to ``replay_spooled`` force-apply
-    recovery. Records dedupe by spool ``dir`` (one dir per window)."""
+    recovery. Records dedupe by spool ``dir`` (one dir per window).
+
+    Durability matches what the file is FOR: the read-modify-write runs
+    under the same O_EXCL spin-lock shape as the lake meta lock (two
+    concurrent stream processes sharing a spool dir must not drop each
+    other's records), and the rewrite is tmp + os.replace so a crash
+    mid-write can't truncate the only copy of earlier recovery bounds."""
+    import tempfile
+    import time
+
     sp_path = os.path.join(spool_dir, "spooled.json")
-    prior: list[dict] = []
-    if os.path.exists(sp_path):
-        with open(sp_path) as f:
-            prior = json.load(f)
-    seen_dirs = {e["dir"] for e in prior}
-    prior.extend(e for e in records if e["dir"] not in seen_dirs)
-    with open(sp_path, "w") as f:
-        json.dump(prior, f)
-    return prior
+    lock = sp_path + ".lock"
+    deadline = time.monotonic() + 10.0
+    while True:
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stale spool lock {lock} (crashed writer?) — remove it "
+                    "manually after confirming no stream process is live"
+                )
+            time.sleep(0.01)
+    try:
+        prior: list[dict] = []
+        if os.path.exists(sp_path):
+            with open(sp_path) as f:
+                prior = json.load(f)
+        seen_dirs = {e["dir"] for e in prior}
+        prior.extend(e for e in records if e["dir"] not in seen_dirs)
+        fd, tmp = tempfile.mkstemp(dir=spool_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(prior, f)
+        os.replace(tmp, sp_path)
+        return prior
+    finally:
+        os.unlink(lock)
 
 
 def _session():

@@ -513,8 +513,13 @@ def _cluster_join_mode(edges, max_iters: int, hot_label_threshold: int = 2_000_0
     labels = _min_fold_dataset(
         edges.map_batches(_init_label_partial, batch_format="pyarrow")
     ).materialize()
-    if labels.count() == 0:
+    n_nodes = labels.count()
+    if n_nodes == 0:
         return labels
+    # the node count is FIXED across rounds and bounds every label's
+    # frequency, so under the threshold no label can ever be hot — skip
+    # the per-round frequency shuffle entirely
+    detect_hot = n_nodes > hot_label_threshold
     cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
     # FIXED per-round block budget: Ray's sort shuffle emits ~as many
     # blocks as it consumes, and each round stacks two joins + a fold —
@@ -572,7 +577,7 @@ def _cluster_join_mode(edges, max_iters: int, hot_label_threshold: int = 2_000_0
         # propose the JUMPED label over each edge — label(label(src)),
         # the same doubled step as the broadcast path's lookup(lookup()),
         # so both modes converge in the same number of rounds
-        hot = hot_labels(labels)
+        hot = hot_labels(labels) if detect_hot else _np.empty(0, _np.int64)
         if len(hot):
             hot_pa = pa.array(hot, pa.int64())
             # the hot labels' OWN rows give label(h) for each hot h —

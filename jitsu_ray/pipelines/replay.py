@@ -225,6 +225,7 @@ class Replayer:
         Returns run metrics incl. per-window commit latency p50/p95/max
         (seconds) and retried/spooled counts."""
         import os
+        import shutil
 
         from ..sinks.retry import default_classify
 
@@ -255,6 +256,10 @@ class Replayer:
                     if spool_dir is None:
                         raise
                     sub = os.path.join(spool_dir, f"window-{lo:012d}-{hi:012d}")
+                    # idempotent spool: a restarted stream re-spooling the
+                    # same tail window must not APPEND a second copy (Ray's
+                    # write_parquet uuid-names files into an existing dir)
+                    shutil.rmtree(sub, ignore_errors=True)
                     self._stream_window(lo, hi).write_parquet(sub)
                     spooled.append(
                         {"lo": lo, "hi": hi, "dir": sub, "error": f"{type(e).__name__}: {e}"}

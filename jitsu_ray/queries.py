@@ -46,11 +46,14 @@ def _sweep_stale_lakes(prefix: str) -> None:
 
     for stale in _glob.glob(os.path.join(CACHE_DIR, prefix + "*")):
         pid_part = stale.rsplit("_", 1)[-1]
-        if pid_part.isdigit() and pid_part != str(os.getpid()):
-            if os.path.exists(f"/proc/{pid_part}"):
-                continue  # owning process still alive
-        elif pid_part == str(os.getpid()):
-            pass  # our own prior leftover (pid reuse across runs): sweep
+        # another pid that is still alive is a run mid-query: keep it.
+        # our OWN pid is a prior leftover (pid reuse across runs): sweep.
+        if (
+            pid_part.isdigit()
+            and pid_part != str(os.getpid())
+            and os.path.exists(f"/proc/{pid_part}")
+        ):
+            continue
         shutil.rmtree(stale, ignore_errors=True)
 
 

@@ -176,3 +176,54 @@ def test_merge_spooled_records_survives_restart(tmp_path):
 
     with open(tmp_path / "spooled.json") as f:
         assert _json.load(f) == [w1, w2]
+
+
+def test_merge_spooled_records_concurrent_writers(tmp_path):
+    # round-4 review: two stream processes sharing a spool dir must not
+    # drop each other's records (O_EXCL lock around the read-modify-write)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jitsu_ray.__main__ import merge_spooled_records
+
+    recs = [
+        {"lo": i * 1000, "hi": (i + 1) * 1000, "dir": str(tmp_path / f"w{i}")}
+        for i in range(20)
+    ]
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(lambda r: merge_spooled_records(str(tmp_path), [r]), recs))
+    import json as _json
+
+    with open(tmp_path / "spooled.json") as f:
+        merged = _json.load(f)
+    assert sorted(e["lo"] for e in merged) == [i * 1000 for i in range(20)]
+
+
+def test_respool_same_window_is_idempotent(ray_session, tmp_path):
+    # round-4 review: a restarted stream re-spooling the same tail window
+    # must not APPEND a second parquet copy into the deterministic dir
+    import pyarrow.parquet as _pq
+
+    from jitsu_ray.sinks.retry import PermanentSinkError
+
+    tbl = gen_changelog(n_events=3000, n_repos=10, seed=23)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class BrokenTail(LakeTable):
+        def apply_window(self, ds, lo, hi, **kw):
+            if lo == 2000:
+                raise PermanentSinkError("still down")
+            return super().apply_window(ds, lo, hi, **kw)
+
+    lake = BrokenTail.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    m1 = Replayer(log, lake, window_size=1000).run_streaming(
+        backoff_sec=0.01, spool_dir=str(tmp_path / "spool")
+    )
+    lake2 = BrokenTail.open(str(tmp_path / "lake"))
+    m2 = Replayer(log, lake2, window_size=1000).run_streaming(
+        backoff_sec=0.01, spool_dir=str(tmp_path / "spool")
+    )
+    assert m1["spooled"][0]["dir"] == m2["spooled"][0]["dir"]
+    spooled_rows = _pq.read_table(m2["spooled"][0]["dir"]).num_rows
+    n_window = sum(1 for s in tbl["commit_seq"].to_pylist() if 2000 < s <= 3000)
+    assert spooled_rows == n_window  # not doubled
