@@ -265,3 +265,77 @@ def _md5_lower64_column(col) -> tuple:
         ),
         null_mask,
     )
+
+
+def exact_group_distinct(ds, group_col: str, value_col: str):
+    """Exact per-group COUNT(DISTINCT value) — DuckDB
+    ``COUNT(DISTINCT v)`` semantics (NULL values don't count; a NULL
+    group is its own group), fully distributed:
+
+      1. per-batch distinct (group, value) pairs — the combiner: the
+         shuffle carries at most one row per pair per batch, never the
+         raw rows;
+      2. global pair distinct via ONE int-hash-shard groupby
+         (ops/join.hash_shard_finalize — no multi-column key sort);
+      3. per-shard per-group partial counts folded by a tiny Sum
+         groupby (output is one row per group).
+
+    Shuffle volume is bounded by the DISTINCT pair count; when that is
+    itself corpus-scale, ``ops.sketch.sketch_group_distinct`` is the
+    O(2^p)-state path (group_distinct_auto routes)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .join import hash_shard_finalize
+
+    def pair_unique(tbl: pa.Table) -> pa.Table:
+        sel = tbl.select([group_col, value_col])
+        sel = sel.filter(pc.is_valid(sel[value_col]))
+        return pl.from_arrow(sel).unique().to_arrow().cast(sel.schema)
+
+    uniq = hash_shard_finalize(
+        ds.map_batches(pair_unique, batch_format="pyarrow"),
+        [group_col, value_col],
+        pair_unique,
+    )
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        gtype = tbl.schema.field(group_col).type
+        out = (
+            pl.from_arrow(tbl.select([group_col]))
+            .group_by(group_col)
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        ).to_arrow()
+        return out.cast(pa.schema([(group_col, gtype), ("n", pa.int64())]))
+
+    return (
+        uniq.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+
+
+def group_distinct_auto(
+    ds,
+    group_col: str,
+    value_col: str,
+    exact_limit: int = 20_000_000,
+    p: int = 12,
+    total_rows_hint: int | None = None,
+):
+    """Route per-group distinct counts by input volume (the
+    group_quantiles_auto shape): at or under ``exact_limit`` rows ->
+    ``exact_group_distinct`` (oracle-exact; shuffle bounded by distinct
+    pairs <= rows); above it -> ``ops.sketch.sketch_group_distinct``
+    (O(2^p) state per group per batch, ~1.6% error at p=12). The row
+    count bounds the distinct-pair count, so ``total_rows_hint`` (e.g.
+    parquet footer num_rows) settles routing for free; without a hint
+    one ``ds.count()`` pass decides."""
+    n_rows = total_rows_hint if total_rows_hint is not None else ds.count()
+    if n_rows <= exact_limit:
+        return exact_group_distinct(ds, group_col, value_col)
+    from .sketch import sketch_group_distinct
+
+    return sketch_group_distinct(ds, group_col, value_col, p=p)

@@ -231,3 +231,131 @@ def sketch_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+class HyperLogLog:
+    """Mergeable cardinality sketch (Flajolet et al. 2007 HyperLogLog,
+    the public algorithm, with the standard small-range linear-counting
+    correction): ``m = 2**p`` byte registers; a 64-bit hash's top ``p``
+    bits pick a register and the leading-zero count (+1) of the
+    remaining bits updates it with max. merge() is a register-wise max —
+    associative/commutative, so per-batch partials fold through any
+    groupby. Standard error ~1.04/sqrt(m) (~1.6% at p=12 / 4 KB).
+    64-bit hashing makes the classic large-range correction
+    unnecessary at any realistic cardinality."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    @staticmethod
+    def _bit_length(w: np.ndarray) -> np.ndarray:
+        """Vectorized int.bit_length for uint64 (6 masked shift passes)."""
+        bl = np.zeros(w.shape, dtype=np.int64)
+        v = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            hit = (v >> np.uint64(shift)) != 0
+            bl[hit] += shift
+            v[hit] >>= np.uint64(shift)
+        bl[w != 0] += 1
+        return bl
+
+    def add_hashed(self, hv: np.ndarray) -> "HyperLogLog":
+        """Fold pre-hashed uint64 values in (hash quality is the
+        caller's contract — see ``hash64_column``)."""
+        hv = np.ascontiguousarray(hv, dtype=np.uint64)
+        if len(hv) == 0:
+            return self
+        idx = (hv >> np.uint64(64 - self.p)).astype(np.int64)
+        w = hv << np.uint64(self.p)  # remaining 64-p bits, high-aligned
+        rho = (64 - self._bit_length(w) + 1).clip(max=64 - self.p + 1)
+        np.maximum.at(self.regs, idx, rho.astype(np.uint8))
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if self.p != other.p:
+            raise ValueError("cannot merge sketches of different precision")
+        out = HyperLogLog(self.p)
+        np.maximum(self.regs, other.regs, out=out.regs)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 constant
+        e = alpha * m * m / np.sum(np.ldexp(1.0, -self.regs.astype(np.int64)))
+        if e <= 2.5 * m:
+            v = int(np.count_nonzero(self.regs == 0))
+            if v:
+                return m * np.log(m / v)  # linear counting small range
+        return float(e)
+
+    def to_state(self) -> dict:
+        import base64
+
+        return {"p": self.p, "r": base64.b64encode(self.regs.tobytes()).decode()}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "HyperLogLog":
+        import base64
+
+        out = cls(st["p"])
+        out.regs = np.frombuffer(
+            base64.b64decode(st["r"]), dtype=np.uint8
+        ).copy()
+        return out
+
+
+def hash64_column(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow column's NON-NULL values
+    (polars xxhash — C speed for any dtype, no per-row Python). Only
+    hash QUALITY matters to the HLL consumers, not cross-version
+    stability, so this is deliberately not the md5 SQL-parity hash."""
+    import polars as pl
+
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    s = pl.from_arrow(c.drop_null())
+    return s.hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def sketch_group_distinct(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate per-group COUNT(DISTINCT value) via mergeable HLL
+    sketches: one sketch per group per BATCH (map_batches partial, 4 KB
+    state at p=12), merged per group in the groupby — the shuffle
+    carries O(groups x batches x 2^p) bytes, never the values. The
+    scale path of ops.corpus.exact_group_distinct; output column
+    ``n_distinct`` is the rounded estimate (error ~1.04/sqrt(2^p))."""
+    import json
+
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
+        df = pl.from_arrow(batch.select([group_col, value_col]))
+        groups, states = [], []
+        for (g,), sub in df.group_by(group_col):
+            hv = sub[value_col].drop_nulls().hash(seed=0).to_numpy().astype(np.uint64)
+            groups.append(g)
+            states.append(json.dumps(HyperLogLog(p).add_hashed(hv).to_state()))
+        return pa.table(
+            {group_col: pa.array(groups, gtype), "__hll": pa.array(states, pa.string())}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        sk = HyperLogLog(p)
+        for st in group["__hll"].to_pylist():
+            sk = sk.merge(HyperLogLog.from_state(json.loads(st)))
+        return pa.table(
+            {
+                group_col: group[group_col].slice(0, 1).combine_chunks(),
+                "n_distinct": pa.array([int(round(sk.estimate()))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

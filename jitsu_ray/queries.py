@@ -1567,6 +1567,32 @@ FROM t GROUP BY event_type
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Per-type distinct-user cardinality — the audience/coverage QA a
+    pipeline runs per source (ops/corpus.group_distinct_auto). Routed:
+    at test scale the footer row count settles the oracle-exact
+    distributed distinct (per-batch pair combiner + int-shard distinct
+    fold + tiny Sum groupby) for free; corpus-scale inputs route to the
+    mergeable HyperLogLog (ops/sketch, ~1.6% at p=12) so the shuffle
+    carries 4 KB sketch states instead of the pair set."""
+    import pyarrow.parquet as pq
+
+    from .ops.corpus import group_distinct_auto
+
+    path = _t(sf_dir, "events")
+    ds = _read_sized(path, columns=["event_type", "user_id"])
+    return group_distinct_auto(
+        ds, "event_type", "user_id",
+        total_rows_hint=pq.ParquetFile(path).metadata.num_rows,
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def q_vocab_top20(sf_dir: str):
     """Corpus-wide vocabulary top-k: per-batch partial word counts
     (polars explode+count — the combiner) so the shuffle carries one row
@@ -1977,6 +2003,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "distinct_users_by_type": q_distinct_users,
 }
 
 ORACLES = {
@@ -2023,6 +2050,7 @@ ORACLES = {
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,
+    "distinct_users_by_type": SQL_DISTINCT_USERS,
 }
 
 

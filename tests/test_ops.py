@@ -853,3 +853,73 @@ def test_stratified_sample_fractional_rates(ray_session):
         if md5_lower64(str(v)) % 100 < (25.5 if g == "a" else 60.5)
     }
     assert got == expect
+
+
+def test_hll_error_bound_merge_and_state():
+    from jitsu_ray.ops.sketch import HyperLogLog, hash64_column
+
+    rng = np.random.default_rng(11)
+    vals = rng.choice(10_000_000, size=80_000, replace=False)
+    true_n = 50_000
+    a, b = vals[:40_000], vals[30_000:true_n]  # overlap: union is 50k distinct
+    ha = hash64_column(pa.array(a, pa.int64()))
+    hb = hash64_column(pa.array(b, pa.int64()))
+    ska = HyperLogLog(12).add_hashed(ha)
+    skb = HyperLogLog(12).add_hashed(hb)
+    merged = ska.merge(skb)
+    # merge == build over the union (register-wise max is exact)
+    direct = HyperLogLog(12).add_hashed(np.concatenate([ha, hb]))
+    assert np.array_equal(merged.regs, direct.regs)
+    est = merged.estimate()
+    assert abs(est - true_n) / true_n < 0.05  # ~1.6% expected at p=12
+    # state roundtrip survives serialization exactly
+    rt = HyperLogLog.from_state(merged.to_state())
+    assert np.array_equal(rt.regs, merged.regs) and rt.estimate() == est
+
+
+def test_exact_group_distinct(ray_session):
+    # DuckDB COUNT(DISTINCT v) semantics: null values don't count, a
+    # null group is its own group, group dtype (int32) is preserved
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_distinct
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, 1, None, None, 2, 2], pa.int32()),
+            "v": pa.array(["a", "a", "b", "c", None, None, "d"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = {r["g"]: r["n_distinct"] for r in exact_group_distinct(ds, "g", "v").take_all()}
+    assert out == {1: 2, None: 1, 2: 1}
+
+
+def test_group_distinct_auto_routing(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import group_distinct_auto
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    tbl = pa.table(
+        {
+            "g": pa.array(["x"] * n + ["y"] * 100),
+            "v": pa.array(
+                np.concatenate([rng.choice(100_000, n, replace=False),
+                                np.arange(100)]), pa.int64()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = {
+        r["g"]: r["n_distinct"]
+        for r in group_distinct_auto(ds, "g", "v", total_rows_hint=n + 100).take_all()
+    }
+    assert exact == {"x": n, "y": 100}  # hint routes the exact path
+    approx = {
+        r["g"]: r["n_distinct"]
+        for r in group_distinct_auto(ds, "g", "v", exact_limit=0).take_all()
+    }
+    assert abs(approx["x"] - n) / n < 0.06  # sketch path, error bound
+    assert abs(approx["y"] - 100) <= 5
