@@ -28,27 +28,20 @@ def merge_spooled_records(spool_dir: str, records: list[dict]) -> list[dict]:
     recovery. Records dedupe by spool ``dir`` (one dir per window).
 
     Durability matches what the file is FOR: the read-modify-write runs
-    under the same O_EXCL spin-lock shape as the lake meta lock (two
-    concurrent stream processes sharing a spool dir must not drop each
-    other's records), and the rewrite is tmp + os.replace so a crash
-    mid-write can't truncate the only copy of earlier recovery bounds."""
+    under a self-healing pid lock (two concurrent stream processes
+    sharing a spool dir must not drop each other's records, and a
+    SIGKILLed writer's stale lock must not block the restart-recovery
+    path this file exists to serve — util.acquire_pid_lock breaks locks
+    whose owner is verifiably dead), and the rewrite is tmp +
+    os.replace so a crash mid-write can't truncate the only copy of
+    earlier recovery bounds."""
     import tempfile
-    import time
+
+    from .util import acquire_pid_lock, release_pid_lock
 
     sp_path = os.path.join(spool_dir, "spooled.json")
     lock = sp_path + ".lock"
-    deadline = time.monotonic() + 10.0
-    while True:
-        try:
-            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            break
-        except FileExistsError:
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"stale spool lock {lock} (crashed writer?) — remove it "
-                    "manually after confirming no stream process is live"
-                )
-            time.sleep(0.01)
+    acquire_pid_lock(lock)
     try:
         prior: list[dict] = []
         if os.path.exists(sp_path):
@@ -62,7 +55,7 @@ def merge_spooled_records(spool_dir: str, records: list[dict]) -> list[dict]:
         os.replace(tmp, sp_path)
         return prior
     finally:
-        os.unlink(lock)
+        release_pid_lock(lock)
 
 
 def _session():

@@ -284,15 +284,17 @@ def exact_group_distinct(ds, group_col: str, value_col: str):
     itself corpus-scale, ``ops.sketch.sketch_group_distinct`` is the
     O(2^p)-state path (group_distinct_auto routes)."""
     import polars as pl
-    import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     from .join import hash_shard_finalize
 
     def pair_unique(tbl: pa.Table) -> pa.Table:
+        # NULL-value pairs are KEPT here (one per group per batch) so a
+        # group whose values are all NULL still reaches the count stage
+        # — COUNT(DISTINCT v) returns (g, 0) for it, it doesn't vanish
+        # (the count stage scores NULL pairs as 0)
         sel = tbl.select([group_col, value_col])
-        sel = sel.filter(pc.is_valid(sel[value_col]))
         return pl.from_arrow(sel).unique().to_arrow().cast(sel.schema)
 
     uniq = hash_shard_finalize(
@@ -304,11 +306,13 @@ def exact_group_distinct(ds, group_col: str, value_col: str):
     def count_partial(tbl: pa.Table) -> pa.Table:
         gtype = tbl.schema.field(group_col).type
         out = (
-            pl.from_arrow(tbl.select([group_col]))
+            pl.from_arrow(tbl.select([group_col, value_col]))
             .group_by(group_col)
-            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .agg(pl.col(value_col).is_not_null().sum().cast(pl.Int64).alias("n"))
         ).to_arrow()
-        return out.cast(pa.schema([(group_col, gtype), ("n", pa.int64())]))
+        return out.select([group_col, "n"]).cast(
+            pa.schema([(group_col, gtype), ("n", pa.int64())])
+        )
 
     return (
         uniq.map_batches(count_partial, batch_format="pyarrow")

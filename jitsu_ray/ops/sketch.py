@@ -308,16 +308,23 @@ class HyperLogLog:
         return out
 
 
-def hash64_column(col) -> np.ndarray:
+def _hash_series(s) -> np.ndarray:
+    """polars Series -> uint64 hashes of its non-null values (the ONE
+    place the HLL hashing contract lives)."""
+    return s.drop_nulls().hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def xxhash64_column(col) -> np.ndarray:
     """Vectorized 64-bit hash of an Arrow column's NON-NULL values
     (polars xxhash — C speed for any dtype, no per-row Python). Only
     hash QUALITY matters to the HLL consumers, not cross-version
-    stability, so this is deliberately not the md5 SQL-parity hash."""
+    stability, so this is deliberately not the md5 SQL-parity hash —
+    and deliberately NOT named like ``util.hash64_column``, the
+    multi-column string-concat key hash with a different contract."""
     import polars as pl
 
     c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    s = pl.from_arrow(c.drop_null())
-    return s.hash(seed=0).to_numpy().astype(np.uint64)
+    return _hash_series(pl.from_arrow(pa.table({"v": c}))["v"])
 
 
 def sketch_group_distinct(ds, group_col: str, value_col: str, p: int = 12):
@@ -336,9 +343,12 @@ def sketch_group_distinct(ds, group_col: str, value_col: str, p: int = 12):
         df = pl.from_arrow(batch.select([group_col, value_col]))
         groups, states = [], []
         for (g,), sub in df.group_by(group_col):
-            hv = sub[value_col].drop_nulls().hash(seed=0).to_numpy().astype(np.uint64)
             groups.append(g)
-            states.append(json.dumps(HyperLogLog(p).add_hashed(hv).to_state()))
+            states.append(
+                json.dumps(
+                    HyperLogLog(p).add_hashed(_hash_series(sub[value_col])).to_state()
+                )
+            )
         return pa.table(
             {group_col: pa.array(groups, gtype), "__hll": pa.array(states, pa.string())}
         )

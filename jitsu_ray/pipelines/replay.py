@@ -256,11 +256,19 @@ class Replayer:
                     if spool_dir is None:
                         raise
                     sub = os.path.join(spool_dir, f"window-{lo:012d}-{hi:012d}")
-                    # idempotent spool: a restarted stream re-spooling the
-                    # same tail window must not APPEND a second copy (Ray's
-                    # write_parquet uuid-names files into an existing dir)
+                    # idempotent AND crash-safe re-spool: write the fresh
+                    # copy to a pid-suffixed tmp dir first, swap only once
+                    # it is complete. Deleting the prior copy before (or
+                    # while) writing the new one would destroy the only
+                    # recovery data for this window if the write failed —
+                    # and a restarted stream must not APPEND a second copy
+                    # into the deterministic dir (Ray's write_parquet
+                    # uuid-names files into an existing dir).
+                    sub_tmp = f"{sub}.tmp.{os.getpid()}"
+                    shutil.rmtree(sub_tmp, ignore_errors=True)
+                    self._stream_window(lo, hi).write_parquet(sub_tmp)
                     shutil.rmtree(sub, ignore_errors=True)
-                    self._stream_window(lo, hi).write_parquet(sub)
+                    os.rename(sub_tmp, sub)
                     spooled.append(
                         {"lo": lo, "hi": hi, "dir": sub, "error": f"{type(e).__name__}: {e}"}
                     )

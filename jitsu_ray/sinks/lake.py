@@ -347,30 +347,21 @@ class LakeTable:
             self._save_meta()
 
     def _save_meta(self) -> None:
-        """Persist key_types into _meta.json under an O_EXCL lock file:
-        the read-modify-write would otherwise race between two
-        concurrent FIRST-window writer processes (the documented T4
-        scenario) and pin different key dtypes into one lake's meta and
-        delta files. Inside the lock, any key a concurrent writer
-        already pinned wins (first-writer-wins, mirroring the frozen
-        key-type contract) and this writer adopts it so its own deltas
-        are cast to the same physical type."""
-        import time as _time
+        """Persist key_types into _meta.json under a self-healing pid
+        lock (util.acquire_pid_lock — a crashed writer's stale lock is
+        broken once its pid is verifiably dead): the read-modify-write
+        would otherwise race between two concurrent FIRST-window writer
+        processes (the documented T4 scenario) and pin different key
+        dtypes into one lake's meta and delta files. Inside the lock,
+        any key a concurrent writer already pinned wins
+        (first-writer-wins, mirroring the frozen key-type contract) and
+        this writer adopts it so its own deltas are cast to the same
+        physical type."""
+        from ..util import acquire_pid_lock, release_pid_lock
 
         meta_path = os.path.join(self.dir, "_meta.json")
         lock = meta_path + ".lock"
-        deadline = _time.monotonic() + 10.0
-        while True:
-            try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                break
-            except FileExistsError:
-                if _time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"stale lake meta lock {lock} (crashed writer?) — "
-                        "remove it manually after confirming no writer is live"
-                    )
-                _time.sleep(0.01)
+        acquire_pid_lock(lock)
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
@@ -382,7 +373,7 @@ class LakeTable:
                 json.dump(meta, f)
             os.replace(tmp, meta_path)
         finally:
-            os.unlink(lock)
+            release_pid_lock(lock)
 
     def use_shared_schema_actor(self, name: str | None = None) -> None:
         """Route schema reconciliation through a named SchemaReconcilerActor

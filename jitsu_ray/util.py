@@ -9,6 +9,7 @@ stable partition assignment of a persistent lake table.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import polars as pl
@@ -191,3 +192,71 @@ def np_view(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.to_numpy(zero_copy_only=False)
+
+
+def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
+    """O_EXCL spin lock whose file holds the owner PID, with dead-owner
+    self-healing: a contender that finds the recorded pid locally dead
+    (no /proc/<pid> — the _sweep_stale_lakes liveness convention)
+    breaks the stale lock and retries, so a SIGKILLed writer can't
+    permanently block restart recovery. The break is an atomic rename
+    to a contender-unique name (exactly one contender wins it) with a
+    post-rename re-check, so two healers can't free the lock twice and
+    a live lock re-acquired in the read->rename window is restored.
+    A lock held by a pid this host can't verify (another node on shared
+    storage) is never broken — that case still times out, preserving
+    the cross-node safety of the O_EXCL claim."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(lock_path) as f:
+                    owner = f.read().strip()
+            except FileNotFoundError:
+                continue  # released while we looked; retry the claim
+            if owner.isdigit() and not os.path.exists(f"/proc/{owner}"):
+                breaker = f"{lock_path}.broke.{os.getpid()}"
+                try:
+                    os.rename(lock_path, breaker)
+                except FileNotFoundError:
+                    continue  # another healer won the break
+                with open(breaker) as f:
+                    renamed_owner = f.read().strip()
+                if renamed_owner == owner or (
+                    renamed_owner.isdigit()
+                    and not os.path.exists(f"/proc/{renamed_owner}")
+                ):
+                    os.unlink(breaker)  # confirmed dead: lock freed
+                else:
+                    # ultra-rare: a LIVE lock appeared in the read->rename
+                    # window; put it back (or re-create it if yet another
+                    # claim landed first — the live owner keeps the lock)
+                    try:
+                        os.rename(breaker, lock_path)
+                    except OSError:
+                        os.unlink(breaker)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"lock {lock_path} held by live or unverifiable owner "
+                    f"{owner!r} past {timeout_sec}s — if the owner is a "
+                    "crashed process on another node, remove the lock "
+                    "manually after confirming it is gone"
+                )
+            time.sleep(0.01)
+
+
+def release_pid_lock(lock_path: str) -> None:
+    """Release a lock taken by acquire_pid_lock (tolerates a healer
+    having broken it already)."""
+    try:
+        os.unlink(lock_path)
+    except FileNotFoundError:
+        pass

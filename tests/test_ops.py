@@ -856,14 +856,14 @@ def test_stratified_sample_fractional_rates(ray_session):
 
 
 def test_hll_error_bound_merge_and_state():
-    from jitsu_ray.ops.sketch import HyperLogLog, hash64_column
+    from jitsu_ray.ops.sketch import HyperLogLog, xxhash64_column
 
     rng = np.random.default_rng(11)
     vals = rng.choice(10_000_000, size=80_000, replace=False)
     true_n = 50_000
     a, b = vals[:40_000], vals[30_000:true_n]  # overlap: union is 50k distinct
-    ha = hash64_column(pa.array(a, pa.int64()))
-    hb = hash64_column(pa.array(b, pa.int64()))
+    ha = xxhash64_column(pa.array(a, pa.int64()))
+    hb = xxhash64_column(pa.array(b, pa.int64()))
     ska = HyperLogLog(12).add_hashed(ha)
     skb = HyperLogLog(12).add_hashed(hb)
     merged = ska.merge(skb)
@@ -923,3 +923,54 @@ def test_group_distinct_auto_routing(ray_session):
     }
     assert abs(approx["x"] - n) / n < 0.06  # sketch path, error bound
     assert abs(approx["y"] - 100) <= 5
+
+
+def test_exact_group_distinct_all_null_group(ray_session):
+    # round-4 review: a group whose values are ALL NULL must yield
+    # (g, 0) — DuckDB COUNT(DISTINCT) semantics — on BOTH routes, not
+    # vanish from the exact path while the sketch path reports it
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_distinct
+    from jitsu_ray.ops.sketch import sketch_group_distinct
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "c"]),
+            "v": pa.array([None, None, "x", "y", None]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    exact = {r["g"]: r["n_distinct"] for r in exact_group_distinct(ds, "g", "v").take_all()}
+    assert exact == {"a": 0, "b": 2, "c": 0}
+    approx = {r["g"]: r["n_distinct"] for r in sketch_group_distinct(ds, "g", "v").take_all()}
+    assert set(approx) == set(exact) and approx["a"] == 0 and approx["c"] == 0
+
+
+def test_pid_lock_self_heals_dead_owner(tmp_path):
+    # round-4 review: a SIGKILLed writer's stale lock must not block
+    # restart recovery — a verifiably-dead owner pid is broken
+    import subprocess
+
+    from jitsu_ray.util import acquire_pid_lock, release_pid_lock
+
+    lock = str(tmp_path / "x.lock")
+    # a pid that existed and is now certainly dead
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lock, "w") as f:
+        f.write(str(proc.pid))
+    acquire_pid_lock(lock, timeout_sec=2.0)  # breaks the stale lock
+    import os as _os
+
+    with open(lock) as f:
+        assert f.read().strip() == str(_os.getpid())
+    release_pid_lock(lock)
+    assert not _os.path.exists(lock)
+    # a LIVE owner still times out (never broken)
+    with open(lock, "w") as f:
+        f.write(str(_os.getpid()))
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        acquire_pid_lock(lock, timeout_sec=0.3)
