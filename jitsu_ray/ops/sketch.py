@@ -369,3 +369,116 @@ def sketch_group_distinct(ds, group_col: str, value_col: str, p: int = 12):
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+class FrequentItems:
+    """Mergeable heavy-hitters summary (Misra-Gries, the public
+    algorithm): at most ``capacity`` counters; overflow decrements all
+    counters by the evicted weight. Guarantees: every item with true
+    count > total/capacity is retained, and a retained item's counter
+    undercounts its true count by at most ``error_bound()`` (the sum of
+    decrements, tracked exactly). merge() adds counters then re-shrinks
+    — associative up to the shared error bound, so per-batch partials
+    fold through any tree/groupby. The scale path for exact top-k word
+    counts (queries.q_vocab_top20's combiner): state is O(capacity)
+    regardless of vocabulary size."""
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.decremented = 0  # exact total weight removed by shrinks
+
+    def add_many(self, items, weights=None) -> "FrequentItems":
+        c = self.counts
+        if weights is None:
+            for it in items:
+                c[it] = c.get(it, 0) + 1
+        else:
+            for it, w in zip(items, weights):
+                c[it] = c.get(it, 0) + int(w)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # subtract the (capacity+1)-th largest count from everything —
+        # one partition pass, drops at least one counter
+        vals = np.fromiter(self.counts.values(), dtype=np.int64, count=len(self.counts))
+        m = int(np.partition(vals, -self.capacity - 1)[-self.capacity - 1])
+        self.counts = {k: v - m for k, v in self.counts.items() if v > m}
+        self.decremented += m
+
+    def merge(self, other: "FrequentItems") -> "FrequentItems":
+        out = FrequentItems(min(self.capacity, other.capacity))
+        out.counts = dict(self.counts)
+        for k, v in other.counts.items():
+            out.counts[k] = out.counts.get(k, 0) + v
+        out.decremented = self.decremented + other.decremented
+        out._shrink()
+        return out
+
+    def error_bound(self) -> int:
+        """Max undercount of any retained counter (exact, not a bound
+        on a bound: decrements are tracked as they happen)."""
+        return self.decremented
+
+    def top(self, k: int) -> list[tuple]:
+        """Top-k (item, count_lower, count_upper) by retained counter,
+        count DESC then item ASC (total order). True count lies in
+        [count_lower, count_upper]."""
+        err = self.decremented
+        rows = sorted(self.counts.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return [(it, n, n + err) for it, n in rows]
+
+    def to_state(self) -> dict:
+        return {"c": self.capacity, "d": self.decremented,
+                "i": list(self.counts.keys()), "n": list(self.counts.values())}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "FrequentItems":
+        out = cls(st["c"])
+        out.counts = dict(zip(st["i"], st["n"]))
+        out.decremented = st["d"]
+        return out
+
+
+def sketch_vocab_topk(ds, text_col: str, k: int = 20, capacity: int = 4096):
+    """Approximate corpus-wide vocabulary top-k via Misra-Gries: one
+    per-batch polars explode+count (the same combiner as the exact
+    q_vocab_top20), folded into an O(capacity) sketch per batch, merged
+    on the driver — bytes leaving the cluster are batches x capacity
+    counters regardless of vocabulary size (the exact form's shuffle
+    carries the full distinct vocabulary). Returns a pa.Table (word,
+    n_lower, n_upper); items with true count > total/capacity are
+    guaranteed present."""
+    import json
+
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([text_col]))
+        counts = (
+            df.select(pl.col(text_col).fill_null("").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        fi = FrequentItems(capacity).add_many(
+            counts["w"].to_list(), counts["n"].to_numpy()
+        )
+        return pa.table({"__fi": pa.array([json.dumps(fi.to_state())], pa.string())})
+
+    states = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    fi = FrequentItems(capacity)
+    for r in states:
+        fi = fi.merge(FrequentItems.from_state(json.loads(r["__fi"])))
+    top = fi.top(k)
+    return pa.table(
+        {
+            "word": pa.array([t[0] for t in top], pa.string()),
+            "n_lower": pa.array([t[1] for t in top], pa.int64()),
+            "n_upper": pa.array([t[2] for t in top], pa.int64()),
+        }
+    )

@@ -974,3 +974,52 @@ def test_pid_lock_self_heals_dead_owner(tmp_path):
 
     with _pytest.raises(TimeoutError):
         acquire_pid_lock(lock, timeout_sec=0.3)
+
+
+def test_frequent_items_guarantee_and_merge():
+    from jitsu_ray.ops.sketch import FrequentItems
+
+    rng = np.random.default_rng(17)
+    # zipf-ish stream: planted heavy hitters + a long tail
+    heavy = [f"h{i}" for i in range(5)]
+    stream = heavy * 2000 + [f"t{i}" for i in rng.integers(0, 50_000, 40_000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    cap = 256
+    half = len(stream) // 2
+    fa = FrequentItems(cap).add_many(stream[:half])
+    fb = FrequentItems(cap).add_many(stream[half:])
+    fi = fa.merge(fb)
+    assert fi.error_bound() <= n // cap  # MG decrement bound
+    top = {t[0]: (t[1], t[2]) for t in fi.top(10)}
+    from collections import Counter
+
+    true = Counter(stream)
+    for h in heavy:  # true count 2000 > n/cap (~195): must be retained
+        assert h in top
+        lo, hi = top[h]
+        assert lo <= true[h] <= hi
+    # capacity >= distinct items => exact counts, zero error
+    exact = FrequentItems(100).add_many(heavy * 3 + ["x"])
+    assert exact.error_bound() == 0
+    assert exact.top(1) == [(heavy[0], 3, 3)] or exact.top(6)[-1] == ("x", 1, 1)
+
+
+def test_sketch_vocab_topk_matches_exact_head(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.sketch import FrequentItems, sketch_vocab_topk
+
+    # corpus with a clearly separated frequency head
+    docs = ["alpha beta alpha gamma alpha beta"] * 30 + ["delta epsilon zeta"] * 3
+    tbl = pa.table({"text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = sketch_vocab_topk(ds, "text", k=3, capacity=1000)
+    # capacity >= vocab: exact counts, exact order
+    assert out["word"].to_pylist() == ["alpha", "beta", "gamma"]
+    assert out["n_lower"].to_pylist() == [90, 60, 30]
+    assert out["n_lower"].to_pylist() == out["n_upper"].to_pylist()
+    # state roundtrip
+    st = FrequentItems(8).add_many(["a", "b", "a"]).to_state()
+    rt = FrequentItems.from_state(st)
+    assert rt.top(2) == [("a", 2, 2), ("b", 1, 1)]
