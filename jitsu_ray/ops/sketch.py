@@ -265,7 +265,7 @@ class HyperLogLog:
 
     def add_hashed(self, hv: np.ndarray) -> "HyperLogLog":
         """Fold pre-hashed uint64 values in (hash quality is the
-        caller's contract — see ``hash64_column``)."""
+        caller's contract — see ``xxhash64_column``)."""
         hv = np.ascontiguousarray(hv, dtype=np.uint64)
         if len(hv) == 0:
             return self
@@ -324,7 +324,7 @@ def xxhash64_column(col) -> np.ndarray:
     import polars as pl
 
     c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return _hash_series(pl.from_arrow(pa.table({"v": c}))["v"])
+    return _hash_series(pl.from_arrow(c))
 
 
 def sketch_group_distinct(ds, group_col: str, value_col: str, p: int = 12):
@@ -389,13 +389,24 @@ class FrequentItems:
         self.decremented = 0  # exact total weight removed by shrinks
 
     def add_many(self, items, weights=None) -> "FrequentItems":
+        # shrink whenever the dict doubles the budget — interim memory
+        # stays O(capacity) on a raw high-cardinality stream (the whole
+        # point of the sketch), and each O(n)-cost shrink is amortized
+        # over >= capacity inserts
         c = self.counts
+        bound = 2 * self.capacity
         if weights is None:
             for it in items:
                 c[it] = c.get(it, 0) + 1
+                if len(c) > bound:
+                    self._shrink()
+                    c = self.counts
         else:
             for it, w in zip(items, weights):
                 c[it] = c.get(it, 0) + int(w)
+                if len(c) > bound:
+                    self._shrink()
+                    c = self.counts
         self._shrink()
         return self
 

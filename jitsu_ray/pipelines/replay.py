@@ -201,6 +201,24 @@ class Replayer:
             return self._window_dataset_fast(lo, hi)
         return self.window_dataset(lo, hi, streaming=True)
 
+    @staticmethod
+    def _sweep_dead_spool_tmp(spool_dir: str) -> None:
+        """Remove ``window-*.tmp.<pid>`` dirs whose owning pid is dead —
+        crashed spool attempts (killed between write_parquet and the
+        swap rename) would otherwise each leak a full window of parquet.
+        Live pids' in-progress tmp dirs are left alone (the same
+        /proc liveness convention as queries._sweep_stale_lakes)."""
+        import glob as _glob
+        import os
+        import shutil as _shutil
+
+        for d in _glob.glob(os.path.join(spool_dir, "window-*.tmp.*")):
+            pid = d.rsplit(".", 1)[-1]
+            if pid.isdigit() and pid != str(os.getpid()):
+                if os.path.exists(f"/proc/{pid}"):
+                    continue
+            _shutil.rmtree(d, ignore_errors=True)
+
     def run_streaming(
         self,
         max_seq: int | None = None,
@@ -263,7 +281,10 @@ class Replayer:
                     # recovery data for this window if the write failed —
                     # and a restarted stream must not APPEND a second copy
                     # into the deterministic dir (Ray's write_parquet
-                    # uuid-names files into an existing dir).
+                    # uuid-names files into an existing dir). Crashed
+                    # attempts' tmp dirs (dead-pid suffix) are swept here
+                    # so they can't accumulate a window of parquet each.
+                    self._sweep_dead_spool_tmp(spool_dir)
                     sub_tmp = f"{sub}.tmp.{os.getpid()}"
                     shutil.rmtree(sub_tmp, ignore_errors=True)
                     self._stream_window(lo, hi).write_parquet(sub_tmp)

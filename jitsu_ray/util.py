@@ -194,25 +194,63 @@ def np_view(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
-def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
-    """O_EXCL spin lock whose file holds the owner PID, with dead-owner
-    self-healing: a contender that finds the recorded pid locally dead
-    (no /proc/<pid> — the _sweep_stale_lakes liveness convention)
-    breaks the stale lock and retries, so a SIGKILLed writer can't
-    permanently block restart recovery. The break is an atomic rename
-    to a contender-unique name (exactly one contender wins it) with a
-    post-rename re-check, so two healers can't free the lock twice and
-    a live lock re-acquired in the read->rename window is restored.
-    A lock held by a pid this host can't verify (another node on shared
-    storage) is never broken — that case still times out, preserving
-    the cross-node safety of the O_EXCL claim."""
+def _lock_token() -> str:
+    import socket
+
+    return f"{socket.gethostname()}:{os.getpid()}"
+
+
+def _lock_owner_dead(content: str, lock_path: str, grace_sec: float) -> bool:
+    """True iff this host can POSITIVELY establish the lock is stale:
+    the recorded owner is ``host:pid`` on THIS host with no /proc/<pid>
+    (a pid on another node sharing storage can never be verified here —
+    such locks are left alone, preserving the cross-node safety of the
+    O_EXCL claim), or the content is unreadable/empty AND the file is
+    older than ``grace_sec`` (a writer killed between the O_EXCL create
+    and the token write — empty forever, so age distinguishes it from a
+    create we simply raced)."""
+    import socket
     import time
 
+    host, _, pid = content.rpartition(":")
+    if host == socket.gethostname() and pid.isdigit():
+        return not os.path.exists(f"/proc/{pid}")
+    if not content:
+        try:
+            return time.time() - os.stat(lock_path).st_mtime > grace_sec
+        except FileNotFoundError:
+            return False
+    return False  # other host, or unparseable foreign content: hands off
+
+
+def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
+    """O_EXCL spin lock whose file holds ``hostname:pid``, with
+    dead-owner self-healing so a SIGKILLed writer can't permanently
+    block restart recovery. Healing rules:
+
+    * Only locks this host can POSITIVELY verify as stale are broken:
+      same-hostname owner with a dead pid, or an empty lock older than
+      a grace period (writer killed between create and token write).
+      A lock recorded by another node is NEVER broken — it times out,
+      because /proc liveness means nothing across nodes.
+    * The heal itself runs under a second O_EXCL ``.heal`` lock that
+      SERIALIZES healers; the main lock's content is re-read inside it
+      and must still match the stale owner before the unlink. While a
+      stale lock file exists no new claim can succeed (claims are
+      O_EXCL creates), so the re-read-then-unlink under the healer
+      mutex cannot remove a live claim. A healer crashing inside the
+      microsecond heal section leaves a ``.heal`` lock that is itself
+      healed by the same dead-owner rule (direct unlink — its critical
+      section is idempotent, so the residual double-heal race is
+      harmless: the second unlink just sees FileNotFoundError)."""
+    import time
+
+    heal_path = lock_path + ".heal"
     deadline = time.monotonic() + timeout_sec
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, _lock_token().encode())
             os.close(fd)
             return
         except FileExistsError:
@@ -221,27 +259,41 @@ def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
                     owner = f.read().strip()
             except FileNotFoundError:
                 continue  # released while we looked; retry the claim
-            if owner.isdigit() and not os.path.exists(f"/proc/{owner}"):
-                breaker = f"{lock_path}.broke.{os.getpid()}"
+            if _lock_owner_dead(owner, lock_path, grace_sec=5.0):
                 try:
-                    os.rename(lock_path, breaker)
-                except FileNotFoundError:
-                    continue  # another healer won the break
-                with open(breaker) as f:
-                    renamed_owner = f.read().strip()
-                if renamed_owner == owner or (
-                    renamed_owner.isdigit()
-                    and not os.path.exists(f"/proc/{renamed_owner}")
-                ):
-                    os.unlink(breaker)  # confirmed dead: lock freed
-                else:
-                    # ultra-rare: a LIVE lock appeared in the read->rename
-                    # window; put it back (or re-create it if yet another
-                    # claim landed first — the live owner keeps the lock)
+                    hfd = os.open(heal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    # another healer is in the (microsecond) heal section
+                    # — or crashed in it: apply the dead-owner rule to
+                    # the heal lock itself
                     try:
-                        os.rename(breaker, lock_path)
-                    except OSError:
-                        os.unlink(breaker)
+                        with open(heal_path) as f:
+                            heal_owner = f.read().strip()
+                    except FileNotFoundError:
+                        continue
+                    if _lock_owner_dead(heal_owner, heal_path, grace_sec=5.0):
+                        try:
+                            os.unlink(heal_path)
+                        except FileNotFoundError:
+                            pass
+                    continue
+                try:
+                    os.write(hfd, _lock_token().encode())
+                    os.close(hfd)
+                    # re-read under the healer mutex: no claim can have
+                    # replaced a still-present stale file (claims need
+                    # the name free), so matching content == still stale
+                    try:
+                        with open(lock_path) as f:
+                            if f.read().strip() == owner:
+                                os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+                finally:
+                    try:
+                        os.unlink(heal_path)
+                    except FileNotFoundError:
+                        pass
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(

@@ -949,31 +949,49 @@ def test_exact_group_distinct_all_null_group(ray_session):
 
 def test_pid_lock_self_heals_dead_owner(tmp_path):
     # round-4 review: a SIGKILLed writer's stale lock must not block
-    # restart recovery — a verifiably-dead owner pid is broken
+    # restart recovery — a SAME-HOST verifiably-dead owner is broken;
+    # live, foreign-host, and fresh-empty locks are never broken
+    import os as _os
+    import socket
     import subprocess
+
+    import pytest as _pytest
 
     from jitsu_ray.util import acquire_pid_lock, release_pid_lock
 
     lock = str(tmp_path / "x.lock")
-    # a pid that existed and is now certainly dead
+    host = socket.gethostname()
+    # a pid that existed on this host and is now certainly dead
     proc = subprocess.Popen(["true"])
     proc.wait()
     with open(lock, "w") as f:
-        f.write(str(proc.pid))
+        f.write(f"{host}:{proc.pid}")
     acquire_pid_lock(lock, timeout_sec=2.0)  # breaks the stale lock
-    import os as _os
-
     with open(lock) as f:
-        assert f.read().strip() == str(_os.getpid())
+        assert f.read().strip() == f"{host}:{_os.getpid()}"
     release_pid_lock(lock)
     assert not _os.path.exists(lock)
     # a LIVE owner still times out (never broken)
     with open(lock, "w") as f:
-        f.write(str(_os.getpid()))
-    import pytest as _pytest
-
+        f.write(f"{host}:{_os.getpid()}")
     with _pytest.raises(TimeoutError):
         acquire_pid_lock(lock, timeout_sec=0.3)
+    # a FOREIGN-host owner is unverifiable here: never broken, even if
+    # the pid happens to be dead locally
+    with open(lock, "w") as f:
+        f.write(f"not-this-host:{proc.pid}")
+    with _pytest.raises(TimeoutError):
+        acquire_pid_lock(lock, timeout_sec=0.3)
+    # an EMPTY lock (writer killed between create and token write) is
+    # broken only once older than the grace period
+    _os.unlink(lock)
+    open(lock, "w").close()
+    with _pytest.raises(TimeoutError):
+        acquire_pid_lock(lock, timeout_sec=0.3)  # fresh: not healed
+    old = _os.stat(lock).st_mtime - 60
+    _os.utime(lock, (old, old))
+    acquire_pid_lock(lock, timeout_sec=2.0)  # aged: healed
+    release_pid_lock(lock)
 
 
 def test_frequent_items_guarantee_and_merge():
@@ -1023,3 +1041,21 @@ def test_sketch_vocab_topk_matches_exact_head(ray_session):
     st = FrequentItems(8).add_many(["a", "b", "a"]).to_state()
     rt = FrequentItems.from_state(st)
     assert rt.top(2) == [("a", 2, 2), ("b", 1, 1)]
+
+
+def test_frequent_items_interim_memory_bound():
+    # round-4 review: a raw high-cardinality stream must not balloon the
+    # counter dict mid-call — shrink keeps it O(capacity) throughout
+    from jitsu_ray.ops.sketch import FrequentItems
+
+    class Spy(FrequentItems):
+        max_len = 0
+
+        def _shrink(self):
+            Spy.max_len = max(Spy.max_len, len(self.counts))
+            super()._shrink()
+
+    fi = Spy(8).add_many([f"i{k}" for k in range(10_000)])
+    assert len(fi.counts) <= 8
+    assert Spy.max_len <= 2 * 8 + 1  # bounded DURING the call, not just after
+    assert fi.error_bound() <= 10_000 // 8

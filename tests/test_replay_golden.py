@@ -227,3 +227,21 @@ def test_respool_same_window_is_idempotent(ray_session, tmp_path):
     spooled_rows = _pq.read_table(m2["spooled"][0]["dir"]).num_rows
     n_window = sum(1 for s in tbl["commit_seq"].to_pylist() if 2000 < s <= 3000)
     assert spooled_rows == n_window  # not doubled
+
+
+def test_sweep_dead_spool_tmp(tmp_path):
+    # round-4 review: crashed spool attempts' pid-suffixed tmp dirs are
+    # swept (dead pid) while a live process's in-progress dir survives
+    import os
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = tmp_path / f"window-000-001.tmp.{proc.pid}"
+    live = tmp_path / f"window-000-001.tmp.{os.getpid()}"
+    other = tmp_path / "window-000000000000-000000001000"
+    for d in (dead, live, other):
+        d.mkdir()
+    Replayer._sweep_dead_spool_tmp(str(tmp_path))
+    assert not dead.exists()
+    assert other.exists()  # completed spool dirs are never touched
