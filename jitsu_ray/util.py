@@ -200,49 +200,74 @@ def _lock_token() -> str:
     return f"{socket.gethostname()}:{os.getpid()}"
 
 
+# first-local-observation times of empty lock files, keyed by identity
+# (path, inode, mtime_ns) — see _lock_owner_dead's empty-lock rule
+_EMPTY_LOCK_SEEN: dict = {}
+
+
 def _lock_owner_dead(content: str, lock_path: str, grace_sec: float) -> bool:
     """True iff this host can POSITIVELY establish the lock is stale:
-    the recorded owner is ``host:pid`` on THIS host with no /proc/<pid>
-    (a pid on another node sharing storage can never be verified here —
-    such locks are left alone, preserving the cross-node safety of the
-    O_EXCL claim), or the content is unreadable/empty AND the file is
-    older than ``grace_sec`` (a writer killed between the O_EXCL create
-    and the token write — empty forever, so age distinguishes it from a
-    create we simply raced)."""
+
+    * owner ``host:pid`` on THIS host with no /proc/<pid> (a pid on
+      another node sharing storage can never be verified here — such
+      locks are left alone, preserving the cross-node safety of the
+      O_EXCL claim);
+    * a legacy bare-pid token (pre-host-scoping format) with no local
+      /proc entry — restores the old format's self-heal for locks left
+      by crashed pre-upgrade writers;
+    * empty content that STAYS empty for ``grace_sec`` of our OWN
+      monotonic observation (a writer killed between the O_EXCL create
+      and the token write is empty forever; a create we merely raced
+      fills in within microseconds). Observation-based on purpose: the
+      file's st_mtime comes from the storage server's clock, and >grace
+      skew would make every fresh lock look aged."""
     import socket
     import time
 
     host, _, pid = content.rpartition(":")
     if host == socket.gethostname() and pid.isdigit():
         return not os.path.exists(f"/proc/{pid}")
+    if content.isdigit():
+        return not os.path.exists(f"/proc/{content}")
     if not content:
         try:
-            return time.time() - os.stat(lock_path).st_mtime > grace_sec
+            st = os.stat(lock_path)
         except FileNotFoundError:
             return False
+        key = (lock_path, st.st_ino, st.st_mtime_ns)
+        now = time.monotonic()
+        first = _EMPTY_LOCK_SEEN.setdefault(key, now)
+        if len(_EMPTY_LOCK_SEEN) > 1024:  # bound the observation table
+            _EMPTY_LOCK_SEEN.clear()
+            _EMPTY_LOCK_SEEN[key] = first
+        return now - first > grace_sec
     return False  # other host, or unparseable foreign content: hands off
 
 
-def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
+def acquire_pid_lock(
+    lock_path: str, timeout_sec: float = 10.0, empty_grace_sec: float = 5.0
+) -> None:
     """O_EXCL spin lock whose file holds ``hostname:pid``, with
     dead-owner self-healing so a SIGKILLed writer can't permanently
     block restart recovery. Healing rules:
 
-    * Only locks this host can POSITIVELY verify as stale are broken:
-      same-hostname owner with a dead pid, or an empty lock older than
-      a grace period (writer killed between create and token write).
-      A lock recorded by another node is NEVER broken — it times out,
-      because /proc liveness means nothing across nodes.
-    * The heal itself runs under a second O_EXCL ``.heal`` lock that
-      SERIALIZES healers; the main lock's content is re-read inside it
-      and must still match the stale owner before the unlink. While a
-      stale lock file exists no new claim can succeed (claims are
-      O_EXCL creates), so the re-read-then-unlink under the healer
-      mutex cannot remove a live claim. A healer crashing inside the
-      microsecond heal section leaves a ``.heal`` lock that is itself
-      healed by the same dead-owner rule (direct unlink — its critical
-      section is idempotent, so the residual double-heal race is
-      harmless: the second unlink just sees FileNotFoundError)."""
+    * Only locks this host can POSITIVELY verify as stale are broken
+      (see _lock_owner_dead). A lock recorded by another node is NEVER
+      broken — it times out, because /proc liveness means nothing
+      across nodes.
+    * The heal runs under a ``flock`` on a sibling ``.heal`` file.
+      Every healer of a given lock is necessarily on the dead owner's
+      host (only that host can verify the death), so the kernel flock
+      fully serializes them — and it evaporates with the holder's
+      process, so a healer crashing mid-heal can never strand a second
+      lock. Inside the flock the main lock is re-read and must still
+      match the stale owner before the unlink; while a stale lock file
+      exists no O_EXCL claim can land on its name, so the
+      re-read-then-unlink cannot remove a live claim.
+    * Every loop path passes the deadline check and sleeps — a stale
+      lock that cannot be healed (e.g. heal mutex held by a stopped
+      process) raises TimeoutError instead of spinning hot."""
+    import fcntl
     import time
 
     heal_path = lock_path + ".heal"
@@ -258,43 +283,30 @@ def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
                 with open(lock_path) as f:
                     owner = f.read().strip()
             except FileNotFoundError:
-                continue  # released while we looked; retry the claim
-            if _lock_owner_dead(owner, lock_path, grace_sec=5.0):
+                owner = None  # released while we looked; just retry
+            if owner is not None and _lock_owner_dead(
+                owner, lock_path, grace_sec=empty_grace_sec
+            ):
+                # the .heal file is created once and never deleted (a
+                # few bytes next to the lock); flock gives crash-safe
+                # healer mutual exclusion
+                hf = open(heal_path, "a")
                 try:
-                    hfd = os.open(heal_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    # another healer is in the (microsecond) heal section
-                    # — or crashed in it: apply the dead-owner rule to
-                    # the heal lock itself
                     try:
-                        with open(heal_path) as f:
-                            heal_owner = f.read().strip()
-                    except FileNotFoundError:
-                        continue
-                    if _lock_owner_dead(heal_owner, heal_path, grace_sec=5.0):
+                        fcntl.flock(hf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    except OSError:
+                        pass  # another healer is on it; fall through
+                    else:
                         try:
-                            os.unlink(heal_path)
+                            with open(lock_path) as f:
+                                if f.read().strip() == owner:
+                                    os.unlink(lock_path)
                         except FileNotFoundError:
                             pass
-                    continue
-                try:
-                    os.write(hfd, _lock_token().encode())
-                    os.close(hfd)
-                    # re-read under the healer mutex: no claim can have
-                    # replaced a still-present stale file (claims need
-                    # the name free), so matching content == still stale
-                    try:
-                        with open(lock_path) as f:
-                            if f.read().strip() == owner:
-                                os.unlink(lock_path)
-                    except FileNotFoundError:
-                        pass
+                        finally:
+                            fcntl.flock(hf, fcntl.LOCK_UN)
                 finally:
-                    try:
-                        os.unlink(heal_path)
-                    except FileNotFoundError:
-                        pass
-                continue
+                    hf.close()
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"lock {lock_path} held by live or unverifiable owner "
@@ -302,7 +314,7 @@ def acquire_pid_lock(lock_path: str, timeout_sec: float = 10.0) -> None:
                     "crashed process on another node, remove the lock "
                     "manually after confirming it is gone"
                 )
-            time.sleep(0.01)
+            time.sleep(0.005)
 
 
 def release_pid_lock(lock_path: str) -> None:

@@ -982,15 +982,21 @@ def test_pid_lock_self_heals_dead_owner(tmp_path):
         f.write(f"not-this-host:{proc.pid}")
     with _pytest.raises(TimeoutError):
         acquire_pid_lock(lock, timeout_sec=0.3)
-    # an EMPTY lock (writer killed between create and token write) is
-    # broken only once older than the grace period
+    # a LEGACY bare-pid lock (pre-host-scoping format) from a dead
+    # writer still self-heals
     _os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write(str(proc.pid))
+    acquire_pid_lock(lock, timeout_sec=2.0)
+    release_pid_lock(lock)
+    # an EMPTY lock (writer killed between create and token write) is
+    # broken only after it stays empty for the OBSERVED grace period
+    # (monotonic observation, not st_mtime — storage clock skew must
+    # not make fresh locks look aged)
     open(lock, "w").close()
     with _pytest.raises(TimeoutError):
-        acquire_pid_lock(lock, timeout_sec=0.3)  # fresh: not healed
-    old = _os.stat(lock).st_mtime - 60
-    _os.utime(lock, (old, old))
-    acquire_pid_lock(lock, timeout_sec=2.0)  # aged: healed
+        acquire_pid_lock(lock, timeout_sec=0.2)  # within grace: not healed
+    acquire_pid_lock(lock, timeout_sec=3.0, empty_grace_sec=0.4)
     release_pid_lock(lock)
 
 

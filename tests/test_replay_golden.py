@@ -230,18 +230,25 @@ def test_respool_same_window_is_idempotent(ray_session, tmp_path):
 
 
 def test_sweep_dead_spool_tmp(tmp_path):
-    # round-4 review: crashed spool attempts' pid-suffixed tmp dirs are
-    # swept (dead pid) while a live process's in-progress dir survives
+    # round-4 review: only VERIFIABLY-dead local crashed attempts are
+    # swept — live pids (incl. our own), foreign hosts, and completed
+    # spool dirs all survive
     import os
+    import socket
     import subprocess
 
+    host = socket.gethostname()
     proc = subprocess.Popen(["true"])
     proc.wait()
-    dead = tmp_path / f"window-000-001.tmp.{proc.pid}"
-    live = tmp_path / f"window-000-001.tmp.{os.getpid()}"
+    dead = tmp_path / f"window-000-001.tmp.{proc.pid}@{host}"
+    dead_legacy = tmp_path / f"window-000-002.tmp.{proc.pid}"
+    live = tmp_path / f"window-000-003.tmp.{os.getpid()}@{host}"
+    foreign = tmp_path / f"window-000-004.tmp.{proc.pid}@not-this-host"
     other = tmp_path / "window-000000000000-000000001000"
-    for d in (dead, live, other):
+    for d in (dead, dead_legacy, live, foreign, other):
         d.mkdir()
     Replayer._sweep_dead_spool_tmp(str(tmp_path))
-    assert not dead.exists()
+    assert not dead.exists() and not dead_legacy.exists()
+    assert live.exists()  # our own live dir is never swept
+    assert foreign.exists()  # unverifiable cross-node dir: hands off
     assert other.exists()  # completed spool dirs are never touched
