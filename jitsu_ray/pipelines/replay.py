@@ -203,28 +203,23 @@ class Replayer:
 
     @staticmethod
     def _sweep_dead_spool_tmp(spool_dir: str) -> None:
-        """Remove ``window-*.tmp.<pid>@<host>`` dirs whose owning pid is
-        VERIFIABLY dead on THIS host — crashed spool attempts (killed
-        between write_parquet and the swap rename) would otherwise each
-        leak a full window of parquet. Anything this host cannot verify
-        is left alone: another node's in-progress dir on a shared spool
+        """Remove ``window-*.tmp.<host>:<pid>`` dirs whose owner token
+        is VERIFIABLY dead (util.token_owner_dead — the one shared
+        liveness predicate): crashed spool attempts (killed between
+        write_parquet and the swap rename) would otherwise each leak a
+        full window of parquet. Anything this host cannot verify is
+        left alone: another node's in-progress dir on a shared spool
         (its pid means nothing in our /proc), a live local pid, and our
         own pid (two streams in one process must not sweep each other —
-        a same-window retry rmtree's its exact tmp path itself).
-        Legacy bare ``.tmp.<pid>`` names follow the same dead-local-pid
-        rule."""
+        a same-window retry rmtree's its exact tmp path itself)."""
         import glob as _glob
         import os
         import shutil as _shutil
-        import socket
 
-        host = socket.gethostname()
+        from ..util import token_owner_dead
+
         for d in _glob.glob(os.path.join(spool_dir, "window-*.tmp.*")):
-            token = d.rsplit(".tmp.", 1)[-1]
-            pid, sep, owner_host = token.partition("@")
-            if sep and owner_host != host:
-                continue  # another node's dir: unverifiable, hands off
-            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            if token_owner_dead(d.rsplit(".tmp.", 1)[-1]):
                 _shutil.rmtree(d, ignore_errors=True)
 
     def run_streaming(
@@ -293,9 +288,9 @@ class Replayer:
                     # attempts' tmp dirs (dead-pid suffix) are swept here
                     # so they can't accumulate a window of parquet each.
                     self._sweep_dead_spool_tmp(spool_dir)
-                    import socket
+                    from ..util import _lock_token
 
-                    sub_tmp = f"{sub}.tmp.{os.getpid()}@{socket.gethostname()}"
+                    sub_tmp = f"{sub}.tmp.{_lock_token()}"
                     shutil.rmtree(sub_tmp, ignore_errors=True)
                     self._stream_window(lo, hi).write_parquet(sub_tmp)
                     shutil.rmtree(sub, ignore_errors=True)

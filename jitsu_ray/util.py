@@ -200,6 +200,22 @@ def _lock_token() -> str:
     return f"{socket.gethostname()}:{os.getpid()}"
 
 
+def token_owner_dead(token: str) -> bool:
+    """True iff ``token`` is ``host:pid`` for THIS host and the pid has
+    no local /proc entry — the ONE liveness predicate shared by every
+    host-scoped on-disk ownership marker (pid locks, spool tmp dirs).
+    Another node's token (or anything unparseable) is never judged
+    dead: /proc liveness means nothing across nodes."""
+    import socket
+
+    host, _, pid = token.rpartition(":")
+    return (
+        host == socket.gethostname()
+        and pid.isdigit()
+        and not os.path.exists(f"/proc/{pid}")
+    )
+
+
 # first-local-observation times of empty lock files, keyed by identity
 # (path, inode, mtime_ns) — see _lock_owner_dead's empty-lock rule
 _EMPTY_LOCK_SEEN: dict = {}
@@ -207,28 +223,17 @@ _EMPTY_LOCK_SEEN: dict = {}
 
 def _lock_owner_dead(content: str, lock_path: str, grace_sec: float) -> bool:
     """True iff this host can POSITIVELY establish the lock is stale:
-
-    * owner ``host:pid`` on THIS host with no /proc/<pid> (a pid on
-      another node sharing storage can never be verified here — such
-      locks are left alone, preserving the cross-node safety of the
-      O_EXCL claim);
-    * a legacy bare-pid token (pre-host-scoping format) with no local
-      /proc entry — restores the old format's self-heal for locks left
-      by crashed pre-upgrade writers;
-    * empty content that STAYS empty for ``grace_sec`` of our OWN
-      monotonic observation (a writer killed between the O_EXCL create
-      and the token write is empty forever; a create we merely raced
-      fills in within microseconds). Observation-based on purpose: the
-      file's st_mtime comes from the storage server's clock, and >grace
-      skew would make every fresh lock look aged."""
-    import socket
+    the owner token is same-host with a dead pid (token_owner_dead), or
+    the content is empty and STAYS empty for ``grace_sec`` of our OWN
+    monotonic observation per file generation (a writer killed between
+    the O_EXCL create and the token write is empty forever; a create we
+    merely raced fills in within microseconds). Observation-based on
+    purpose: the file's st_mtime comes from the storage server's clock,
+    and >grace skew would make every fresh lock look aged."""
     import time
 
-    host, _, pid = content.rpartition(":")
-    if host == socket.gethostname() and pid.isdigit():
-        return not os.path.exists(f"/proc/{pid}")
-    if content.isdigit():
-        return not os.path.exists(f"/proc/{content}")
+    if token_owner_dead(content):
+        return True
     if not content:
         try:
             st = os.stat(lock_path)
@@ -237,11 +242,15 @@ def _lock_owner_dead(content: str, lock_path: str, grace_sec: float) -> bool:
         key = (lock_path, st.st_ino, st.st_mtime_ns)
         now = time.monotonic()
         first = _EMPTY_LOCK_SEEN.setdefault(key, now)
-        if len(_EMPTY_LOCK_SEEN) > 1024:  # bound the observation table
-            _EMPTY_LOCK_SEEN.clear()
-            _EMPTY_LOCK_SEEN[key] = first
+        if len(_EMPTY_LOCK_SEEN) > 1024:
+            # evict the oldest half by insertion order — clearing
+            # everything would restart other locks' in-progress grace
+            # clocks and could starve their heal forever
+            for k in list(_EMPTY_LOCK_SEEN)[:512]:
+                if k != key:
+                    del _EMPTY_LOCK_SEEN[k]
         return now - first > grace_sec
-    return False  # other host, or unparseable foreign content: hands off
+    return False  # live, foreign-host, or unparseable: hands off
 
 
 def acquire_pid_lock(
@@ -264,9 +273,11 @@ def acquire_pid_lock(
       match the stale owner before the unlink; while a stale lock file
       exists no O_EXCL claim can land on its name, so the
       re-read-then-unlink cannot remove a live claim.
-    * Every loop path passes the deadline check and sleeps — a stale
-      lock that cannot be healed (e.g. heal mutex held by a stopped
-      process) raises TimeoutError instead of spinning hot."""
+    * Unhealable paths pass the deadline check and sleep — a stale lock
+      that cannot be healed (e.g. heal mutex held by a stopped process)
+      raises TimeoutError instead of spinning hot. A SUCCESSFUL heal
+      retries the claim immediately (each such pass consumed a distinct
+      dead owner, so it cannot loop unboundedly)."""
     import fcntl
     import time
 
@@ -279,11 +290,14 @@ def acquire_pid_lock(
             os.close(fd)
             return
         except FileExistsError:
+            owner = ino = None
+            healed = False
             try:
                 with open(lock_path) as f:
                     owner = f.read().strip()
+                    ino = os.fstat(f.fileno()).st_ino
             except FileNotFoundError:
-                owner = None  # released while we looked; just retry
+                pass  # released while we looked; retry after the wait
             if owner is not None and _lock_owner_dead(
                 owner, lock_path, grace_sec=empty_grace_sec
             ):
@@ -298,15 +312,27 @@ def acquire_pid_lock(
                         pass  # another healer is on it; fall through
                     else:
                         try:
-                            with open(lock_path) as f:
-                                if f.read().strip() == owner:
-                                    os.unlink(lock_path)
+                            # content match alone is vacuous for EMPTY
+                            # owners (any generation reads ''): the
+                            # inode pins the exact file generation we
+                            # judged stale, so a claimant's fresh file
+                            # in its create->write gap never matches
+                            with open(lock_path) as f2:
+                                same = (
+                                    f2.read().strip() == owner
+                                    and os.fstat(f2.fileno()).st_ino == ino
+                                )
+                            if same:
+                                os.unlink(lock_path)
+                                healed = True
                         except FileNotFoundError:
                             pass
                         finally:
                             fcntl.flock(hf, fcntl.LOCK_UN)
                 finally:
                     hf.close()
+            if healed:
+                continue  # we freed it; claim before the next sleeper
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"lock {lock_path} held by live or unverifiable owner "

@@ -982,13 +982,14 @@ def test_pid_lock_self_heals_dead_owner(tmp_path):
         f.write(f"not-this-host:{proc.pid}")
     with _pytest.raises(TimeoutError):
         acquire_pid_lock(lock, timeout_sec=0.3)
-    # a LEGACY bare-pid lock (pre-host-scoping format) from a dead
-    # writer still self-heals
+    # a bare-pid token (no host scope) is unparseable-by-design: never
+    # healed — /proc liveness can't be attributed to a host
     _os.unlink(lock)
     with open(lock, "w") as f:
         f.write(str(proc.pid))
-    acquire_pid_lock(lock, timeout_sec=2.0)
-    release_pid_lock(lock)
+    with _pytest.raises(TimeoutError):
+        acquire_pid_lock(lock, timeout_sec=0.3)
+    _os.unlink(lock)
     # an EMPTY lock (writer killed between create and token write) is
     # broken only after it stays empty for the OBSERVED grace period
     # (monotonic observation, not st_mtime — storage clock skew must

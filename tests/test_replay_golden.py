@@ -240,15 +240,14 @@ def test_sweep_dead_spool_tmp(tmp_path):
     host = socket.gethostname()
     proc = subprocess.Popen(["true"])
     proc.wait()
-    dead = tmp_path / f"window-000-001.tmp.{proc.pid}@{host}"
-    dead_legacy = tmp_path / f"window-000-002.tmp.{proc.pid}"
-    live = tmp_path / f"window-000-003.tmp.{os.getpid()}@{host}"
-    foreign = tmp_path / f"window-000-004.tmp.{proc.pid}@not-this-host"
+    dead = tmp_path / f"window-000-001.tmp.{host}:{proc.pid}"
+    live = tmp_path / f"window-000-003.tmp.{host}:{os.getpid()}"
+    foreign = tmp_path / f"window-000-004.tmp.not-this-host:{proc.pid}"
     other = tmp_path / "window-000000000000-000000001000"
-    for d in (dead, dead_legacy, live, foreign, other):
+    for d in (dead, live, foreign, other):
         d.mkdir()
     Replayer._sweep_dead_spool_tmp(str(tmp_path))
-    assert not dead.exists() and not dead_legacy.exists()
+    assert not dead.exists()
     assert live.exists()  # our own live dir is never swept
     assert foreign.exists()  # unverifiable cross-node dir: hands off
     assert other.exists()  # completed spool dirs are never touched
