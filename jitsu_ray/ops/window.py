@@ -55,6 +55,56 @@ def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str
     )
 
 
+def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
+                      group_cols: list[str], value_col: str):
+    """Hopping (sliding) windows: count/sum/min/max of ``value_col`` per
+    (group_cols, window_start) where windows are ``width_seconds`` wide
+    and advance by ``step_seconds`` (width must be a multiple of step).
+
+    Each event belongs to exactly ``width//step`` windows — start =
+    (secs // step - k) * step for k in 0..m-1, always within
+    (secs - width, secs] — so the fan-out is a vectorized cross join
+    with a tiny k-range frame, immediately collapsed by a per-batch
+    partial aggregate: the shuffle carries at most (groups x windows)
+    partial rows per batch, never the m-times-replicated events.
+    Completes §2.9 alongside tumbling_aggregate / session_windows.
+    """
+    if width_seconds % step_seconds:
+        raise ValueError("width_seconds must be a multiple of step_seconds")
+    m = width_seconds // step_seconds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
+        last = pc.multiply(pc.divide(secs, step_seconds), step_seconds)
+        tbl = batch.select(group_cols + [value_col]).append_column("__last", last)
+        df = pl.from_arrow(tbl).join(
+            pl.DataFrame({"__k": pl.Series(range(m), dtype=pl.Int64)}), how="cross"
+        )
+        df = df.with_columns(
+            ((pl.col("__last") - pl.col("__k") * step_seconds) * 1_000_000)
+            .cast(pl.Datetime("us"))
+            .alias("window_start")
+        )
+        out = df.group_by(group_cols + ["window_start"]).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.sum(value_col).alias("sum_value"),
+            pl.min(value_col).alias("min_value"),
+            pl.max(value_col).alias("max_value"),
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols + ["window_start"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+
+
 def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
                     num_shards: int = 32):
     """Session windowing: per key, events sorted by time; a gap larger

@@ -491,6 +491,36 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+def q_hopping_hourly(sf_dir: str):
+    """§2.9 hopping windows: hourly windows advancing every 15 min
+    (each event lands in 4 windows) — count/sum/min/max of value cents
+    per event_type, fan-out collapsed by a per-batch partial agg."""
+    from .ops.window import hopping_aggregate
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return batch.append_column("value_c", v)
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    return hopping_aggregate(ds, "ts", 3600, 900, ["event_type"], "value_c")
+
+
+SQL_HOPPING = """
+SELECT event_type,
+       make_timestamp((((CAST(floor(epoch(ts)) AS BIGINT) // 900) - t.k) * 900) * 1000000) AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
+       min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_value,
+       max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS max_value
+FROM events, range(4) t(k)
+GROUP BY event_type, window_start
+"""
+
+
 def q_session_windows(sf_dir: str):
     """§2.9 session windows: per-user sessions split at >30 min gaps."""
     from .ops.window import session_windows
@@ -1968,6 +1998,7 @@ QUERIES = {
     "user_segment_join": q_user_segment_join,
     "order_revenue_join": q_order_revenue_join,
     "tumbling_daily": q_tumbling_daily,
+    "hopping_hourly": q_hopping_hourly,
     "session_windows": q_session_windows,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -2020,6 +2051,7 @@ ORACLES = {
     "user_segment_join": SQL_USER_SEGMENT,
     "order_revenue_join": SQL_ORDER_REVENUE,
     "tumbling_daily": SQL_TUMBLING,
+    "hopping_hourly": SQL_HOPPING,
     "session_windows": SQL_SESSIONS,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,

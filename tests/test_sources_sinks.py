@@ -197,6 +197,42 @@ def test_tumbling_and_session_windows(ray_session):
     assert sorted(r["n_events"] for r in sess) == [1, 2]
 
 
+def test_hopping_windows(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.window import hopping_aggregate
+
+    base = 1_700_000_000_000_000  # us; divisible by 3600s buckets is not needed
+    ts = [base, base + 30 * 60 * 1_000_000, base + 3 * 3600 * 1_000_000]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "g": pa.array(["a", "a", "a"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # width 1h, step 30min: every event is in exactly 2 windows
+    out = hopping_aggregate(ds, "ts", 3600, 1800, ["g"], "v").take_all()
+    assert sum(r["n"] for r in out) == 2 * len(ts)
+    # oracle: brute-force window membership
+    secs = [t // 1_000_000 for t in ts]
+    vals = dict(zip(secs, [1, 2, 4]))
+    expect = {}
+    for s in secs:
+        for k in range(2):
+            start = (s // 1800 - k) * 1800
+            e = expect.setdefault(start, [0, 0])
+            e[0] += 1
+            e[1] += vals[s]
+    got = {
+        int(r["window_start"].timestamp()): [r["n"], r["sum_value"]] for r in out
+    }
+    assert got == expect
+    with pytest.raises(ValueError):
+        hopping_aggregate(ds, "ts", 3600, 1000, ["g"], "v")
+
+
 def test_write_routed_fanout_resumable(ray_session, tmp_path):
     import ray.data
 
