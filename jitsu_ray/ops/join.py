@@ -206,6 +206,130 @@ def bucket_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def interval_join(
+    facts,
+    intervals: pa.Table,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    mode: str = "auto",
+    bucket_width: int | None = None,
+    broadcast_limit: int = 64 << 20,
+):
+    """Generic range join: each fact row pairs with EVERY interval row
+    satisfying ``lo <= point < hi`` (many-to-many; overlapping intervals
+    supported). Inner join; output = fact columns + interval columns.
+    Temporal columns compare natively; bucketing uses their int64 (µs)
+    value, so ``bucket_width`` for timestamps is in microseconds.
+
+    Two physical plans (the J1-vs-J4 split applied to ranges):
+
+    - ``broadcast`` (interval table under ``broadcast_limit`` bytes):
+      ``ray.put`` once, per-batch vectorized inequality join (polars
+      ``join_where``) — no shuffle; the geo-IP shape generalized to
+      arbitrary, possibly overlapping intervals.
+    - ``bucketed`` (large interval side): facts land in bucket
+      ``point // bucket_width``; each interval replicates into every
+      bucket its span overlaps (fan-out = span/bucket_width + 1 — pick
+      a width near the median span); ONE union groupby co-locates each
+      bucket and a per-bucket ``join_where`` applies the exact
+      predicate. Partitioning assumption: a bucket's rows from both
+      sides fit one task; a hot bucket is split by lowering
+      ``bucket_width``.
+
+    ``mode='auto'`` picks broadcast under the limit, else bucketed
+    (which then requires ``bucket_width``).
+    """
+    import numpy as np
+    import polars as pl
+
+    f_schema = facts.schema().base_schema
+    i_names = intervals.column_names
+    overlap = set(f_schema.names) & set(i_names)
+    if overlap:
+        raise ValueError(f"column overlap in interval join: {overlap}")
+    out_schema = pa.schema(list(f_schema) + list(intervals.schema))
+
+    if mode == "auto":
+        mode = "broadcast" if intervals.nbytes <= broadcast_limit else "bucketed"
+
+    def pair(ldf: pl.DataFrame, rdf: pl.DataFrame) -> pa.Table:
+        if ldf.height == 0 or rdf.height == 0:
+            return out_schema.empty_table()
+        out = ldf.join_where(
+            rdf,
+            pl.col(point_col) >= pl.col(lo_col),
+            pl.col(point_col) < pl.col(hi_col),
+        )
+        return out.to_arrow().select(out_schema.names).cast(out_schema)
+
+    if mode == "broadcast":
+        ref = ray.put(intervals)
+
+        def run(batch: pa.Table, _ref=ref) -> pa.Table:
+            from ..util import once_per_process
+
+            rdf = once_per_process("interval_join", _ref, build=pl.from_arrow)
+            return pair(pl.from_arrow(batch), rdf)
+
+        return facts.map_batches(run, batch_format="pyarrow")
+
+    if mode != "bucketed":
+        raise ValueError(f"unknown interval_join mode: {mode}")
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucketed interval_join requires a positive bucket_width")
+
+    union_fields = list(f_schema) + list(intervals.schema)
+
+    def _as_i64(col) -> np.ndarray:
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pc.cast(c, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _pad(batch: pa.Table, side: int, bucket: np.ndarray) -> pa.Table:
+        cols = {}
+        for f in union_fields:
+            if f.name in batch.column_names:
+                cols[f.name] = batch[f.name]
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        out = pa.table(cols)
+        out = out.append_column("__bucket", pa.array(bucket, pa.int64()))
+        return out.append_column("__side", pa.array([side] * batch.num_rows, pa.int8()))
+
+    def tag_facts(batch: pa.Table) -> pa.Table:
+        return _pad(batch, 0, _as_i64(batch[point_col]) // bucket_width)
+
+    def fan_intervals(batch: pa.Table) -> pa.Table:
+        lo = _as_i64(batch[lo_col]) // bucket_width
+        # hi is exclusive: an interval touching a bucket boundary exactly
+        # does not reach the next bucket
+        hi = (_as_i64(batch[hi_col]) - 1) // bucket_width
+        counts = np.maximum(hi - lo + 1, 0)
+        idx = np.repeat(np.arange(batch.num_rows), counts)
+        ends = np.cumsum(counts)
+        offsets = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+            ends - counts, counts
+        )
+        return _pad(batch.take(pa.array(idx)), 1, lo[idx] + offsets)
+
+    import ray.data as _rd
+
+    ft = facts.map_batches(tag_facts, batch_format="pyarrow")
+    it = _rd.from_arrow(intervals).map_batches(
+        fan_intervals, batch_format="pyarrow"
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group["__side"], 0)
+        lg = group.filter(mask).select(f_schema.names)
+        rg = group.filter(pc.invert(mask)).select(i_names)
+        return pair(pl.from_arrow(lg), pl.from_arrow(rg))
+
+    return ft.union(it).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
 def hash_shard_finalize(ds, key_cols: list[str], final_fn, num_shards: int = 32):
     """Shared finalize idiom for shuffle-heavy per-key reductions:
     append an int hash shard of ``key_cols``, groupby the SINGLE shard

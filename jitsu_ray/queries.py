@@ -521,6 +521,64 @@ GROUP BY event_type, window_start
 """
 
 
+def q_campaign_attribution(sf_dir: str):
+    """Generic interval/range join (ops.join.interval_join): attribute
+    each event to EVERY campaign whose [ts_start, ts_end) covers its ts
+    (overlapping campaigns — genuinely many-to-many), then count/sum
+    value cents per campaign. Runs the BUCKETED plan (1-day buckets,
+    one union shuffle) — the 100-TB shape; the broadcast plan is
+    asserted equal in tests."""
+    import pyarrow.parquet as _pq
+
+    from .ops.join import interval_join
+    from .testgen import ensure_campaigns_parquet
+
+    campaigns = _pq.read_table(
+        ensure_campaigns_parquet(os.path.join(CACHE_DIR, "campaigns"))
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return batch.append_column("value_c", v)
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["ts", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    joined = interval_join(
+        ds, campaigns, "ts", "ts_start", "ts_end",
+        mode="bucketed", bucket_width=86400 * 1_000_000,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["campaign_id", "channel", "value_c"]))
+        out = df.group_by(["campaign_id", "channel"]).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.sum("value_c").alias("sum_value"),
+        )
+        return out.to_arrow()
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["campaign_id", "channel"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+
+def campaigns_oracle_sql() -> str:
+    from .testgen import ensure_campaigns_parquet
+
+    path = ensure_campaigns_parquet(os.path.join(CACHE_DIR, "campaigns"))
+    return f"""
+SELECT c.campaign_id, c.channel, count(*) AS n,
+       CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
+FROM events e JOIN '{path}' c
+  ON e.ts >= c.ts_start AND e.ts < c.ts_end
+GROUP BY c.campaign_id, c.channel
+"""
+
+
 def q_session_windows(sf_dir: str):
     """§2.9 session windows: per-user sessions split at >30 min gaps."""
     from .ops.window import session_windows
@@ -1999,6 +2057,7 @@ QUERIES = {
     "order_revenue_join": q_order_revenue_join,
     "tumbling_daily": q_tumbling_daily,
     "hopping_hourly": q_hopping_hourly,
+    "campaign_attribution": q_campaign_attribution,
     "session_windows": q_session_windows,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -2095,6 +2154,7 @@ def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "cdc_replay": cdc_replay_oracle_sql(sf=_sf_of(sf_dir)),
         "geo_enrich": geo_oracle_sql(),
+        "campaign_attribution": campaigns_oracle_sql(),
         "ua_parse": _ua_oracle_sql(),
         "ndjson_read": ndjson_oracle_sql(sf_dir),
         "csv_read": csv_oracle_sql(sf_dir),

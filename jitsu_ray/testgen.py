@@ -186,6 +186,44 @@ def ensure_changelog(
     return d
 
 
+def gen_campaigns_table(n: int = 64) -> pa.Table:
+    """Deterministic overlapping campaign intervals over the events
+    tables' fixed Jan-2024 span (arithmetic on primes, no RNG): the
+    dimension side of the generic interval/range join. Durations of
+    6h..4d over a 30-day window mean ~4-5 campaigns are active at any
+    instant, so the join is genuinely many-to-many."""
+    base = 1_704_067_200  # 2024-01-01T00:00:00Z
+    ids, starts, ends, channels = [], [], [], []
+    names = ["search", "social", "email", "display"]
+    for i in range(n):
+        start = base + (i * 7919 * 3600) % (25 * 86400)
+        dur = 6 * 3600 + (i * 104729) % (4 * 86400)
+        ids.append(i)
+        starts.append(start * 1_000_000)
+        ends.append((start + dur) * 1_000_000)
+        channels.append(names[i % 4])
+    return pa.table(
+        {
+            "campaign_id": pa.array(ids, pa.int64()),
+            "channel": pa.array(channels, pa.string()),
+            "ts_start": pa.array(starts, pa.timestamp("us")),
+            "ts_end": pa.array(ends, pa.timestamp("us")),
+        }
+    )
+
+
+def ensure_campaigns_parquet(cache_dir: str, n: int = 64) -> str:
+    """Write-once cache of the campaigns table (the interval-join oracle
+    SQL reads this path; the Ray query joins the same table)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"campaigns_n{n}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(gen_campaigns_table(n), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def oracle_final_state(changelog: pa.Table) -> pa.Table:
     """Reference fold: per (repo, path) keep the max-commit_seq event; drop
     keys whose winner is a delete. This is the ground truth the lake must

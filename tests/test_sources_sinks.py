@@ -197,6 +197,46 @@ def test_tumbling_and_session_windows(ray_session):
     assert sorted(r["n_events"] for r in sess) == [1, 2]
 
 
+def test_interval_join_modes_agree(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.join import interval_join
+
+    # overlapping intervals incl. one spanning many buckets and one
+    # matching nothing; facts incl. boundary points (lo inclusive, hi
+    # exclusive)
+    facts = pa.table(
+        {
+            "p": pa.array([0, 5, 10, 15, 99, 100, 250], pa.int64()),
+            "fid": pa.array(list(range(7)), pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "lo": pa.array([0, 5, 0, 300], pa.int64()),
+            "hi": pa.array([10, 100, 260, 310], pa.int64()),
+            "iid": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    expect = sorted(
+        (f, i)
+        for f, p in zip(facts["fid"].to_pylist(), facts["p"].to_pylist())
+        for i, lo, hi in zip(
+            iv["iid"].to_pylist(), iv["lo"].to_pylist(), iv["hi"].to_pylist()
+        )
+        if lo <= p < hi
+    )
+    ds = ray.data.from_arrow(facts)
+    for mode, kw in [("broadcast", {}), ("bucketed", {"bucket_width": 16})]:
+        out = interval_join(ds, iv, "p", "lo", "hi", mode=mode, **kw).take_all()
+        assert sorted((r["fid"], r["iid"]) for r in out) == expect, mode
+
+    with pytest.raises(ValueError):
+        interval_join(ds, iv.rename_columns(["lo", "hi", "fid"]), "p", "lo", "hi")
+    with pytest.raises(ValueError):
+        interval_join(ds, iv, "p", "lo", "hi", mode="bucketed")
+
+
 def test_hopping_windows(ray_session):
     import ray.data
 
