@@ -238,6 +238,49 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(ds, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement, top-k of
+    Efraimidis–Spirakis keys: key = u^(1/w) with u = (md5_lower64(id) +
+    0.5) / 2^64 — inclusion probability proportional to weight, yet
+    fully reproducible across runs, cluster sizes and batch boundaries
+    (same md5 split-rule family as hash_sample) and SQL-auditable via
+    ``pow((md5_number_lower(...) + 0.5)/2^64, 1.0/w)``.
+
+    Distributed shape: per-batch vectorized key + partial top-k (at
+    most k rows leave each batch), then a final sort+limit over the
+    partials only — never a corpus-wide sort. Rows with a null id, or
+    a null/non-positive weight, are excluded (they have no defined
+    key). Ties are broken by id for a total order, but md5-spread keys
+    make boundary ties vanishingly unlikely."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def key_and_partial(batch: pa.Table) -> pa.Table:
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        w = pc.fill_null(pc.cast(batch[weight_col], pa.float64()), 0.0)
+        wv = w.combine_chunks().to_numpy(zero_copy_only=False)
+        u = (hv.astype(np.float64) + 0.5) / 18446744073709551616.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            key = np.power(u, 1.0 / wv)
+        keep = ~null_mask & (wv > 0)
+        out = batch.append_column("__key", pa.array(key, pa.float64())).filter(
+            pa.array(keep)
+        )
+        df = pl.from_arrow(out)
+        return (
+            df.sort(["__key", id_col], descending=True, nulls_last=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(key_and_partial, batch_format="pyarrow")
+    return (
+        partials.sort(["__key", id_col], descending=True)
+        .limit(k)
+        .drop_columns(["__key"])
+    )
+
+
 def _md5_lower64_column(col) -> tuple:
     """(lower-64-bit md5 of each value's canonical string as uint64,
     null mask). Exactly DuckDB's ``md5_number_lower(CAST(v AS

@@ -1798,6 +1798,29 @@ FROM events e ASOF LEFT JOIN o
 # -- training-corpus construction (ops/corpus) ------------------------------
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (ops/corpus.weighted_sample, Efraimidis–Spirakis keys on the
+    md5-uniform of doc_id, weight = n_chars): longer docs
+    proportionally likelier, yet fully reproducible and SQL-auditable.
+    Partial top-k per batch; the final sort sees partials only."""
+    from .ops.corpus import weighted_sample
+
+    ds = _read_sized(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return weighted_sample(ds, "doc_id", "n_chars", 100)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY pow((md5_number_lower(CAST(doc_id AS VARCHAR)) + 0.5) / 18446744073709551616.0,
+             1.0 / n_chars) DESC, doc_id DESC
+LIMIT 100
+"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 20% holdout sample of the documents table by id
     hash (ops/corpus.hash_sample): reproducible across runs, cluster
@@ -2058,6 +2081,7 @@ QUERIES = {
     "tumbling_daily": q_tumbling_daily,
     "hopping_hourly": q_hopping_hourly,
     "campaign_attribution": q_campaign_attribution,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "session_windows": q_session_windows,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -2111,6 +2135,7 @@ ORACLES = {
     "order_revenue_join": SQL_ORDER_REVENUE,
     "tumbling_daily": SQL_TUMBLING,
     "hopping_hourly": SQL_HOPPING,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "session_windows": SQL_SESSIONS,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,

@@ -197,6 +197,37 @@ def test_tumbling_and_session_windows(ray_session):
     assert sorted(r["n_events"] for r in sess) == [1, 2]
 
 
+def test_weighted_sample_matches_brute_force(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from jitsu_ray.ops.corpus import weighted_sample
+
+    n = 300
+    ids = list(range(n))
+    weights = [(i % 7) * 50 for i in ids]  # incl. zero weights (excluded)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "w": pa.array(weights, pa.int64())}
+    )
+
+    def key(i, w):
+        hv = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+        return ((hv + 0.5) / 2**64) ** (1.0 / w)
+
+    expect = sorted(
+        (i for i, w in zip(ids, weights) if w > 0),
+        key=lambda i: (key(i, weights[i]), i),
+        reverse=True,
+    )[:40]
+    # block boundaries must not change the result
+    for nb in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nb)
+        out = weighted_sample(ds, "doc_id", "w", 40).take_all()
+        assert sorted(r["doc_id"] for r in out) == sorted(expect), nb
+        assert all(weights[r["doc_id"]] > 0 for r in out)
+
+
 def test_interval_join_modes_agree(ray_session):
     import ray.data
 
