@@ -463,6 +463,57 @@ GROUP BY o.o_orderkey, o.o_orderstatus
 """
 
 
+def q_rollup_revenue(sf_dir: str):
+    """Multi-level aggregate (ops/rollup.rollup_aggregate): GROUP BY
+    ROLLUP(l_returnflag, l_linestatus) over lineitem — finest level
+    pays the only input-sized shuffle; subtotal and grand-total levels
+    re-aggregate the finest result (partial-aggregate reuse)."""
+    from .ops.rollup import rollup_aggregate
+
+    def cents(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_quantity"], 100.0), 0.5)), pa.int64()
+        )
+        rev = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            batch["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                        ),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "revenue": rev,
+            }
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(cents, batch_format="pyarrow")
+    return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"], ["qty", "revenue"])
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_tumbling_daily(sf_dir: str):
     """§2.9 windowed aggregate: daily tumbling count/sum(value cents)/min/max
     per event_type (vectorized bucket + partial agg before the shuffle)."""
@@ -2082,6 +2133,7 @@ QUERIES = {
     "hopping_hourly": q_hopping_hourly,
     "campaign_attribution": q_campaign_attribution,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "rollup_revenue": q_rollup_revenue,
     "session_windows": q_session_windows,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -2136,6 +2188,7 @@ ORACLES = {
     "tumbling_daily": SQL_TUMBLING,
     "hopping_hourly": SQL_HOPPING,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "rollup_revenue": SQL_ROLLUP,
     "session_windows": SQL_SESSIONS,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,

@@ -197,6 +197,40 @@ def test_tumbling_and_session_windows(ray_session):
     assert sorted(r["n_events"] for r in sess) == [1, 2]
 
 
+def test_rollup_aggregate_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.rollup import rollup_aggregate
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y", "y"]),
+            "b": pa.array(["p", "q", "p", "p", "q"]),
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = rollup_aggregate(
+        ray.data.from_arrow(tbl).repartition(3), ["a", "b"], ["v"]
+    ).take_all()
+    nonesafe = lambda row: tuple((x is None, x) for x in row)  # noqa: E731
+    got = sorted(((r["a"], r["b"], r["n"], r["sum_v"]) for r in out), key=nonesafe)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        (
+            tuple(r)
+            for r in con.sql(
+                "SELECT a, b, count(*) AS n, sum(v) AS sum_v FROM t GROUP BY ROLLUP(a, b)"
+            ).fetchall()
+        ),
+        key=nonesafe,
+    )
+    assert got == exp
+    with pytest.raises(ValueError):
+        rollup_aggregate(ray.data.from_arrow(tbl), [], ["v"])
+
+
 def test_weighted_sample_matches_brute_force(ray_session):
     import hashlib
 
