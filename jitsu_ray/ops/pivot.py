@@ -1,0 +1,63 @@
+"""Categorical pivot (wide) aggregation.
+
+``PIVOT``/crosstab semantics over a Dataset: one output row per group,
+one ``n_<cat>`` count column and one ``v_<cat>`` value-sum column per
+category of a low-cardinality pivot column. The reference has no
+analytics surface (SURVEY §2.5); this is the warehouse crosstab a
+reference user's downstream SQL produces with
+``count(*)/sum(v) FILTER (WHERE cat = ...)`` per category.
+
+Scale shape: the category domain must be small (it becomes the output
+schema — hundreds, not millions); groups can be huge. Each batch is
+collapsed to one wide partial row per group before the groupby, so the
+single shuffle carries (groups x batches) wide partials, never input
+rows. Category discovery (``categories=None``) costs one extra pass
+over just the pivot column (``Dataset.unique`` — pruned, pre-aggregated
+per block); callers that know the domain should pass it explicitly and
+skip that pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+import polars as pl
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+def _slug(cat: str) -> str:
+    """Category value -> column-name fragment (lowercase, [a-z0-9_])."""
+    return re.sub(r"[^a-z0-9_]+", "_", str(cat).lower()).strip("_") or "null"
+
+
+def pivot_aggregate(ds, group_cols: list[str], cat_col: str, value_col: str,
+                    categories: list[str] | None = None):
+    """count (``n_<cat>``) + sum of ``value_col`` (``v_<cat>``) per
+    group row, one column pair per category. Rows of a category not
+    listed in ``categories`` are ignored (SQL ``IN`` filter parity);
+    a (group, category) with no rows yields 0 in both columns."""
+    if categories is None:
+        categories = ds.select_columns([cat_col]).unique(cat_col)
+    categories = sorted(categories)
+    slugs = [_slug(c) for c in categories]
+    if len(set(slugs)) != len(slugs):
+        raise ValueError(f"category names collide after slugging: {slugs}")
+    out_cols = [x for s in slugs for x in (f"n_{s}", f"v_{s}")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(group_cols + [cat_col, value_col]))
+        aggs = []
+        for c, s in zip(categories, slugs):
+            hit = pl.col(cat_col) == c
+            aggs.append(hit.sum().cast(pl.Int64).alias(f"n_{s}"))
+            aggs.append(
+                pl.col(value_col).filter(hit).sum().fill_null(0).alias(f"v_{s}")
+            )
+        return df.group_by(group_cols).agg(aggs).to_arrow()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+    )

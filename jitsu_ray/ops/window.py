@@ -105,6 +105,51 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
     )
 
 
+def ordered_window_fns(ds, key_col: str, order_cols: list[str],
+                       value_col: str, num_shards: int = 32):
+    """Per-key ordered window functions: SQL ``ROW_NUMBER()`` (``rn``)
+    and running ``SUM(value_col)`` (``running_value``) OVER
+    (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED PRECEDING),
+    one output row per input row.
+
+    The reference has no analytics surface at all (SURVEY §2.5-2.6);
+    this extends the engine with the warehouse window-function family a
+    reference user's downstream SQL relies on. Shape mirrors
+    ``session_windows``: keys are hash-sharded into ``num_shards``
+    coarse groups (a key never spans shards — the ONE shuffle), then
+    each shard computes ALL of its keys' windows in a single vectorized
+    polars sort + ``.over(key)`` cumulative pass, not one Python call
+    per key. Partitioning assumption: a shard's rows fit one task —
+    callers with dominant hot keys should raise ``num_shards`` (a
+    single key's rows still colocate; only cross-key balance changes).
+    ``order_cols`` must be a per-key total order (include a unique
+    tiebreaker column) or running values are nondeterministic.
+    """
+    from ..util import hash_mod_column
+
+    keep = [key_col, *order_cols, value_col]
+
+    def shard(batch: pa.Table) -> pa.Table:
+        sh = hash_mod_column(
+            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
+        )
+        return batch.select(keep).append_column("__shard", sh)
+
+    def windows_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(keep))
+        df = df.sort([key_col, *order_cols])
+        return df.with_columns(
+            pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over(key_col).alias("rn"),
+            pl.col(value_col).cum_sum().over(key_col).alias("running_value"),
+        ).to_arrow()
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(windows_shard, batch_format="pyarrow")
+    )
+
+
 def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
                     num_shards: int = 32):
     """Session windowing: per key, events sorted by time; a gap larger

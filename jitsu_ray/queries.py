@@ -656,6 +656,90 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_running_user_spend(sf_dir: str):
+    """SQL window functions (ROW_NUMBER + running SUM OVER (PARTITION BY
+    user ORDER BY ts, event_id)): one shuffle on hash-sharded user_id,
+    per-shard vectorized polars sort + cumulative .over() pass
+    (ops.window.ordered_window_fns). event_id is the deterministic
+    per-key tiebreaker the running sum needs."""
+    from .ops.window import ordered_window_fns
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return batch.append_column("value_c", v)
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    return ordered_window_fns(ds, "user_id", ["ts", "event_id"], "value_c")
+
+
+SQL_RUNNING = """
+SELECT user_id, ts, event_id,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_pivot_event_values(sf_dir: str):
+    """Categorical pivot (crosstab): per-day wide row of count + summed
+    value cents per event_type (ops.pivot.pivot_aggregate). Category
+    domain discovered with one pruned pre-pass over just event_type
+    (Dataset.unique); the per-batch partial collapses input rows to one
+    wide row per (day, batch) before the single groupby shuffle."""
+    from .ops.pivot import pivot_aggregate
+
+    cats = _read_sized(_t(sf_dir, "events"), columns=["event_type"]).unique(
+        "event_type"
+    )
+
+    def day_cents(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        day = pc.cast(
+            pc.multiply(pc.multiply(pc.divide(secs, 86400), 86400), 1_000_000),
+            pa.timestamp("us"),
+        )
+        v = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {"day": day, "event_type": batch["event_type"], "value_c": v}
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(day_cents, batch_format="pyarrow")
+    return pivot_aggregate(ds, ["day"], "event_type", "value_c", categories=cats)
+
+
+SQL_PIVOT = """
+WITH e AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) * 1000000) AS day,
+         event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT day,
+  CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+  CAST(coalesce(sum(vc) FILTER (WHERE event_type = 'click'), 0)    AS BIGINT) AS v_click,
+  CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+  CAST(coalesce(sum(vc) FILTER (WHERE event_type = 'error'), 0)    AS BIGINT) AS v_error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(coalesce(sum(vc) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS v_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+  CAST(coalesce(sum(vc) FILTER (WHERE event_type = 'signup'), 0)   AS BIGINT) AS v_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+  CAST(coalesce(sum(vc) FILTER (WHERE event_type = 'view'), 0)     AS BIGINT) AS v_view
+FROM e GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 
@@ -2135,6 +2219,8 @@ QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "rollup_revenue": q_rollup_revenue,
     "session_windows": q_session_windows,
+    "running_user_spend": q_running_user_spend,
+    "pivot_event_values": q_pivot_event_values,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
     "ndjson_read": q_ndjson_read,
@@ -2190,6 +2276,8 @@ ORACLES = {
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "rollup_revenue": SQL_ROLLUP,
     "session_windows": SQL_SESSIONS,
+    "running_user_spend": SQL_RUNNING,
+    "pivot_event_values": SQL_PIVOT,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,

@@ -1084,3 +1084,91 @@ def test_bucket_asof_join_semantics(ray_session):
         # lid0: ts10 -> rts5 (100); lid1: ts20 -> rts20 equality (200);
         # lid2: ts25 -> rts20 (200); lid3: ts5 < rts9 -> null; lid4: no key 3 -> null
         assert got == {0: 100, 1: 200, 2: 200, 3: None, 4: None}
+
+
+def test_ordered_window_fns_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.window import ordered_window_fns
+
+    # duplicate keys, tied order values broken by a unique id, and a
+    # singleton key; shard/block boundaries must not change results
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "t": pa.array([5, 5, 1, 9, 2, 4], pa.int64()),
+            "i": pa.array([1, 0, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT k, t, i, v,
+                      row_number() OVER w AS rn,
+                      sum(v) OVER w AS running_value
+               FROM t
+               WINDOW w AS (PARTITION BY k ORDER BY t, i
+                            ROWS UNBOUNDED PRECEDING)"""
+        ).fetchall()
+    )
+    for parts, shards in [(1, 1), (3, 4)]:
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = ordered_window_fns(ds, "k", ["t", "i"], "v", num_shards=shards)
+        got = sorted(
+            (r["k"], r["t"], r["i"], r["v"], r["rn"], r["running_value"])
+            for r in out.take_all()
+        )
+        assert got == exp, (parts, shards)
+
+
+def test_pivot_aggregate_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.pivot import pivot_aggregate
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x", "x", "y", "y", "y", "z"]),
+            "cat": pa.array(["A", "B", "A", "A", "C", "C"]),
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT g,
+                      count(*) FILTER (cat='A') AS n_a,
+                      coalesce(sum(v) FILTER (cat='A'), 0) AS v_a,
+                      count(*) FILTER (cat='B') AS n_b,
+                      coalesce(sum(v) FILTER (cat='B'), 0) AS v_b,
+                      count(*) FILTER (cat='C') AS n_c,
+                      coalesce(sum(v) FILTER (cat='C'), 0) AS v_c
+               FROM t GROUP BY g"""
+        ).fetchall()
+    )
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        # discovery path (categories=None) and explicit path must agree
+        for cats in (None, ["A", "B", "C"]):
+            out = pivot_aggregate(ds, ["g"], "cat", "v", categories=cats)
+            got = sorted(
+                (r["g"], r["n_a"], r["v_a"], r["n_b"], r["v_b"], r["n_c"], r["v_c"])
+                for r in out.take_all()
+            )
+            assert got == exp, (parts, cats)
+    # explicit subset: unlisted categories are ignored (SQL IN parity)
+    out = pivot_aggregate(ray.data.from_arrow(tbl), ["g"], "cat", "v",
+                          categories=["A"]).take_all()
+    got = sorted((r["g"], r["n_a"], r["v_a"]) for r in out)
+    assert got == [("x", 1, 1), ("y", 2, 7), ("z", 0, 0)]
+    # category values that slug-collide are rejected, not silently merged
+    bad = pa.table({"g": ["x"], "cat": ["A b"], "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        pivot_aggregate(
+            ray.data.from_arrow(bad), ["g"], "cat", "v", categories=["A b", "a_b"]
+        )
