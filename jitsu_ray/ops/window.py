@@ -150,6 +150,86 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     )
 
 
+def funnel_steps(ds, key_col: str, ts_col: str, event_col: str,
+                 steps: list[str], num_shards: int = 32,
+                 within: int | None = None):
+    """Ordered-funnel conversion counts: how many keys (users) reached
+    step k = saw ``steps[0]``, then ``steps[1]`` STRICTLY after their
+    first step-1 time, then ``steps[2]`` strictly after that, ... Greedy
+    earliest-match semantics (each step time is the min event time
+    after the previous step's time), the standard product-analytics
+    definition. ``within`` (optional conversion window) additionally
+    requires step k to land no more than that many of ``ts_col``'s raw
+    units after step k-1 (microseconds for timestamp columns). Returns
+    ONE row: ``n_step1..n_stepK`` int64 counts, monotonically
+    non-increasing.
+
+    Shape: rows are pre-filtered to funnel events and pruned to three
+    columns, hash-sharded by key (the one shuffle; a key never spans
+    shards), and each shard resolves ALL its keys' step times in K-1
+    vectorized polars join+min passes — per-step work, not per-key
+    Python. The final fold carries one tiny count row per shard.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    from ..util import hash_mod_column
+
+    keep = [key_col, ts_col, event_col]
+    aliases = [f"t{k + 1}" for k in range(len(steps))]
+
+    def shard(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keep).filter(pc.is_in(batch[event_col], pa.array(steps)))
+        sh = hash_mod_column(
+            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
+        )
+        return batch.append_column("__shard", sh)
+
+    def steps_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(keep))
+        cur = (
+            df.filter(pl.col(event_col) == steps[0])
+            .group_by(key_col)
+            .agg(pl.min(ts_col).alias(aliases[0]))
+        )
+        for k, step in enumerate(steps[1:], start=1):
+            after = pl.col(ts_col) > pl.col(aliases[k - 1])
+            if within is not None:
+                # Int64 cast = raw units for both integer and Datetime
+                # (us) time columns, so one predicate serves both
+                after &= (
+                    pl.col(ts_col).cast(pl.Int64)
+                    - pl.col(aliases[k - 1]).cast(pl.Int64)
+                ) <= within
+            nxt = (
+                df.filter(pl.col(event_col) == step)
+                .join(cur.select([key_col, aliases[k - 1]]), on=key_col)
+                .filter(after)
+                .group_by(key_col)
+                .agg(pl.min(ts_col).alias(aliases[k]))
+            )
+            cur = cur.join(nxt, on=key_col, how="left")
+        counts = cur.select(
+            [pl.col(a).count().cast(pl.Int64).alias(f"n_step{k + 1}")
+             for k, a in enumerate(aliases)]
+        )
+        return counts.to_arrow()
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            [pl.sum(f"n_step{k + 1}").alias(f"n_step{k + 1}")
+             for k in range(len(steps))]
+        ).to_arrow()
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(steps_shard, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
 def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
                     num_shards: int = 32):
     """Session windowing: per key, events sorted by time; a gap larger

@@ -740,6 +740,40 @@ FROM e GROUP BY day
 """
 
 
+def q_funnel_views(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, 1-day conversion
+    window per step): per-user greedy earliest-match step times, counts
+    of users reaching each step (ops.window.funnel_steps). Rows
+    pre-filtered to funnel events and pruned to 3 columns before the
+    one hash-shard shuffle; each shard resolves all its users in K-1
+    vectorized polars passes."""
+    from .ops.window import funnel_steps
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"],
+                        within=86400 * 1_000_000)
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 86400 SECOND GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 86400 SECOND GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 
@@ -2221,6 +2255,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "running_user_spend": q_running_user_spend,
     "pivot_event_values": q_pivot_event_values,
+    "funnel_views": q_funnel_views,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
     "ndjson_read": q_ndjson_read,
@@ -2278,6 +2313,7 @@ ORACLES = {
     "session_windows": SQL_SESSIONS,
     "running_user_spend": SQL_RUNNING,
     "pivot_event_values": SQL_PIVOT,
+    "funnel_views": SQL_FUNNEL,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,

@@ -1172,3 +1172,77 @@ def test_pivot_aggregate_matches_sql(ray_session):
         pivot_aggregate(
             ray.data.from_arrow(bad), ["g"], "cat", "v", categories=["A b", "a_b"]
         )
+
+
+def test_funnel_steps_matches_brute_force(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.window import funnel_steps
+
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (click must
+    # not count); u3 views only; u4 has purchase without click; u5 has
+    # a click at exactly the view time (strict > excludes it)
+    rows = [
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        ("u2", 5, "click"), ("u2", 6, "view"), ("u2", 9, "purchase"),
+        ("u3", 1, "view"),
+        ("u4", 1, "view"), ("u4", 9, "purchase"),
+        ("u5", 4, "view"), ("u5", 4, "click"),
+        ("u6", 1, "other"),
+    ]
+    tbl = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows]),
+            "t": pa.array([r[1] for r in rows], pa.int64()),
+            "ev": pa.array([r[2] for r in rows]),
+        }
+    )
+    # u2's view at 6 has no later click -> step2 not reached; 5 viewers
+    for parts, shards in [(1, 1), (4, 3)]:
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = funnel_steps(ds, "u", "t", "ev", ["view", "click", "purchase"],
+                           num_shards=shards).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (5, 1, 1), (parts, shards)
+
+    # no step-1 events at all: one all-zero row, not an empty result
+    none = funnel_steps(
+        ray.data.from_arrow(tbl), "u", "t", "ev", ["absent", "click"]
+    ).take_all()
+    assert [(r["n_step1"], r["n_step2"]) for r in none] == [(0, 0)]
+
+    with pytest.raises(ValueError):
+        funnel_steps(ray.data.from_arrow(tbl), "u", "t", "ev", ["view"])
+
+
+def test_funnel_steps_conversion_window(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.window import funnel_steps
+
+    # u1 clicks 10 units after viewing (inside a 10 window, boundary
+    # inclusive), u2 clicks 11 after (outside); u1's later click at 20
+    # must NOT rescue a purchase chained off the early click's time
+    rows = [
+        ("u1", 0, "view"), ("u1", 10, "click"), ("u1", 25, "purchase"),
+        ("u2", 0, "view"), ("u2", 11, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows]),
+            "t": pa.array([r[1] for r in rows], pa.int64()),
+            "ev": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = funnel_steps(ray.data.from_arrow(tbl), "u", "t", "ev",
+                       ["view", "click", "purchase"], within=10).take_all()
+    r = out[0]
+    # u1 reaches click at t=10; purchase at 25 is 15 > 10 after -> out
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (2, 1, 0)
+    out = funnel_steps(ray.data.from_arrow(tbl), "u", "t", "ev",
+                       ["view", "click", "purchase"], within=15).take_all()
+    r = out[0]
+    # u2's click at 11 is now inside the window; u1's purchase at 25
+    # is 15 after its click at 10 (boundary inclusive)
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (2, 2, 1)
