@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "distinct_users_by_type",
     "corpus_pipeline",
     "pull_sync",
+    "rollup_revenue",
+    "hopping_hourly",
+    "campaign_attribution",
+    "weighted_sample_docs",
+    "running_user_spend",
+    "pivot_event_values",
+    "funnel_views",
 ]
 
 
