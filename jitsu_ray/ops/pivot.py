@@ -38,8 +38,22 @@ def pivot_aggregate(ds, group_cols: list[str], cat_col: str, value_col: str,
     listed in ``categories`` are ignored (SQL ``IN`` filter parity);
     a (group, category) with no rows yields 0 in both columns."""
     if categories is None:
-        categories = ds.select_columns([cat_col]).unique(cat_col)
+        # drop a null category: a NULL never equals anything, so its
+        # column pair could only ever be zeros (SQL FILTER (cat = ...)
+        # parity — NULL rows fall out of every bucket either way)
+        categories = [
+            c for c in ds.select_columns([cat_col]).unique(cat_col)
+            if c is not None
+        ]
+    elif any(c is None for c in categories):
+        raise ValueError("None is not a pivotable category (never equal)")
     categories = sorted(categories)
+    if len(categories) > 10_000:
+        raise ValueError(
+            f"{len(categories)} categories would become output COLUMNS; "
+            "pivot is for low-cardinality domains — aggregate long-form "
+            "(groupby cat) instead"
+        )
     slugs = [_slug(c) for c in categories]
     if len(set(slugs)) != len(slugs):
         raise ValueError(f"category names collide after slugging: {slugs}")

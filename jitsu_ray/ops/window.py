@@ -124,6 +124,9 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     single key's rows still colocate; only cross-key balance changes).
     ``order_cols`` must be a per-key total order (include a unique
     tiebreaker column) or running values are nondeterministic.
+    ``value_col`` should be non-null: a null row's running_value is
+    null here (polars cum_sum) where SQL's frame-sum would carry the
+    previous total — pre-coalesce if that distinction matters.
     """
     from ..util import hash_mod_column
 

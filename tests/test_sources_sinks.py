@@ -1246,3 +1246,26 @@ def test_funnel_steps_conversion_window(ray_session):
     # u2's click at 11 is now inside the window; u1's purchase at 25
     # is 15 after its click at 10 (boundary inclusive)
     assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (2, 2, 1)
+
+
+def test_pivot_null_category_and_domain_guard(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.pivot import pivot_aggregate
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x", "x", "x"]),
+            "cat": pa.array(["A", None, "B"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # discovery drops the null category; null rows land in no bucket
+    out = pivot_aggregate(ds, ["g"], "cat", "v").take_all()
+    assert out == [{"g": "x", "n_a": 1, "v_a": 1, "n_b": 1, "v_b": 4}]
+    with pytest.raises(ValueError):
+        pivot_aggregate(ds, ["g"], "cat", "v", categories=["A", None])
+    with pytest.raises(ValueError):
+        pivot_aggregate(ds, ["g"], "cat", "v",
+                        categories=[str(i) for i in range(10_001)])
