@@ -21,6 +21,105 @@ import pyarrow as pa
 from ray.data.aggregate import Sum
 
 
+def grouping_sets_aggregate(ds, sets: list[list[str]], value_cols: list[str]):
+    """``GROUP BY GROUPING SETS ((...), (...), ...)`` semantics: count
+    (``n``) + per-column sums (``sum_<col>``) for each grouping set,
+    unioned with non-member dims NULL-filled (so ``CUBE`` = the power
+    set, ``ROLLUP`` = the prefix chain).
+
+    Same partial-reuse shape as ``rollup_aggregate``: ONE input pass
+    builds the finest level (the union of all sets' dims, per-batch
+    partials before its groupby), and every requested set re-aggregates
+    that already-aggregate-sized result. Duplicate sets are rejected
+    (SQL would emit duplicate rows; a caller that wants that can union
+    twice explicitly).
+    """
+    if not sets:
+        raise ValueError("grouping sets need at least one set")
+    keys = [tuple(sorted(s)) for s in sets]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate grouping sets: {sets}")
+    all_dims = sorted({d for s in sets for d in s})
+    schema = ds.schema().base_schema
+    dim_fields = [schema.field(d) for d in all_dims]
+    sums = [f"sum_{c}" for c in value_cols]
+    aggs = lambda: [Sum("n", alias_name="n")] + [  # noqa: E731
+        Sum(s, alias_name=s) for s in sums
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(all_dims + value_cols))
+        out = df.group_by(all_dims).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            *[pl.sum(c).alias(s) for c, s in zip(value_cols, sums)],
+        )
+        return out.to_arrow()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(all_dims)
+        .aggregate(*aggs())
+        .materialize()  # every set re-reads it; it is aggregate-sized
+    )
+
+    def pad(level_dims: list[str]):
+        def run(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for f in dim_fields:
+                if f.name in level_dims:
+                    cols[f.name] = batch[f.name]
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            cols["n"] = batch["n"]
+            for s in sums:
+                cols[s] = batch[s]
+            return pa.table(cols)
+
+        return run
+
+    def total_fold(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["n"] + sums))
+        return df.select(
+            pl.sum("n").alias("n"), *[pl.sum(s).alias(s) for s in sums]
+        ).to_arrow()
+
+    levels = []
+    for s in sets:
+        s = list(s)
+        if sorted(s) == all_dims:
+            lv = finest.map_batches(pad(s), batch_format="pyarrow")
+        elif s:
+            lv = (
+                finest.groupby(s)
+                .aggregate(*aggs())
+                .map_batches(pad(s), batch_format="pyarrow")
+            )
+        else:  # grand total: fold finest partials down to one row
+            lv = (
+                finest.repartition(1)
+                .map_batches(total_fold, batch_format="pyarrow")
+                .map_batches(pad([]), batch_format="pyarrow")
+            )
+        levels.append(lv)
+    return levels[0].union(*levels[1:]) if len(levels) > 1 else levels[0]
+
+
+def cube_aggregate(ds, dims: list[str], value_cols: list[str]):
+    """``GROUP BY CUBE(dims)`` = grouping sets over the full power set
+    (2^len(dims) sets — keep dims short; each non-finest set costs one
+    re-aggregation of the finest level, never an input pass)."""
+    if not dims:
+        raise ValueError("cube needs at least one dimension")
+    if len(dims) > 6:
+        raise ValueError("cube over >6 dims is 2^n grouping sets; "
+                         "enumerate the sets you need explicitly")
+    sets = [
+        [d for k, d in enumerate(dims) if mask >> k & 1]
+        for mask in range(2 ** len(dims) - 1, -1, -1)
+    ]
+    return grouping_sets_aggregate(ds, sets, value_cols)
+
+
 def rollup_aggregate(ds, dims: list[str], value_cols: list[str]):
     """count (``n``) + per-column sums (``sum_<col>``) at every ROLLUP
     prefix level of ``dims``. Returns one Dataset: the union of all

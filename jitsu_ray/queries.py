@@ -514,6 +514,57 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all 4 grouping sets
+    via ops.rollup.grouping_sets_aggregate — ONE input pass builds the
+    finest level, every other set re-aggregates that aggregate-sized
+    result (partial-aggregate reuse, same 100-TB shape as ROLLUP)."""
+    from .ops.rollup import cube_aggregate
+
+    def cents(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_quantity"], 100.0), 0.5)), pa.int64()
+        )
+        rev = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            batch["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                        ),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "revenue": rev,
+            }
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(cents, batch_format="pyarrow")
+    return cube_aggregate(ds, ["l_returnflag", "l_linestatus"], ["qty", "revenue"])
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_tumbling_daily(sf_dir: str):
     """§2.9 windowed aggregate: daily tumbling count/sum(value cents)/min/max
     per event_type (vectorized bucket + partial agg before the shuffle)."""
@@ -2256,6 +2307,7 @@ QUERIES = {
     "running_user_spend": q_running_user_spend,
     "pivot_event_values": q_pivot_event_values,
     "funnel_views": q_funnel_views,
+    "cube_revenue": q_cube_revenue,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
     "ndjson_read": q_ndjson_read,
@@ -2314,6 +2366,7 @@ ORACLES = {
     "running_user_spend": SQL_RUNNING,
     "pivot_event_values": SQL_PIVOT,
     "funnel_views": SQL_FUNNEL,
+    "cube_revenue": SQL_CUBE,
     "doc_text_stats": SQL_TEXT_STATS,
     "dedup_exact_docs": SQL_DEDUP_DOCS,
     "embedding_label_counts": SQL_LABEL_COUNTS,

@@ -1269,3 +1269,66 @@ def test_pivot_null_category_and_domain_guard(ray_session):
     with pytest.raises(ValueError):
         pivot_aggregate(ds, ["g"], "cat", "v",
                         categories=[str(i) for i in range(10_001)])
+
+
+def test_grouping_sets_and_cube_match_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.rollup import cube_aggregate, grouping_sets_aggregate
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y", "y"]),
+            "b": pa.array(["p", "q", "p", "p", "q"]),
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    nonesafe = lambda row: tuple((x is None, x) for x in row)  # noqa: E731
+
+    def run_sql(clause):
+        return sorted(
+            (
+                tuple(r)
+                for r in con.sql(
+                    f"SELECT a, b, count(*) AS n, sum(v) AS sum_v FROM t GROUP BY {clause}"
+                ).fetchall()
+            ),
+            key=nonesafe,
+        )
+
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = sorted(
+        ((r["a"], r["b"], r["n"], r["sum_v"]) for r in
+         cube_aggregate(ds, ["a", "b"], ["v"]).take_all()),
+        key=nonesafe,
+    )
+    assert got == run_sql("CUBE(a, b)")
+
+    # explicit sets incl. a non-finest single-dim set and the total;
+    # dims in NO set (here: a) don't appear in the output at all
+    got = sorted(
+        ((r["b"], r["n"], r["sum_v"]) for r in
+         grouping_sets_aggregate(ds, [["b"], []], ["v"]).take_all()),
+        key=nonesafe,
+    )
+    exp = sorted(
+        (
+            tuple(r)
+            for r in con.sql(
+                "SELECT b, count(*) AS n, sum(v) AS sum_v FROM t "
+                "GROUP BY GROUPING SETS ((b), ())"
+            ).fetchall()
+        ),
+        key=nonesafe,
+    )
+    assert got == exp
+
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, [], ["v"])
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, [["a"], ["a"]], ["v"])
+    with pytest.raises(ValueError):
+        cube_aggregate(ds, [f"d{i}" for i in range(7)], ["v"])
