@@ -64,6 +64,19 @@ BENCH_QUERIES = [
 ]
 
 
+
+def _quiet_worker() -> None:
+    """worker_process_setup_hook: Ray workers log an internal
+    datetime-precision note (ray.air tensor_extensions) from inside
+    aggregate shuffle tasks at WARNING; it is driver-unactionable and
+    would spam the bench's forwarded stderr."""
+    import logging as _l
+    import warnings as _w
+
+    _w.filterwarnings("ignore")
+    _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+
+
 def main() -> dict:
     import warnings
 
@@ -79,6 +92,13 @@ def main() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # silence worker-side warnings/log spam (e.g. Ray's internal
+        # datetime-precision note inside aggregate shuffle tasks) so
+        # the bench's forwarded output stays machine-readable
+        runtime_env={
+            "env_vars": {"PYTHONWARNINGS": "ignore"},
+            "worker_process_setup_hook": _quiet_worker,
+        },
     )
     from ray.data import DataContext
 
@@ -253,6 +273,13 @@ def latency() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # silence worker-side warnings/log spam (e.g. Ray's internal
+        # datetime-precision note inside aggregate shuffle tasks) so
+        # the bench's forwarded output stays machine-readable
+        runtime_env={
+            "env_vars": {"PYTHONWARNINGS": "ignore"},
+            "worker_process_setup_hook": _quiet_worker,
+        },
     )
     from ray.data import DataContext
 

@@ -18,6 +18,13 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _seconds_to_window_start(batch: pa.Table) -> pa.Table:
+    """Post-aggregate fixup: epoch-seconds ``__ws`` -> ``window_start``
+    timestamp[us] (aggregate-sized input; see tumbling_aggregate)."""
+    ws = pc.cast(pc.multiply(batch["__ws"], 1_000_000), pa.timestamp("us"))
+    return batch.append_column("window_start", ws).drop_columns(["__ws"])
+
+
 def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str],
                        value_col: str):
     """count/sum/min/max of ``value_col`` per (group_cols, time bucket).
@@ -28,14 +35,17 @@ def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str
     ``window_start`` (same definition the SQL oracle uses).
     """
 
+    # the shuffle key is the INT64 epoch-seconds bucket, cast to a
+    # timestamp only after the aggregate: int keys sort/exchange cheaper
+    # than timestamps, and day-aligned datetime keys trip Ray's
+    # numpy-datetime rebuild (datetime64[D] precision-warning path) when
+    # the aggregated block is reassembled from Python key values
     def partial(batch: pa.Table) -> pa.Table:
         secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
         bucket = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
-        batch = batch.append_column(
-            "window_start", pc.cast(pc.multiply(bucket, 1_000_000), pa.timestamp("us"))
-        )
-        df = pl.from_arrow(batch.select(group_cols + ["window_start", value_col]))
-        out = df.group_by(group_cols + ["window_start"]).agg(
+        batch = batch.append_column("__ws", bucket)
+        df = pl.from_arrow(batch.select(group_cols + ["__ws", value_col]))
+        out = df.group_by(group_cols + ["__ws"]).agg(
             pl.len().cast(pl.Int64).alias("n"),
             pl.sum(value_col).alias("sum_value"),
             pl.min(value_col).alias("min_value"),
@@ -45,13 +55,14 @@ def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_cols + ["window_start"])
+        .groupby(group_cols + ["__ws"])
         .aggregate(
             Sum("n", alias_name="n"),
             Sum("sum_value", alias_name="sum_value"),
             Min("min_value", alias_name="min_value"),
             Max("max_value", alias_name="max_value"),
         )
+        .map_batches(_seconds_to_window_start, batch_format="pyarrow")
     )
 
 
@@ -73,6 +84,8 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
         raise ValueError("width_seconds must be a multiple of step_seconds")
     m = width_seconds // step_seconds
 
+    # int64 epoch-seconds shuffle key, timestamp cast post-aggregate —
+    # same rationale as tumbling_aggregate
     def partial(batch: pa.Table) -> pa.Table:
         secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
         last = pc.multiply(pc.divide(secs, step_seconds), step_seconds)
@@ -81,11 +94,9 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
             pl.DataFrame({"__k": pl.Series(range(m), dtype=pl.Int64)}), how="cross"
         )
         df = df.with_columns(
-            ((pl.col("__last") - pl.col("__k") * step_seconds) * 1_000_000)
-            .cast(pl.Datetime("us"))
-            .alias("window_start")
+            (pl.col("__last") - pl.col("__k") * step_seconds).alias("__ws")
         )
-        out = df.group_by(group_cols + ["window_start"]).agg(
+        out = df.group_by(group_cols + ["__ws"]).agg(
             pl.len().cast(pl.Int64).alias("n"),
             pl.sum(value_col).alias("sum_value"),
             pl.min(value_col).alias("min_value"),
@@ -95,13 +106,14 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_cols + ["window_start"])
+        .groupby(group_cols + ["__ws"])
         .aggregate(
             Sum("n", alias_name="n"),
             Sum("sum_value", alias_name="sum_value"),
             Min("min_value", alias_name="min_value"),
             Max("max_value", alias_name="max_value"),
         )
+        .map_batches(_seconds_to_window_start, batch_format="pyarrow")
     )
 
 

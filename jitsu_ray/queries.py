@@ -751,23 +751,31 @@ def q_pivot_event_values(sf_dir: str):
         "event_type"
     )
 
+    # group on the INT64 day-seconds key and cast to a timestamp after
+    # the aggregate (cheaper shuffle key; day-aligned datetime keys trip
+    # Ray's numpy-datetime rebuild — see ops/window.py)
     def day_cents(batch: pa.Table) -> pa.Table:
         secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
-        day = pc.cast(
-            pc.multiply(pc.multiply(pc.divide(secs, 86400), 86400), 1_000_000),
-            pa.timestamp("us"),
-        )
+        day_s = pc.multiply(pc.divide(secs, 86400), 86400)
         v = pc.cast(
             pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
         )
         return pa.table(
-            {"day": day, "event_type": batch["event_type"], "value_c": v}
+            {"__day_s": day_s, "event_type": batch["event_type"], "value_c": v}
         )
+
+    def day_ts(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.multiply(batch["__day_s"], 1_000_000), pa.timestamp("us")
+        )
+        return batch.append_column("day", day).drop_columns(["__day_s"])
 
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
     ).map_batches(day_cents, batch_format="pyarrow")
-    return pivot_aggregate(ds, ["day"], "event_type", "value_c", categories=cats)
+    return pivot_aggregate(
+        ds, ["__day_s"], "event_type", "value_c", categories=cats
+    ).map_batches(day_ts, batch_format="pyarrow")
 
 
 SQL_PIVOT = """

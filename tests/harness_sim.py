@@ -43,7 +43,16 @@ def canon(tbl):
 def main(sf_dir="/root/testdata/sf0.01"):
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    def _quiet_worker() -> None:
+        import logging as _l
+        import warnings as _w
+
+        _w.filterwarnings("ignore")
+        _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONWARNINGS": "ignore"},
+                          "worker_process_setup_hook": _quiet_worker})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
