@@ -65,16 +65,12 @@ BENCH_QUERIES = [
 
 
 
-def _quiet_worker() -> None:
-    """worker_process_setup_hook: Ray workers log an internal
-    datetime-precision note (ray.air tensor_extensions) from inside
-    aggregate shuffle tasks at WARNING; it is driver-unactionable and
-    would spam the bench's forwarded stderr."""
-    import logging as _l
-    import warnings as _w
+def _quiet_env() -> dict:
+    """Worker-warning-silencing runtime_env, single-sourced in
+    jitsu_ray.util.quiet_runtime_env (shared with tests/harness_sim)."""
+    from jitsu_ray.util import quiet_runtime_env
 
-    _w.filterwarnings("ignore")
-    _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+    return quiet_runtime_env()
 
 
 def main() -> dict:
@@ -95,10 +91,7 @@ def main() -> dict:
         # silence worker-side warnings/log spam (e.g. Ray's internal
         # datetime-precision note inside aggregate shuffle tasks) so
         # the bench's forwarded output stays machine-readable
-        runtime_env={
-            "env_vars": {"PYTHONWARNINGS": "ignore"},
-            "worker_process_setup_hook": _quiet_worker,
-        },
+        runtime_env=_quiet_env(),
     )
     from ray.data import DataContext
 
@@ -276,10 +269,7 @@ def latency() -> None:
         # silence worker-side warnings/log spam (e.g. Ray's internal
         # datetime-precision note inside aggregate shuffle tasks) so
         # the bench's forwarded output stays machine-readable
-        runtime_env={
-            "env_vars": {"PYTHONWARNINGS": "ignore"},
-            "worker_process_setup_hook": _quiet_worker,
-        },
+        runtime_env=_quiet_env(),
     )
     from ray.data import DataContext
 

@@ -297,9 +297,18 @@ def interval_join(
         return out.append_column("__side", pa.array([side] * batch.num_rows, pa.int8()))
 
     def tag_facts(batch: pa.Table) -> pa.Table:
+        # Inner-join semantics: a null point can never satisfy the range
+        # predicate, so drop it here — matching the broadcast plan, where
+        # join_where discards null comparisons (a null would otherwise
+        # become NaN under to_numpy and crash the int64 bucket cast).
+        batch = batch.filter(pc.is_valid(batch[point_col]))
         return _pad(batch, 0, _as_i64(batch[point_col]) // bucket_width)
 
     def fan_intervals(batch: pa.Table) -> pa.Table:
+        # Same null contract as tag_facts: null lo/hi intervals match nothing.
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[lo_col]), pc.is_valid(batch[hi_col]))
+        )
         lo = _as_i64(batch[lo_col]) // bucket_width
         # hi is exclusive: an interval touching a bucket boundary exactly
         # does not reach the next bucket

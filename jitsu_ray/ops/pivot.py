@@ -75,3 +75,41 @@ def pivot_aggregate(ds, group_cols: list[str], cat_col: str, value_col: str,
         .groupby(group_cols)
         .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Melt wide -> long: one output row per (input row, measure column)
+    whose measure is non-null (DuckDB ``UNPIVOT``'s default NULL
+    exclusion). Inverse of :func:`pivot_aggregate`'s shape.
+
+    Pure per-batch flat transform — no shuffle, embarrassingly parallel
+    at any scale (output is ``len(value_cols)``x the input rows; the
+    streaming executor splits oversized output blocks downstream).
+    ``value_cols`` must share one Arrow type (the long format has a
+    single value column; cast upstream if they differ).
+    """
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+    schema = ds.schema().base_schema
+    types = {str(schema.field(c).type) for c in value_cols}
+    if len(types) > 1:
+        raise ValueError(f"value columns must share one type, got {types}")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            keep = pa.compute.is_valid(batch[c])
+            sub = batch.filter(keep)
+            parts.append(
+                pa.table(
+                    {
+                        **{i: sub[i] for i in id_cols},
+                        var_name: pa.array([c] * sub.num_rows, pa.string()),
+                        value_name: sub[c],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

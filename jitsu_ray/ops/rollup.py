@@ -124,74 +124,17 @@ def rollup_aggregate(ds, dims: list[str], value_cols: list[str]):
     """count (``n``) + per-column sums (``sum_<col>``) at every ROLLUP
     prefix level of ``dims``. Returns one Dataset: the union of all
     levels, each padded to the full schema with typed nulls for its
-    rolled-up dims."""
+    rolled-up dims.
+
+    ROLLUP(dims) IS GROUPING SETS over the prefix chain, so this
+    delegates to :func:`grouping_sets_aggregate` (one partial-reuse
+    machinery to maintain) and only restores the caller-facing column
+    order (``dims`` order, not the union's sorted order).
+    """
     if not dims:
         raise ValueError("rollup needs at least one dimension")
-    schema = ds.schema().base_schema
-    dim_fields = [schema.field(d) for d in dims]
-    sums = [f"sum_{c}" for c in value_cols]
-    aggs = lambda: [Sum("n", alias_name="n")] + [  # noqa: E731
-        Sum(s, alias_name=s) for s in sums
-    ]
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(dims + value_cols))
-        out = df.group_by(dims).agg(
-            pl.len().cast(pl.Int64).alias("n"),
-            *[pl.sum(c).alias(s) for c, s in zip(value_cols, sums)],
-        )
-        return out.to_arrow()
-
-    # every coarser level re-reads the finest level: pin it (it is
-    # aggregate-sized — groups, not input rows) or Ray's lazy plan
-    # would re-run the full input pass once per level
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(dims)
-        .aggregate(*aggs())
-        .materialize()
+    sets = [list(dims[:j]) for j in range(len(dims), -1, -1)]
+    out = grouping_sets_aggregate(ds, sets, value_cols)
+    return out.select_columns(
+        list(dims) + ["n"] + [f"sum_{c}" for c in value_cols]
     )
-
-    def pad(level_dims: list[str]):
-        """Null-fill the rolled-up dims (with their INPUT types) and fix
-        column order so every level unions cleanly."""
-
-        def run(batch: pa.Table) -> pa.Table:
-            cols = {}
-            for f in dim_fields:
-                if f.name in level_dims:
-                    cols[f.name] = batch[f.name]
-                else:
-                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
-            cols["n"] = batch["n"]
-            for s in sums:
-                cols[s] = batch[s]
-            return pa.table(cols)
-
-        return run
-
-    levels = [finest.map_batches(pad(dims), batch_format="pyarrow")]
-    for j in range(len(dims) - 1, 0, -1):
-        lv = (
-            finest.groupby(dims[:j])
-            .aggregate(*aggs())
-            .map_batches(pad(dims[:j]), batch_format="pyarrow")
-        )
-        levels.append(lv)
-
-    def total_fold(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["n"] + sums))
-        out = df.select(
-            pl.sum("n").alias("n"), *[pl.sum(s).alias(s) for s in sums]
-        )
-        return out.to_arrow()
-
-    # grand total: fold the finest level's partials down to one row
-    # (repartition(1) then one fold task — aggregate-sized input only)
-    total = (
-        finest.repartition(1)
-        .map_batches(total_fold, batch_format="pyarrow")
-        .map_batches(pad([]), batch_format="pyarrow")
-    )
-    levels.append(total)
-    return levels[0].union(*levels[1:])

@@ -18,6 +18,16 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _floor_div(arr, divisor: int):
+    """Null-safe int64 floor division (Arrow's divide truncates toward
+    zero, which would assign pre-1970 events to windows that do not
+    contain them: for negative secs, trunc(secs/step)*step > secs)."""
+    q = pc.divide(arr, divisor)
+    r = pc.subtract(arr, pc.multiply(q, divisor))
+    adj = pc.cast(pc.and_(pc.not_equal(r, 0), pc.less(r, 0)), pa.int64())
+    return pc.subtract(q, adj)
+
+
 def _seconds_to_window_start(batch: pa.Table) -> pa.Table:
     """Post-aggregate fixup: epoch-seconds ``__ws`` -> ``window_start``
     timestamp[us] (aggregate-sized input; see tumbling_aggregate)."""
@@ -41,8 +51,10 @@ def tumbling_aggregate(ds, ts_col: str, width_seconds: int, group_cols: list[str
     # numpy-datetime rebuild (datetime64[D] precision-warning path) when
     # the aggregated block is reassembled from Python key values
     def partial(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
-        bucket = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        micros = pc.cast(batch[ts_col], pa.int64())
+        bucket = pc.multiply(
+            _floor_div(micros, width_seconds * 1_000_000), width_seconds
+        )
         batch = batch.append_column("__ws", bucket)
         df = pl.from_arrow(batch.select(group_cols + ["__ws", value_col]))
         out = df.group_by(group_cols + ["__ws"]).agg(
@@ -87,8 +99,10 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
     # int64 epoch-seconds shuffle key, timestamp cast post-aggregate —
     # same rationale as tumbling_aggregate
     def partial(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
-        last = pc.multiply(pc.divide(secs, step_seconds), step_seconds)
+        micros = pc.cast(batch[ts_col], pa.int64())
+        last = pc.multiply(
+            _floor_div(micros, step_seconds * 1_000_000), step_seconds
+        )
         tbl = batch.select(group_cols + [value_col]).append_column("__last", last)
         df = pl.from_arrow(tbl).join(
             pl.DataFrame({"__k": pl.Series(range(m), dtype=pl.Int64)}), how="cross"
@@ -117,12 +131,35 @@ def hopping_aggregate(ds, ts_col: str, width_seconds: int, step_seconds: int,
     )
 
 
+#: opt-in window functions for :func:`ordered_window_fns` — name -> the
+#: polars expression factory applied after the per-shard key+order sort
+_WINDOW_FNS = {
+    "rn": lambda key, order, val: pl.int_range(
+        1, pl.len() + 1, dtype=pl.Int64
+    ).over(key).alias("rn"),
+    "running_value": lambda key, order, val: pl.col(val)
+    .cum_sum().over(key).alias("running_value"),
+    "lag_value": lambda key, order, val: pl.col(val)
+    .shift(1).over(key).alias("lag_value"),
+    "lead_value": lambda key, order, val: pl.col(val)
+    .shift(-1).over(key).alias("lead_value"),
+    # rank over the ORDER columns (ties share a rank; rn breaks them)
+    "rank": lambda key, order, val: pl.struct(order)
+    .rank("min").over(key).cast(pl.Int64).alias("rank"),
+    "dense_rank": lambda key, order, val: pl.struct(order)
+    .rank("dense").over(key).cast(pl.Int64).alias("dense_rank"),
+}
+
+
 def ordered_window_fns(ds, key_col: str, order_cols: list[str],
-                       value_col: str, num_shards: int = 32):
-    """Per-key ordered window functions: SQL ``ROW_NUMBER()`` (``rn``)
-    and running ``SUM(value_col)`` (``running_value``) OVER
-    (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED PRECEDING),
-    one output row per input row.
+                       value_col: str, num_shards: int = 32,
+                       fns: tuple = ("rn", "running_value")):
+    """Per-key ordered window functions OVER (PARTITION BY key ORDER BY
+    order_cols): pick from ``rn`` (ROW_NUMBER), ``running_value``
+    (running SUM, ROWS UNBOUNDED PRECEDING), ``lag_value`` / ``lead_value``
+    (LAG/LEAD of ``value_col`` by 1), ``rank`` / ``dense_rank`` (over the
+    order columns). One output row per input row; default ``fns``
+    preserves the original (rn, running_value) schema.
 
     The reference has no analytics surface at all (SURVEY §2.5-2.6);
     this extends the engine with the warehouse window-function family a
@@ -142,6 +179,10 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     """
     from ..util import hash_mod_column
 
+    unknown = [f for f in fns if f not in _WINDOW_FNS]
+    if unknown:
+        raise ValueError(f"unknown window fns {unknown}; pick from "
+                         f"{sorted(_WINDOW_FNS)}")
     keep = [key_col, *order_cols, value_col]
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -154,8 +195,7 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
         df = pl.from_arrow(g.select(keep))
         df = df.sort([key_col, *order_cols])
         return df.with_columns(
-            pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over(key_col).alias("rn"),
-            pl.col(value_col).cum_sum().over(key_col).alias("running_value"),
+            *[_WINDOW_FNS[f](key_col, order_cols, value_col) for f in fns]
         ).to_arrow()
 
     return (
@@ -236,10 +276,20 @@ def funnel_steps(ds, key_col: str, ts_col: str, event_col: str,
              for k in range(len(steps))]
         ).to_arrow()
 
+    # Zero-row seed: when NO event matches any step the shard filter
+    # empties the dataset and map_groups emits nothing — the documented
+    # contract is still ONE all-zero row (what the SQL oracle returns),
+    # so union a zeros row that the final fold sums in harmlessly.
+    import ray.data as _rd
+
+    zeros = pa.table(
+        {f"n_step{k + 1}": pa.array([0], pa.int64()) for k in range(len(steps))}
+    )
     return (
         ds.map_batches(shard, batch_format="pyarrow")
         .groupby("__shard")
         .map_groups(steps_shard, batch_format="pyarrow")
+        .union(_rd.from_arrow(zeros))
         .repartition(1)
         .map_batches(fold, batch_format="pyarrow")
     )

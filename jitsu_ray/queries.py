@@ -130,6 +130,49 @@ def _materialize_or_stage(ds, input_bytes_hint: int, tag: str):
 # Jitsu-parity operators over the events/customer tables
 
 
+def _cents(batch: pa.Table, col: str):
+    """Repo-wide money convention — CAST(floor(x*100 + 0.5) AS BIGINT),
+    byte-identical to the expression every oracle SQL uses; single-
+    sourced so a rounding-rule change cannot drift per query."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(batch[col], 100.0), 0.5)), pa.int64()
+    )
+
+
+def _value_cents(batch: pa.Table) -> pa.Table:
+    """events.value -> appended ``value_c`` cents column (the per-query
+    pre-aggregate projection shared by the window/join queries)."""
+    return batch.append_column("value_c", _cents(batch, "value"))
+
+
+def _lineitem_cents(batch: pa.Table) -> pa.Table:
+    """lineitem -> (l_returnflag, l_linestatus, qty, revenue) cents
+    projection shared by the ROLLUP / CUBE queries."""
+    rev = pc.cast(
+        pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    100.0,
+                ),
+                0.5,
+            )
+        ),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": _cents(batch, "l_quantity"),
+            "revenue": rev,
+        }
+    )
+
+
 def q_lww_latest_by_user(sf_dir: str):
     """K4/J3/O1: last-writer-wins upsert state — per user the max-(ts,
     event_id) event. Per-batch combiner collapses to one row per user
@@ -470,33 +513,7 @@ def q_rollup_revenue(sf_dir: str):
     re-aggregate the finest result (partial-aggregate reuse)."""
     from .ops.rollup import rollup_aggregate
 
-    def cents(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["l_quantity"], 100.0), 0.5)), pa.int64()
-        )
-        rev = pc.cast(
-            pc.floor(
-                pc.add(
-                    pc.multiply(
-                        pc.multiply(
-                            batch["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-                        ),
-                        100.0,
-                    ),
-                    0.5,
-                )
-            ),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": qty,
-                "revenue": rev,
-            }
-        )
+    cents = _lineitem_cents
 
     ds = _read_sized(
         _t(sf_dir, "lineitem"),
@@ -521,33 +538,7 @@ def q_cube_revenue(sf_dir: str):
     result (partial-aggregate reuse, same 100-TB shape as ROLLUP)."""
     from .ops.rollup import cube_aggregate
 
-    def cents(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["l_quantity"], 100.0), 0.5)), pa.int64()
-        )
-        rev = pc.cast(
-            pc.floor(
-                pc.add(
-                    pc.multiply(
-                        pc.multiply(
-                            batch["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-                        ),
-                        100.0,
-                    ),
-                    0.5,
-                )
-            ),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": qty,
-                "revenue": rev,
-            }
-        )
+    cents = _lineitem_cents
 
     ds = _read_sized(
         _t(sf_dir, "lineitem"),
@@ -570,11 +561,7 @@ def q_tumbling_daily(sf_dir: str):
     per event_type (vectorized bucket + partial agg before the shuffle)."""
     from .ops.window import tumbling_aggregate
 
-    def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
-        return batch.append_column("value_c", v)
+    cents = _value_cents
 
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
@@ -584,7 +571,7 @@ def q_tumbling_daily(sf_dir: str):
 
 SQL_TUMBLING = """
 SELECT event_type,
-       make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) * 1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS window_start,
        count(*) AS n,
        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
        min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_value,
@@ -599,11 +586,7 @@ def q_hopping_hourly(sf_dir: str):
     per event_type, fan-out collapsed by a per-batch partial agg."""
     from .ops.window import hopping_aggregate
 
-    def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
-        return batch.append_column("value_c", v)
+    cents = _value_cents
 
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["ts", "event_type", "value"]
@@ -613,7 +596,7 @@ def q_hopping_hourly(sf_dir: str):
 
 SQL_HOPPING = """
 SELECT event_type,
-       make_timestamp((((CAST(floor(epoch(ts)) AS BIGINT) // 900) - t.k) * 900) * 1000000) AS window_start,
+       make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - t.k) * 900) * 1000000) AS window_start,
        count(*) AS n,
        CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
        min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS min_value,
@@ -639,11 +622,7 @@ def q_campaign_attribution(sf_dir: str):
         ensure_campaigns_parquet(os.path.join(CACHE_DIR, "campaigns"))
     )
 
-    def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
-        return batch.append_column("value_c", v)
+    cents = _value_cents
 
     ds = _read_sized(_t(sf_dir, "events"), columns=["ts", "value"]).map_batches(
         cents, batch_format="pyarrow"
@@ -715,11 +694,7 @@ def q_running_user_spend(sf_dir: str):
     per-key tiebreaker the running sum needs."""
     from .ops.window import ordered_window_fns
 
-    def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
-        return batch.append_column("value_c", v)
+    cents = _value_cents
 
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
@@ -739,6 +714,74 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_spend_with_prev(sf_dir: str):
+    """LAG/LEAD window functions (the CDC-adjacent "previous/next value
+    per key" primitive): per user-event row, the prior and next event's
+    value cents in (ts, event_id) order — ops.window.ordered_window_fns
+    with the opt-in lag/lead expressions (same one-shuffle shard shape
+    as running_user_spend)."""
+    from .ops.window import ordered_window_fns
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(_value_cents, batch_format="pyarrow")
+    return ordered_window_fns(
+        ds, "user_id", ["ts", "event_id"], "value_c",
+        fns=("lag_value", "lead_value"),
+    )
+
+
+SQL_SPEND_PREV = """
+SELECT user_id, ts, event_id,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c,
+       lag(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS lag_value,
+       lead(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS lead_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT (wide -> long melt, ops.pivot.unpivot): every 100th
+    order's lineitem measures (quantity/extendedprice/discount/tax) as
+    (id cols, measure, value) rows — a pure per-batch flat transform,
+    no shuffle. DuckDB UNPIVOT NULL-exclusion parity."""
+    from .ops.pivot import unpivot
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                batch["l_orderkey"],
+                pc.multiply(pc.divide(batch["l_orderkey"], 100), 100),
+            ),
+            0,
+        )
+        return batch.filter(keep)
+
+    ds = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(pick, batch_format="pyarrow")
+    return unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  UNPIVOT (
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_discount, l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+  ) ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value
+)
+"""
+
+
 def q_pivot_event_values(sf_dir: str):
     """Categorical pivot (crosstab): per-day wide row of count + summed
     value cents per event_type (ops.pivot.pivot_aggregate). Category
@@ -755,11 +798,14 @@ def q_pivot_event_values(sf_dir: str):
     # the aggregate (cheaper shuffle key; day-aligned datetime keys trip
     # Ray's numpy-datetime rebuild — see ops/window.py)
     def day_cents(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
-        day_s = pc.multiply(pc.divide(secs, 86400), 86400)
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        from .ops.window import _floor_div
+
+        # floor (not trunc) division so pre-1970 timestamps land in the
+        # day that contains them — same fix as ops/window partials
+        day_s = pc.multiply(
+            _floor_div(pc.cast(batch["ts"], pa.int64()), 86400 * 1_000_000), 86400
         )
+        v = _cents(batch, "value")
         return pa.table(
             {"__day_s": day_s, "event_type": batch["event_type"], "value_c": v}
         )
@@ -780,7 +826,7 @@ def q_pivot_event_values(sf_dir: str):
 
 SQL_PIVOT = """
 WITH e AS (
-  SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) * 1000000) AS day,
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS day,
          event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
   FROM events
 )
@@ -1063,7 +1109,7 @@ def q_singer_read(sf_dir: str):
     out = read_singer_output([path])
 
     def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        v = _cents(batch, "value")
         return pa.table(
             {"event_id": batch["event_id"], "event_type": batch["event_type"], "value_c": v}
         )
@@ -1229,7 +1275,7 @@ def q_interval_refresh(sf_dir: str):
     from .sinks.lake import LakeTable
 
     def prep(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        v = _cents(batch, "value")
         return pa.table(
             {
                 "commit_seq": batch["event_id"],
@@ -1654,7 +1700,7 @@ def q_time_travel(sf_dir: str):
     from .sinks.lake import LakeTable
 
     def prep(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        v = _cents(batch, "value")
         return pa.table(
             {
                 "commit_seq": batch["event_id"],
@@ -1853,9 +1899,7 @@ def q_value_quantiles(sf_dir: str):
     from .ops.corpus import group_quantiles_auto
 
     def cents(batch: pa.Table) -> pa.Table:
-        v = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
+        v = _cents(batch, "value")
         return pa.table({"event_type": batch["event_type"], "value_c": v})
 
     import pyarrow.parquet as pq
@@ -1980,9 +2024,7 @@ def q_asof_last_order(sf_dir: str):
         okey = batch["o_orderkey"]
         mod = pc.subtract(okey, pc.multiply(pc.divide(okey, 720), 720))
         us = pc.add(pc.multiply(pc.cast(mod, pa.int64()), 3_600_000_000), BASE_US)
-        spend = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)), pa.int64()
-        )
+        spend = _cents(batch, "o_totalprice")
         return pa.table(
             {
                 "user_id": batch["o_custkey"],
@@ -2249,9 +2291,7 @@ def q_pull_sync(sf_dir: str):
         )
 
         def prep(batch: pa.Table) -> pa.Table:
-            v = pc.cast(
-                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-            )
+            v = _cents(batch, "value")
             return pa.table(
                 {
                     "commit_seq": batch["event_id"],
@@ -2313,6 +2353,8 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "session_windows": q_session_windows,
     "running_user_spend": q_running_user_spend,
+    "spend_with_prev": q_spend_with_prev,
+    "unpivot_lineitem": q_unpivot_lineitem,
     "pivot_event_values": q_pivot_event_values,
     "funnel_views": q_funnel_views,
     "cube_revenue": q_cube_revenue,
@@ -2372,6 +2414,8 @@ ORACLES = {
     "rollup_revenue": SQL_ROLLUP,
     "session_windows": SQL_SESSIONS,
     "running_user_spend": SQL_RUNNING,
+    "spend_with_prev": SQL_SPEND_PREV,
+    "unpivot_lineitem": SQL_UNPIVOT,
     "pivot_event_values": SQL_PIVOT,
     "funnel_views": SQL_FUNNEL,
     "cube_revenue": SQL_CUBE,

@@ -350,3 +350,25 @@ def release_pid_lock(lock_path: str) -> None:
         os.unlink(lock_path)
     except FileNotFoundError:
         pass
+
+
+def _quiet_worker() -> None:
+    """worker_process_setup_hook body: Ray workers log an internal
+    datetime-precision note (ray.air tensor_extensions) from inside
+    aggregate shuffle tasks at WARNING; it is driver-unactionable and
+    would spam forwarded stderr."""
+    import logging as _l
+    import warnings as _w
+
+    _w.filterwarnings("ignore")
+    _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+
+
+def quiet_runtime_env() -> dict:
+    """The ray.init(runtime_env=...) block that silences worker-side
+    warning spam — single-sourced for bench.py / test harnesses (the
+    next logger that needs silencing gets fixed in one place)."""
+    return {
+        "env_vars": {"PYTHONWARNINGS": "ignore"},
+        "worker_process_setup_hook": _quiet_worker,
+    }

@@ -2,6 +2,7 @@
 queries() entry at a given sf and compare with oracle_sql() via DuckDB
 (row count + column names/types + order-insensitive value multiset).
 Not a pytest file — run directly:  python tests/harness_sim.py [sf_dir]
+(optional second arg: comma-separated query names to run a subset)
 """
 
 import json
@@ -40,19 +41,14 @@ def canon(tbl):
     return sorted(rows)
 
 
-def main(sf_dir="/root/testdata/sf0.01"):
+def main(sf_dir="/root/testdata/sf0.01", only=""):
     import ray
 
-    def _quiet_worker() -> None:
-        import logging as _l
-        import warnings as _w
-
-        _w.filterwarnings("ignore")
-        _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+    sys.path.insert(0, "/root/repo")
+    from jitsu_ray.util import quiet_runtime_env
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR",
-             runtime_env={"env_vars": {"PYTHONWARNINGS": "ignore"},
-                          "worker_process_setup_hook": _quiet_worker})
+             runtime_env=quiet_runtime_env())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -69,6 +65,12 @@ def main(sf_dir="/root/testdata/sf0.01"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
+    if only:
+        pick = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in pick if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in pick}
     report = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -91,6 +93,9 @@ def main(sf_dir="/root/testdata/sf0.01"):
                 report[name] = {"rows": res.num_rows, "rows_only": True, "sec": sec}
         except Exception as e:
             report[name] = {"ERROR": f"{type(e).__name__}: {e}"[:300]}
+        # stream per-query verdicts so a killed/timed-out run still
+        # leaves the completed prefix on record
+        print(f"# {name}: {json.dumps(report[name])}", file=sys.stderr, flush=True)
     print(json.dumps(report, indent=1))
     bad = [
         n

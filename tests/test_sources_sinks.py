@@ -270,17 +270,20 @@ def test_interval_join_modes_agree(ray_session):
     # overlapping intervals incl. one spanning many buckets and one
     # matching nothing; facts incl. boundary points (lo inclusive, hi
     # exclusive)
+    # null point / null bounds must behave identically in both plans
+    # (inner-join semantics: a null never matches) — the bucketed plan
+    # used to crash on them while broadcast silently dropped them
     facts = pa.table(
         {
-            "p": pa.array([0, 5, 10, 15, 99, 100, 250], pa.int64()),
-            "fid": pa.array(list(range(7)), pa.int64()),
+            "p": pa.array([0, 5, 10, 15, 99, 100, 250, None], pa.int64()),
+            "fid": pa.array(list(range(8)), pa.int64()),
         }
     )
     iv = pa.table(
         {
-            "lo": pa.array([0, 5, 0, 300], pa.int64()),
-            "hi": pa.array([10, 100, 260, 310], pa.int64()),
-            "iid": pa.array([0, 1, 2, 3], pa.int64()),
+            "lo": pa.array([0, 5, 0, 300, None, 7], pa.int64()),
+            "hi": pa.array([10, 100, 260, 310, 50, None], pa.int64()),
+            "iid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
         }
     )
     expect = sorted(
@@ -289,7 +292,7 @@ def test_interval_join_modes_agree(ray_session):
         for i, lo, hi in zip(
             iv["iid"].to_pylist(), iv["lo"].to_pylist(), iv["hi"].to_pylist()
         )
-        if lo <= p < hi
+        if p is not None and lo is not None and hi is not None and lo <= p < hi
     )
     ds = ray.data.from_arrow(facts)
     for mode, kw in [("broadcast", {}), ("bucketed", {"bucket_width": 16})]:
@@ -330,12 +333,69 @@ def test_hopping_windows(ray_session):
             e = expect.setdefault(start, [0, 0])
             e[0] += 1
             e[1] += vals[s]
+    # window_start comes back tz-naive (UTC by construction); a bare
+    # .timestamp() would reinterpret it in the machine's LOCAL zone
+    from datetime import timezone
+
     got = {
-        int(r["window_start"].timestamp()): [r["n"], r["sum_value"]] for r in out
+        int(r["window_start"].replace(tzinfo=timezone.utc).timestamp()):
+            [r["n"], r["sum_value"]]
+        for r in out
     }
     assert got == expect
     with pytest.raises(ValueError):
         hopping_aggregate(ds, "ts", 3600, 1000, ["g"], "v")
+
+
+def test_hopping_windows_pre_epoch(ray_session):
+    """Pre-1970 (negative epoch) events must land in the windows that
+    CONTAIN them — trunc-toward-zero division used to assign t=-10s to
+    window [0, 60) and miss [-60, 0)."""
+    import ray.data
+
+    from jitsu_ray.ops.window import hopping_aggregate
+
+    secs = [-10, -70, 5]
+    tbl = pa.table(
+        {
+            "ts": pa.array([s * 1_000_000 for s in secs], pa.timestamp("us")),
+            "g": pa.array(["a"] * len(secs)),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    out = hopping_aggregate(
+        ray.data.from_arrow(tbl), "ts", 60, 30, ["g"], "v"
+    ).take_all()
+    from datetime import timezone
+
+    for r in out:
+        start = int(r["window_start"].replace(tzinfo=timezone.utc).timestamp())
+        members = [s for s in secs if start <= s < start + 60]
+        assert r["n"] == len(members) and r["sum_value"] == sum(
+            {-10: 1, -70: 2, 5: 4}[s] for s in members
+        ), (start, members)
+    # every event appears in exactly width//step = 2 windows
+    assert sum(r["n"] for r in out) == 2 * len(secs)
+
+
+def test_funnel_steps_no_matching_events(ray_session):
+    """Contract: ONE all-zero row even when no event matches any step
+    (the shard filter used to empty the dataset and emit nothing)."""
+    import ray.data
+
+    from jitsu_ray.ops.window import funnel_steps
+
+    tbl = pa.table(
+        {
+            "u": pa.array(["x", "y"]),
+            "t": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+            "ev": pa.array(["view", "click"]),
+        }
+    )
+    out = funnel_steps(
+        ray.data.from_arrow(tbl), "u", "t", "ev", ["absent1", "absent2"]
+    ).take_all()
+    assert out == [{"n_step1": 0, "n_step2": 0}]
 
 
 def test_write_routed_fanout_resumable(ray_session, tmp_path):
@@ -1122,6 +1182,90 @@ def test_ordered_window_fns_matches_sql(ray_session):
             for r in out.take_all()
         )
         assert got == exp, (parts, shards)
+
+
+def test_ordered_window_fns_lag_lead_rank(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.window import ordered_window_fns
+
+    # tied order values (t=5 twice in key a, tie broken by i) exercise
+    # rank vs dense_rank vs rn divergence; lag/lead hit key boundaries
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "t": pa.array([5, 5, 1, 9, 2, 4], pa.int64()),
+            "i": pa.array([1, 0, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT k, t, i, v,
+                      lag(v) OVER w AS lag_value,
+                      lead(v) OVER w AS lead_value,
+                      CAST(rank() OVER (PARTITION BY k ORDER BY t) AS BIGINT),
+                      CAST(dense_rank() OVER (PARTITION BY k ORDER BY t) AS BIGINT)
+               FROM t
+               WINDOW w AS (PARTITION BY k ORDER BY t, i)"""
+        ).fetchall()
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    # lag/lead need the full (t, i) total order; rank/dense_rank are
+    # checked over t alone so ties actually share a rank
+    out = ordered_window_fns(
+        ds, "k", ["t", "i"], "v", num_shards=4,
+        fns=("lag_value", "lead_value"),
+    ).take_all()
+    got_ll = sorted(
+        (r["k"], r["t"], r["i"], r["v"], r["lag_value"], r["lead_value"])
+        for r in out
+    )
+    assert got_ll == [e[:6] for e in exp]
+    out2 = ordered_window_fns(
+        ds, "k", ["t"], "v", num_shards=4, fns=("rank", "dense_rank")
+    ).take_all()
+    got_r = sorted(
+        (r["k"], r["t"], r["v"], r["rank"], r["dense_rank"]) for r in out2
+    )
+    exp_r = sorted((e[0], e[1], e[3], e[6], e[7]) for e in exp)
+    assert got_r == exp_r
+    with pytest.raises(ValueError):
+        ordered_window_fns(ds, "k", ["t"], "v", fns=("nope",))
+
+
+def test_unpivot_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.pivot import unpivot
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "x": pa.array([1.0, None, 3.0]),
+            "y": pa.array([None, 5.0, 6.0]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            "SELECT id, measure, value FROM "
+            "(UNPIVOT t ON x, y INTO NAME measure VALUE value)"
+        ).fetchall()
+    )
+    out = unpivot(
+        ray.data.from_arrow(tbl).repartition(2), ["id"], ["x", "y"]
+    ).take_all()
+    assert sorted((r["id"], r["measure"], r["value"]) for r in out) == exp
+    with pytest.raises(ValueError):
+        unpivot(ray.data.from_arrow(tbl), ["id"], [])
+    with pytest.raises(ValueError):
+        unpivot(ray.data.from_arrow(tbl), [], ["id", "x"])  # mixed types
 
 
 def test_pivot_aggregate_matches_sql(ray_session):
