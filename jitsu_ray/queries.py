@@ -782,6 +782,90 @@ FROM (
 """
 
 
+def _user_day_side(event_type: str):
+    """events -> distinct-able (user_id, day_s) pairs for one side of a
+    set op; int64 epoch-seconds day key (the cheap shuffle-key idiom
+    from ops/window.py), floor division so pre-1970 rows land in the
+    day that contains them."""
+    from .ops.window import _floor_div
+
+    def run(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], event_type))
+        day_s = pc.multiply(
+            _floor_div(pc.cast(b["ts"], pa.int64()), 86400 * 1_000_000), 86400
+        )
+        return pa.table({"user_id": b["user_id"], "day_s": day_s})
+
+    return run
+
+
+def _day_s_to_timestamp(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "user_id": batch["user_id"],
+            "day": pc.cast(
+                pc.multiply(batch["day_s"], 1_000_000), pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def q_browse_no_buy_days(sf_dir: str):
+    """EXCEPT DISTINCT set op (ops.setops): (user_id, day) pairs with a
+    'view' event but NO 'purchase' that day — the snapshot-diff
+    primitive. Each side is a pruned re-read of the same parquet with a
+    per-batch local distinct; one shuffle total (hash-shard finalize on
+    the unioned sides)."""
+    from .ops.setops import except_distinct
+
+    def side(et: str):
+        return _read_sized(
+            _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+        ).map_batches(_user_day_side(et), batch_format="pyarrow")
+
+    out = except_distinct(side("view"), side("purchase"), ["user_id", "day_s"])
+    return out.map_batches(_day_s_to_timestamp, batch_format="pyarrow")
+
+
+SQL_EXCEPT_DAYS = """
+SELECT user_id,
+       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id,
+       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_view_and_buy_days(sf_dir: str):
+    """INTERSECT DISTINCT set op (ops.setops): (user_id, day) pairs
+    that saw BOTH a 'view' and a 'purchase' — same one-shuffle shape as
+    q_browse_no_buy_days."""
+    from .ops.setops import intersect_distinct
+
+    def side(et: str):
+        return _read_sized(
+            _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+        ).map_batches(_user_day_side(et), batch_format="pyarrow")
+
+    out = intersect_distinct(
+        side("view"), side("purchase"), ["user_id", "day_s"]
+    )
+    return out.map_batches(_day_s_to_timestamp, batch_format="pyarrow")
+
+
+SQL_INTERSECT_DAYS = """
+SELECT user_id,
+       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS day
+FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id,
+       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_pivot_event_values(sf_dir: str):
     """Categorical pivot (crosstab): per-day wide row of count + summed
     value cents per event_type (ops.pivot.pivot_aggregate). Category
@@ -2355,6 +2439,8 @@ QUERIES = {
     "running_user_spend": q_running_user_spend,
     "spend_with_prev": q_spend_with_prev,
     "unpivot_lineitem": q_unpivot_lineitem,
+    "browse_no_buy_days": q_browse_no_buy_days,
+    "view_and_buy_days": q_view_and_buy_days,
     "pivot_event_values": q_pivot_event_values,
     "funnel_views": q_funnel_views,
     "cube_revenue": q_cube_revenue,
@@ -2416,6 +2502,8 @@ ORACLES = {
     "running_user_spend": SQL_RUNNING,
     "spend_with_prev": SQL_SPEND_PREV,
     "unpivot_lineitem": SQL_UNPIVOT,
+    "browse_no_buy_days": SQL_EXCEPT_DAYS,
+    "view_and_buy_days": SQL_INTERSECT_DAYS,
     "pivot_event_values": SQL_PIVOT,
     "funnel_views": SQL_FUNNEL,
     "cube_revenue": SQL_CUBE,

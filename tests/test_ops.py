@@ -1066,3 +1066,42 @@ def test_frequent_items_interim_memory_bound():
     assert len(fi.counts) <= 8
     assert Spy.max_len <= 2 * 8 + 1  # bounded DURING the call, not just after
     assert fi.error_bound() <= 10_000 // 8
+
+
+def test_setops_match_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.setops import except_distinct, intersect_distinct
+
+    # duplicate keys (distinct semantics), a null key present on BOTH
+    # sides (SQL set ops compare NULLs equal), and one-side-only keys
+    a = pa.table(
+        {
+            "k": pa.array(["x", "x", "y", None, "z"]),
+            "g": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "k": pa.array(["x", None, "w"]),
+            "g": pa.array([1, 3, 9], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    for op, fn in [("INTERSECT", intersect_distinct), ("EXCEPT", except_distinct)]:
+        exp = sorted(
+            con.sql(
+                f"SELECT DISTINCT k, g FROM a {op} SELECT DISTINCT k, g FROM b"
+            ).fetchall()
+        , key=str)
+        got = fn(
+            ray.data.from_arrow(a).repartition(2),
+            ray.data.from_arrow(b).repartition(2),
+            ["k", "g"],
+            num_shards=4,
+        ).take_all()
+        assert sorted(((r["k"], r["g"]) for r in got), key=str) == exp, op
+        assert all(sorted(r) == ["g", "k"] for r in got)
