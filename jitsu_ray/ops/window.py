@@ -148,18 +148,46 @@ _WINDOW_FNS = {
     .rank("min").over(key).cast(pl.Int64).alias("rank"),
     "dense_rank": lambda key, order, val: pl.struct(order)
     .rank("dense").over(key).cast(pl.Int64).alias("dense_rank"),
+    # SQL FIRST_VALUE(val) OVER w; and LAST_VALUE(val) OVER (w ROWS
+    # BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — i.e. the
+    # whole-partition last, NOT the default-frame current-row value
+    "first_value": lambda key, order, val: pl.col(val)
+    .first().over(key).alias("first_value"),
+    "last_value": lambda key, order, val: pl.col(val)
+    .last().over(key).alias("last_value"),
 }
+
+
+def _ntile_expr(key_col: str, n: int):
+    """SQL NTILE(n): split each partition's ordered rows into n buckets
+    whose sizes differ by at most one, larger buckets first — the first
+    ``c % n`` buckets get ``c//n + 1`` rows (c = partition count)."""
+    i = pl.int_range(0, pl.len(), dtype=pl.Int64).over(key_col)
+    c = pl.len().cast(pl.Int64).over(key_col)
+    q, r = c // n, c % n
+    big = r * (q + 1)  # rows living in the first r (larger) buckets
+    # max_horizontal guards the unused otherwise-branch when q == 0
+    # (polars evaluates both branches eagerly)
+    bucket = (
+        pl.when(i < big)
+        .then(i // (q + 1))
+        .otherwise(r + (i - big) // pl.max_horizontal(q, pl.lit(1, pl.Int64)))
+    )
+    return (bucket + 1).cast(pl.Int64).alias("ntile")
 
 
 def ordered_window_fns(ds, key_col: str, order_cols: list[str],
                        value_col: str, num_shards: int = 32,
-                       fns: tuple = ("rn", "running_value")):
+                       fns: tuple = ("rn", "running_value"),
+                       ntile_n: int | None = None):
     """Per-key ordered window functions OVER (PARTITION BY key ORDER BY
     order_cols): pick from ``rn`` (ROW_NUMBER), ``running_value``
     (running SUM, ROWS UNBOUNDED PRECEDING), ``lag_value`` / ``lead_value``
     (LAG/LEAD of ``value_col`` by 1), ``rank`` / ``dense_rank`` (over the
-    order columns). One output row per input row; default ``fns``
-    preserves the original (rn, running_value) schema.
+    order columns), ``first_value`` / ``last_value`` (whole-partition
+    bounds of ``value_col``), and ``ntile`` (requires ``ntile_n``; SQL
+    NTILE bucket numbering). One output row per input row; default
+    ``fns`` preserves the original (rn, running_value) schema.
 
     The reference has no analytics surface at all (SURVEY §2.5-2.6);
     this extends the engine with the warehouse window-function family a
@@ -179,10 +207,12 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     """
     from ..util import hash_mod_column
 
-    unknown = [f for f in fns if f not in _WINDOW_FNS]
+    unknown = [f for f in fns if f != "ntile" and f not in _WINDOW_FNS]
     if unknown:
         raise ValueError(f"unknown window fns {unknown}; pick from "
-                         f"{sorted(_WINDOW_FNS)}")
+                         f"{sorted(_WINDOW_FNS) + ['ntile']}")
+    if "ntile" in fns and (ntile_n is None or ntile_n < 1):
+        raise ValueError("fns including 'ntile' requires ntile_n >= 1")
     keep = [key_col, *order_cols, value_col]
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -195,7 +225,12 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
         df = pl.from_arrow(g.select(keep))
         df = df.sort([key_col, *order_cols])
         return df.with_columns(
-            *[_WINDOW_FNS[f](key_col, order_cols, value_col) for f in fns]
+            *[
+                _ntile_expr(key_col, ntile_n)
+                if f == "ntile"
+                else _WINDOW_FNS[f](key_col, order_cols, value_col)
+                for f in fns
+            ]
         ).to_arrow()
 
     return (

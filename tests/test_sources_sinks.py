@@ -1476,3 +1476,88 @@ def test_grouping_sets_and_cube_match_sql(ray_session):
         grouping_sets_aggregate(ds, [["a"], ["a"]], ["v"])
     with pytest.raises(ValueError):
         cube_aggregate(ds, [f"d{i}" for i in range(7)], ["v"])
+
+
+def test_ordered_window_fns_ntile_first_last(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.window import ordered_window_fns
+
+    # partition sizes 7, 3, 1 exercise ntile's uneven buckets (7 into 3
+    # -> 3,2,2), a partition smaller than n (1 into 3), and exact fit
+    ks = ["a"] * 7 + ["b"] * 3 + ["c"]
+    tbl = pa.table(
+        {
+            "k": pa.array(ks),
+            "t": pa.array(list(range(7)) + [2, 0, 1] + [5], pa.int64()),
+            "v": pa.array([x * 10 for x in range(11)], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT k, t, v,
+                      CAST(ntile(3) OVER w AS BIGINT),
+                      first_value(v) OVER w,
+                      last_value(v) OVER (PARTITION BY k ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY t)"""
+        ).fetchall()
+    )
+    out = ordered_window_fns(
+        ray.data.from_arrow(tbl).repartition(3), "k", ["t"], "v",
+        num_shards=4, fns=("ntile", "first_value", "last_value"), ntile_n=3,
+    ).take_all()
+    got = sorted(
+        (r["k"], r["t"], r["v"], r["ntile"], r["first_value"], r["last_value"])
+        for r in out
+    )
+    assert got == exp
+    with pytest.raises(ValueError):
+        ordered_window_fns(
+            ray.data.from_arrow(tbl), "k", ["t"], "v", fns=("ntile",)
+        )
+
+
+def test_grouping_sets_grouping_id(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.rollup import grouping_sets_aggregate
+
+    # a genuine NULL group value in 'a' — grouping_id is what tells the
+    # (NULL, y) data row apart from the rolled-up (NULL-filled) rows
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", None, "z"]),
+            "b": pa.array(["p", "q", "p", "p"]),
+            "v": pa.array([1, 2, 4, 8], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT a, b, CAST(grouping(a, b) AS BIGINT) AS grouping_id,
+                      count(*) AS n, sum(v) AS sum_v
+               FROM t GROUP BY GROUPING SETS ((a, b), (b), ())"""
+        ).fetchall(),
+        key=str,
+    )
+    out = grouping_sets_aggregate(
+        ray.data.from_arrow(tbl).repartition(2),
+        [["a", "b"], ["b"], []],
+        ["v"],
+        grouping_id=["a", "b"],
+    ).take_all()
+    got = sorted(
+        ((r["a"], r["b"], r["grouping_id"], r["n"], r["sum_v"]) for r in out),
+        key=str,
+    )
+    assert got == exp
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(
+            ray.data.from_arrow(tbl), [["a"]], ["v"], grouping_id=["a", "b"]
+        )
