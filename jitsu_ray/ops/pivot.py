@@ -91,6 +91,12 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
     """
     if not value_cols:
         raise ValueError("unpivot needs at least one value column")
+    taken = set(id_cols) | {var_name}
+    if var_name in id_cols or value_name in taken:
+        raise ValueError(
+            f"var_name/value_name ({var_name!r}, {value_name!r}) must not "
+            f"collide with each other or with id columns {id_cols}"
+        )
     schema = ds.schema().base_schema
     types = {str(schema.field(c).type) for c in value_cols}
     if len(types) > 1:

@@ -24,7 +24,8 @@ def _floor_div(arr, divisor: int):
     contain them: for negative secs, trunc(secs/step)*step > secs)."""
     q = pc.divide(arr, divisor)
     r = pc.subtract(arr, pc.multiply(q, divisor))
-    adj = pc.cast(pc.and_(pc.not_equal(r, 0), pc.less(r, 0)), pa.int64())
+    # r < 0 already implies r != 0 for integer remainders
+    adj = pc.cast(pc.less(r, 0), pa.int64())
     return pc.subtract(q, adj)
 
 

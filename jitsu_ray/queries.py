@@ -145,6 +145,18 @@ def _value_cents(batch: pa.Table) -> pa.Table:
     return batch.append_column("value_c", _cents(batch, "value"))
 
 
+def _day_s(ts_col):
+    """timestamp column -> int64 epoch-seconds day bucket (floor
+    division so pre-1970 rows land in the day that CONTAINS them) —
+    the cheap int shuffle-key idiom from ops/window.py, single-sourced
+    for every per-day query."""
+    from .ops.window import _floor_div
+
+    return pc.multiply(
+        _floor_div(pc.cast(ts_col, pa.int64()), 86400 * 1_000_000), 86400
+    )
+
+
 def _lineitem_cents(batch: pa.Table) -> pa.Table:
     """lineitem -> (l_returnflag, l_linestatus, qty, revenue) cents
     projection shared by the ROLLUP / CUBE queries."""
@@ -784,17 +796,12 @@ FROM (
 
 def _user_day_side(event_type: str):
     """events -> distinct-able (user_id, day_s) pairs for one side of a
-    set op; int64 epoch-seconds day key (the cheap shuffle-key idiom
-    from ops/window.py), floor division so pre-1970 rows land in the
-    day that contains them."""
-    from .ops.window import _floor_div
+    set op; int64 epoch-seconds day key via the shared ``_day_s``
+    bucketing rule."""
 
     def run(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.equal(batch["event_type"], event_type))
-        day_s = pc.multiply(
-            _floor_div(pc.cast(b["ts"], pa.int64()), 86400 * 1_000_000), 86400
-        )
-        return pa.table({"user_id": b["user_id"], "day_s": day_s})
+        return pa.table({"user_id": b["user_id"], "day_s": _day_s(b["ts"])})
 
     return run
 
@@ -882,13 +889,7 @@ def q_pivot_event_values(sf_dir: str):
     # the aggregate (cheaper shuffle key; day-aligned datetime keys trip
     # Ray's numpy-datetime rebuild — see ops/window.py)
     def day_cents(batch: pa.Table) -> pa.Table:
-        from .ops.window import _floor_div
-
-        # floor (not trunc) division so pre-1970 timestamps land in the
-        # day that contains them — same fix as ops/window partials
-        day_s = pc.multiply(
-            _floor_div(pc.cast(batch["ts"], pa.int64()), 86400 * 1_000_000), 86400
-        )
+        day_s = _day_s(batch["ts"])
         v = _cents(batch, "value")
         return pa.table(
             {"__day_s": day_s, "event_type": batch["event_type"], "value_c": v}

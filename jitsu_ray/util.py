@@ -352,23 +352,28 @@ def release_pid_lock(lock_path: str) -> None:
         pass
 
 
-def _quiet_worker() -> None:
-    """worker_process_setup_hook body: Ray workers log an internal
-    datetime-precision note (ray.air tensor_extensions) from inside
-    aggregate shuffle tasks at WARNING; it is driver-unactionable and
-    would spam forwarded stderr."""
-    import logging as _l
-    import warnings as _w
-
-    _w.filterwarnings("ignore")
-    _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
-
-
 def quiet_runtime_env() -> dict:
     """The ray.init(runtime_env=...) block that silences worker-side
-    warning spam — single-sourced for bench.py / test harnesses (the
-    next logger that needs silencing gets fixed in one place)."""
+    warning spam (Ray's internal datetime-precision note from ray.air
+    tensor_extensions fires inside aggregate shuffle tasks at WARNING;
+    it is driver-unactionable) — single-sourced for bench.py / test
+    harnesses.
+
+    The hook MUST be a nested function: cloudpickle serializes a
+    module-level function by REFERENCE (module + qualname), and Ray
+    workers deserialize the setup hook before any job sys.path setup —
+    with jitsu_ray not pip-installed, every worker would die in a
+    ModuleNotFoundError respawn loop and the first dataset op would
+    hang forever. A closure pickles by value and needs no import."""
+
+    def _hook() -> None:
+        import logging as _l
+        import warnings as _w
+
+        _w.filterwarnings("ignore")
+        _l.getLogger("ray.air.util.tensor_extensions.arrow").setLevel(_l.ERROR)
+
     return {
         "env_vars": {"PYTHONWARNINGS": "ignore"},
-        "worker_process_setup_hook": _quiet_worker,
+        "worker_process_setup_hook": _hook,
     }

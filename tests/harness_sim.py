@@ -57,7 +57,6 @@ def main(sf_dir="/root/testdata/sf0.01", only=""):
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
