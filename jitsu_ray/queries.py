@@ -1816,6 +1816,78 @@ FROM events
 """
 
 
+def q_cdc_diff(sf_dir: str):
+    """CDC changelog between two lake states (sinks/lake.diff_as_of):
+    per-user LWW state is built in two windows (events up to seq 5000,
+    then the rest), users with user_id % 7 == 0 are tombstoned, and the
+    diff between the first window's state and the final state classifies
+    every changed user as insert / update / delete (value-level
+    semantics; delete rows carry their last-known values). Per-partition
+    full-join diff, NO shuffle — partition files at both cutoffs are
+    co-located by construction."""
+    from .sinks.lake import LakeTable
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "commit_seq": batch["event_id"],
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_c": _cents(batch, "value"),
+            }
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    CUT, HI = 5000, 20_000_000
+    _sweep_stale_lakes("lake_diff_")
+    lake_dir = os.path.join(
+        CACHE_DIR, f"lake_diff_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    lake = LakeTable.create(lake_dir, ["user_id"], 8)
+    lake.apply_window(
+        ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT
+    )
+    lake.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
+
+    def every_7th(batch: pa.Table) -> pa.Array:
+        uid = batch["user_id"]
+        return pc.equal(
+            pc.subtract(uid, pc.multiply(pc.divide(uid, 7), 7)), 0
+        )
+
+    lake.delete_where(every_7th)
+    return lake.diff_as_of(CUT, lake.ledger.last_committed_hi())
+
+
+SQL_CDC_DIFF = """
+WITH sa AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events WHERE event_id <= 5000 GROUP BY user_id
+), sb AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events GROUP BY user_id
+  HAVING user_id % 7 <> 0
+)
+SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
+       CASE WHEN sb.user_id IS NULL THEN sa.event_type ELSE sb.event_type END AS event_type,
+       CASE WHEN sb.user_id IS NULL THEN sa.value_c ELSE sb.value_c END AS value_c,
+       CASE WHEN sa.user_id IS NULL THEN 'insert'
+            WHEN sb.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+WHERE sa.user_id IS NULL OR sb.user_id IS NULL
+   OR sa.event_type IS DISTINCT FROM sb.event_type
+   OR sa.value_c IS DISTINCT FROM sb.value_c
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """Flagship LLM-data composition — the full corpus-assembly chain in
     one lazy pipeline, every stage an operator proven above on its own:
@@ -2470,6 +2542,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
     "time_travel": q_time_travel,
+    "cdc_diff": q_cdc_diff,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -2528,6 +2601,7 @@ ORACLES = {
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
     "time_travel": SQL_TIME_TRAVEL,
+    "cdc_diff": SQL_CDC_DIFF,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

@@ -595,6 +595,116 @@ class LakeTable:
             load_partition, batch_size=1, batch_format="pyarrow"
         )
 
+    def diff_as_of(
+        self, seq_a: int, seq_b: int, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
+        """CDC diff: the changelog between two committed states — every
+        key whose VISIBLE VALUE differs between ``as_of=seq_a`` and
+        ``as_of=seq_b``, classified in a ``change`` column as ``insert``
+        (key only in b), ``delete`` (key only in a; the row carries its
+        last-known a-side values), or ``update`` (present in both with
+        any payload column differing, null-safe). Value-level semantics:
+        a re-upsert that leaves every payload value identical is NOT a
+        change (compare ``read(as_of=...)`` twice if you want seq-level
+        provenance).
+
+        Scale shape: like :meth:`read`, one task per partition and NO
+        shuffle — a partition's files at both cutoffs are co-located by
+        construction, so each task resolves both states locally and
+        diffs them with one vectorized polars full join. Cost is
+        O(|state_a| + |state_b|), never a cross-partition exchange.
+        Subject to the same vacuumed-history rule as time travel.
+        """
+        if seq_a > seq_b:
+            raise ValueError(f"diff needs seq_a <= seq_b, got {seq_a} > {seq_b}")
+        import polars as pl
+
+        live_a = self.live_files(as_of=seq_a)
+        live_b = self.live_files(as_of=seq_b)
+        for tag, live in (("seq_a", live_a), ("seq_b", live_b)):
+            missing = [
+                f for fs in live.values() for f in fs if not os.path.exists(f)
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"diff history at {tag} was vacuumed by a later "
+                    f"compaction; missing: {missing[:3]}"
+                )
+        target = self.full_arrow_schema()
+        key_cols = self.key_cols
+        out_cols = [
+            f.name
+            for f in target
+            if f.name not in (PART_COL, OP_COL, SEQ_COL)
+        ]
+        if columns:
+            out_cols = [c for c in out_cols if c in columns or c in key_cols]
+        payload = [c for c in out_cols if c not in key_cols]
+        phys_cols = sorted({OP_COL, SEQ_COL, *out_cols})
+        out_schema = pa.schema(
+            [target.field(c) for c in out_cols] + [pa.field("change", pa.string())]
+        )
+        parts = sorted(set(live_a) | set(live_b))
+        if not parts:
+            return ray.data.from_arrow(out_schema.empty_table())
+        items = [
+            {"part": p, "files_a": live_a.get(p, []), "files_b": live_b.get(p, [])}
+            for p in parts
+        ]
+        state_schema = pa.schema([target.field(c) for c in out_cols])
+
+        def diff_partition(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+
+                def state(files):
+                    if not files:
+                        return pl.from_arrow(state_schema.empty_table())
+                    t = pq.ParquetDataset(files, schema=target).read(
+                        columns=phys_cols
+                    )
+                    return pl.from_arrow(
+                        resolve_arrow(t, key_cols).select(out_cols)
+                    )
+
+                da = state(row["files_a"]).with_columns(pl.lit(True).alias("__a"))
+                db = state(row["files_b"]).with_columns(pl.lit(True).alias("__b"))
+                j = da.join(db, on=key_cols, how="full", suffix="__b", coalesce=True)
+                in_a = pl.col("__a").fill_null(False)
+                in_b = pl.col("__b").fill_null(False)
+                changed = (
+                    pl.any_horizontal(
+                        [pl.col(c).ne_missing(pl.col(f"{c}__b")) for c in payload]
+                    )
+                    if payload
+                    else pl.lit(False)
+                )
+                j = j.with_columns(
+                    pl.when(~in_a)
+                    .then(pl.lit("insert"))
+                    .when(~in_b)
+                    .then(pl.lit("delete"))
+                    .when(changed)
+                    .then(pl.lit("update"))
+                    .otherwise(pl.lit(None, pl.String))
+                    .alias("change")
+                ).filter(pl.col("change").is_not_null())
+                vals = [
+                    pl.when(pl.col("change") == "delete")
+                    .then(pl.col(c))
+                    .otherwise(pl.col(f"{c}__b"))
+                    .alias(c)
+                    for c in payload
+                ]
+                outs.append(
+                    j.select([*key_cols, *vals, "change"]).to_arrow().cast(out_schema)
+                )
+            return pa.concat_tables(outs)
+
+        return ray.data.from_items(items).map_batches(
+            diff_partition, batch_size=1, batch_format="pyarrow"
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, min_files: int = 2, tombstone_watermark: int = 0) -> dict:

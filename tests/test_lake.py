@@ -477,3 +477,54 @@ def test_concurrent_apply_window_two_writers(ray_session, tmp_path):
     assert set(read_rows(lake)) == {("r", "p1"), ("r", "p2")}
     assert len(lake.ledger.window_metrics()) == 2
     assert lake.key_types["repo"].name == "STRING"
+
+
+def test_diff_as_of(ray_session, tmp_path):
+    # value-level CDC diff between two committed states: insert (new
+    # key), update (content changed), delete (tombstoned), and a NO-OP
+    # re-upsert with identical values (must NOT appear)
+    lake = new_lake(tmp_path)
+    lake.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r", "p1", "c1", "py", "v1"),
+                ev(2, "insert", "r", "p2", "c2", "py", "v2"),
+                ev(3, "insert", "r", "p3", "c3", "py", "v3"),
+            ]
+        ),
+        0,
+        3,
+    )
+    lake.apply_window(
+        make_ds(
+            [
+                ev(4, "update", "r", "p2", "c2b", "py", "v2-new"),  # update
+                ev(5, "insert", "r", "p4", "c4", "py", "v4"),       # insert
+                ev(6, "delete", "r", "p3", None, None, None),       # delete
+                ev(7, "update", "r", "p1", "c1", "py", "v1"),       # no-op
+            ]
+        ),
+        3,
+        7,
+    )
+    got = {
+        (r["repo"], r["path"]): r["change"]
+        for r in lake.diff_as_of(3, 7).take_all()
+    }
+    assert got == {
+        ("r", "p2"): "update",
+        ("r", "p4"): "insert",
+        ("r", "p3"): "delete",
+    }
+    # delete rows carry the last-known a-side values
+    [del_row] = [
+        r for r in lake.diff_as_of(3, 7).take_all() if r["change"] == "delete"
+    ]
+    assert del_row["content"] == "v3"
+    # identical cutoffs diff to empty; reversed cutoffs are an error
+    assert lake.diff_as_of(7, 7).take_all() == []
+    with pytest.raises(ValueError):
+        lake.diff_as_of(7, 3)
+    # diff from seq 0 (empty state) is all inserts of the live state
+    all_in = lake.diff_as_of(0, 7).take_all()
+    assert {r["change"] for r in all_in} == {"insert"} and len(all_in) == 3
