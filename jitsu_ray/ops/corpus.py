@@ -120,23 +120,29 @@ def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]
     )
 
 
-def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
-    """Exact discrete quantiles per group (DuckDB quantile_disc rule:
-    sorted[ceil(q*n)-1]) — the distribution-QA step over token counts /
-    event values. One groupby exchange co-locates each group; one sort
-    per group. Bounded by the largest group's values; at group sizes
-    where that breaks, swap in a mergeable sketch (t-digest/KLL) per
-    batch with a final merge — approximate, which is why this exact form
-    stays the oracle-checkable default."""
+def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                          interpolation: str = "disc"):
+    """Exact quantiles per group — the distribution-QA step over token
+    counts / event values. ``interpolation="disc"`` (default) follows
+    DuckDB's quantile_disc rule (sorted[ceil(q*n)-1], output keeps the
+    input dtype); ``"cont"`` follows quantile_cont / numpy linear
+    interpolation (output float64). One groupby exchange co-locates
+    each group; one sort per group. Bounded by the largest group's
+    values; at group sizes where that breaks, swap in a mergeable
+    sketch (t-digest/KLL) per batch with a final merge — approximate,
+    which is why this exact form stays the oracle-checkable default."""
     import numpy as np
 
+    if interpolation not in ("disc", "cont"):
+        raise ValueError(f"interpolation must be 'disc' or 'cont', got {interpolation!r}")
     labels = [f"q{int(round(q * 100))}" for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"quantile labels collide after rounding: {labels}")
 
     def per_group(g: pa.Table) -> pa.Table:
         field = g.schema.field(value_col)
-        # NULLs are ignored, as quantile_disc does
+        out_type = pa.float64() if interpolation == "cont" else field.type
+        # NULLs are ignored, as quantile_disc/_cont do
         col = g[value_col].combine_chunks().drop_null()
         vals = np.sort(col.to_numpy(zero_copy_only=False))
         n = len(vals)
@@ -147,11 +153,15 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float]):
         cols = {group_col: g[group_col].slice(0, 1).combine_chunks()}
         for q, label in zip(qs, labels):
             if n == 0:
-                cols[label] = pa.nulls(1, field.type)
-                continue
-            idx = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
-            # preserve the input dtype — no silent float->int truncation
-            cols[label] = pa.array([vals[idx].item()], field.type)
+                cols[label] = pa.nulls(1, out_type)
+            elif interpolation == "cont":
+                cols[label] = pa.array(
+                    [float(np.quantile(vals, q, method="linear"))], out_type
+                )
+            else:
+                idx = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
+                # preserve the input dtype — no silent float->int truncation
+                cols[label] = pa.array([vals[idx].item()], out_type)
         return pa.table(cols)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")

@@ -159,6 +159,18 @@ _WINDOW_FNS = {
 }
 
 
+def _rolling_expr(key_col: str, value_col: str, k: int):
+    """SQL ``SUM(value) OVER (w ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW)`` — the bounded-frame rolling sum (min_samples=1 matches SQL's
+    short head frames)."""
+    return (
+        pl.col(value_col)
+        .rolling_sum(window_size=k, min_samples=1)
+        .over(key_col)
+        .alias(f"rolling{k}_value")
+    )
+
+
 def _ntile_expr(key_col: str, n: int):
     """SQL NTILE(n): split each partition's ordered rows into n buckets
     whose sizes differ by at most one, larger buckets first — the first
@@ -180,15 +192,18 @@ def _ntile_expr(key_col: str, n: int):
 def ordered_window_fns(ds, key_col: str, order_cols: list[str],
                        value_col: str, num_shards: int = 32,
                        fns: tuple = ("rn", "running_value"),
-                       ntile_n: int | None = None):
+                       ntile_n: int | None = None,
+                       rolling_k: int | None = None):
     """Per-key ordered window functions OVER (PARTITION BY key ORDER BY
     order_cols): pick from ``rn`` (ROW_NUMBER), ``running_value``
     (running SUM, ROWS UNBOUNDED PRECEDING), ``lag_value`` / ``lead_value``
     (LAG/LEAD of ``value_col`` by 1), ``rank`` / ``dense_rank`` (over the
     order columns), ``first_value`` / ``last_value`` (whole-partition
-    bounds of ``value_col``), and ``ntile`` (requires ``ntile_n``; SQL
-    NTILE bucket numbering). One output row per input row; default
-    ``fns`` preserves the original (rn, running_value) schema.
+    bounds of ``value_col``), ``ntile`` (requires ``ntile_n``; SQL
+    NTILE bucket numbering), and ``rolling_value`` (requires
+    ``rolling_k``; SUM over ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW,
+    emitted as ``rolling<k>_value``). One output row per input row;
+    default ``fns`` preserves the original (rn, running_value) schema.
 
     The reference has no analytics surface at all (SURVEY §2.5-2.6);
     this extends the engine with the warehouse window-function family a
@@ -208,12 +223,19 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     """
     from ..util import hash_mod_column
 
-    unknown = [f for f in fns if f != "ntile" and f not in _WINDOW_FNS]
+    unknown = [
+        f for f in fns
+        if f not in ("ntile", "rolling_value") and f not in _WINDOW_FNS
+    ]
     if unknown:
-        raise ValueError(f"unknown window fns {unknown}; pick from "
-                         f"{sorted(_WINDOW_FNS) + ['ntile']}")
+        raise ValueError(
+            f"unknown window fns {unknown}; pick from "
+            f"{sorted(_WINDOW_FNS) + ['ntile', 'rolling_value']}"
+        )
     if "ntile" in fns and (ntile_n is None or ntile_n < 1):
         raise ValueError("fns including 'ntile' requires ntile_n >= 1")
+    if "rolling_value" in fns and (rolling_k is None or rolling_k < 1):
+        raise ValueError("fns including 'rolling_value' requires rolling_k >= 1")
     keep = [key_col, *order_cols, value_col]
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -225,14 +247,14 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
     def windows_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.select(keep))
         df = df.sort([key_col, *order_cols])
-        return df.with_columns(
-            *[
-                _ntile_expr(key_col, ntile_n)
-                if f == "ntile"
-                else _WINDOW_FNS[f](key_col, order_cols, value_col)
-                for f in fns
-            ]
-        ).to_arrow()
+        def expr(f):
+            if f == "ntile":
+                return _ntile_expr(key_col, ntile_n)
+            if f == "rolling_value":
+                return _rolling_expr(key_col, value_col, rolling_k)
+            return _WINDOW_FNS[f](key_col, order_cols, value_col)
+
+        return df.with_columns(*[expr(f) for f in fns]).to_arrow()
 
     return (
         ds.map_batches(shard, batch_format="pyarrow")

@@ -2084,6 +2084,55 @@ FROM t GROUP BY event_type
 """
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont / PERCENTILE_CONT) per-group value
+    distribution — the continuous sibling of value_quantiles
+    (exact_group_quantiles interpolation='cont'). Both sides round to 2
+    decimals: interpolated quantiles of integer cents are exact
+    multiples of 0.01, so the rounding makes the float comparison
+    bit-stable without losing information."""
+    from .ops.corpus import exact_group_quantiles
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch["event_type"], "value_c": _cents(batch, "value")}
+        )
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_type", "value"])
+    out = exact_group_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "value_c",
+        [0.5, 0.9, 0.99],
+        interpolation="cont",
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                **{
+                    c: pc.round(batch[c], ndigits=2)
+                    for c in ("q50", "q90", "q99")
+                },
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_QUANTILES_CONT = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events
+)
+SELECT event_type,
+       ROUND(quantile_cont(value_c, 0.5), 2) AS q50,
+       ROUND(quantile_cont(value_c, 0.9), 2) AS q90,
+       ROUND(quantile_cont(value_c, 0.99), 2) AS q99
+FROM t GROUP BY event_type
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Per-type distinct-user cardinality — the audience/coverage QA a
     pipeline runs per source (ops/corpus.group_distinct_auto). Routed:
@@ -2547,6 +2596,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
     "value_quantiles": q_value_quantiles,
+    "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
     "doc_sample": q_doc_sample,
@@ -2606,6 +2656,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,
     "value_quantiles": SQL_QUANTILES,
+    "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,

@@ -1105,3 +1105,41 @@ def test_setops_match_sql(ray_session):
         ).take_all()
         assert sorted(((r["k"], r["g"]) for r in got), key=str) == exp, op
         assert all(sorted(r) == ["g", "k"] for r in got)
+
+
+def test_exact_group_quantiles_cont_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.corpus import exact_group_quantiles
+
+    # odd and even group sizes (interpolation between two values), a
+    # NULL value (ignored), and a single-row group
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 4 + ["c"]),
+            "v": pa.array([1, 7, 3, None, 9, 10, 20, 40, 30, 5], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT g, quantile_cont(v, 0.5) AS q50,
+                      quantile_cont(v, 0.9) AS q90
+               FROM t GROUP BY g"""
+        ).fetchall()
+    )
+    out = exact_group_quantiles(
+        ray.data.from_arrow(tbl).repartition(2), "g", "v", [0.5, 0.9],
+        interpolation="cont",
+    ).take_all()
+    got = sorted((r["g"], r["q50"], r["q90"]) for r in out)
+    assert len(got) == len(exp)
+    for (gg, g50, g90), (eg, e50, e90) in zip(got, exp):
+        assert gg == eg
+        assert g50 == pytest.approx(e50) and g90 == pytest.approx(e90)
+    with pytest.raises(ValueError):
+        exact_group_quantiles(
+            ray.data.from_arrow(tbl), "g", "v", [0.5], interpolation="nope"
+        )

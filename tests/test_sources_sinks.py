@@ -1561,3 +1561,38 @@ def test_grouping_sets_grouping_id(ray_session):
         grouping_sets_aggregate(
             ray.data.from_arrow(tbl), [["a"]], ["v"], grouping_id=["a", "b"]
         )
+
+
+def test_ordered_window_fns_rolling_sum(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.window import ordered_window_fns
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a"] * 6 + ["b"] * 2),
+            "t": pa.array([3, 1, 2, 6, 5, 4, 1, 0], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32, 64, 128], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        con.sql(
+            """SELECT k, t, v,
+                      sum(v) OVER (PARTITION BY k ORDER BY t
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               FROM t"""
+        ).fetchall()
+    )
+    out = ordered_window_fns(
+        ray.data.from_arrow(tbl).repartition(3), "k", ["t"], "v",
+        num_shards=4, fns=("rolling_value",), rolling_k=3,
+    ).take_all()
+    got = sorted((r["k"], r["t"], r["v"], r["rolling3_value"]) for r in out)
+    assert got == exp
+    with pytest.raises(ValueError):
+        ordered_window_fns(
+            ray.data.from_arrow(tbl), "k", ["t"], "v", fns=("rolling_value",)
+        )
