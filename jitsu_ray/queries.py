@@ -1862,6 +1862,65 @@ def q_cdc_diff(sf_dir: str):
     return lake.diff_as_of(CUT, lake.ledger.last_committed_hi())
 
 
+def q_matview_revenue(sf_dir: str):
+    """Incrementally-maintained aggregate view (pipelines/matview):
+    per-event_type count + summed cents over the lake's LWW user state,
+    refreshed ONCE after the first window (full build from the empty
+    watermark) and ONCE after the second window + tombstone wave — the
+    second refresh folds only the CDC diff forward (O(changes), never a
+    table rescan). The result must equal a direct GROUP BY over the
+    final state, which is exactly what the oracle computes."""
+    from .pipelines.matview import IncrementalAggView
+    from .sinks.lake import LakeTable
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "commit_seq": batch["event_id"],
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_c": _cents(batch, "value"),
+            }
+        )
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    CUT, HI = 5000, 20_000_000
+    _sweep_stale_lakes("lake_mv_")
+    base = os.path.join(CACHE_DIR, f"lake_mv_{os.path.basename(sf_dir)}_{os.getpid()}")
+    lake = LakeTable.create(os.path.join(base, "lake"), ["user_id"], 8)
+    view = IncrementalAggView(
+        os.path.join(base, "view"), lake, ["event_type"], ["value_c"]
+    )
+    lake.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
+    view.refresh()  # initial build (diff from the empty state)
+    lake.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
+
+    def every_7th(batch: pa.Table) -> pa.Array:
+        uid = batch["user_id"]
+        return pc.equal(pc.subtract(uid, pc.multiply(pc.divide(uid, 7), 7)), 0)
+
+    lake.delete_where(every_7th)
+    view.refresh()  # incremental: folds only the (CUT, hi] CDC diff
+    return view.read()
+
+
+SQL_MATVIEW = """
+WITH sb AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events GROUP BY user_id
+  HAVING user_id % 7 <> 0
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+FROM sb GROUP BY event_type
+"""
+
+
 SQL_CDC_DIFF = """
 WITH sa AS (
   SELECT user_id,
@@ -2592,6 +2651,7 @@ QUERIES = {
     "schema_infer": q_schema_infer,
     "time_travel": q_time_travel,
     "cdc_diff": q_cdc_diff,
+    "matview_revenue": q_matview_revenue,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -2652,6 +2712,7 @@ ORACLES = {
     "pull_sync": SQL_PULL_SYNC,
     "time_travel": SQL_TIME_TRAVEL,
     "cdc_diff": SQL_CDC_DIFF,
+    "matview_revenue": SQL_MATVIEW,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

@@ -596,7 +596,11 @@ class LakeTable:
         )
 
     def diff_as_of(
-        self, seq_a: int, seq_b: int, columns: list[str] | None = None
+        self,
+        seq_a: int,
+        seq_b: int,
+        columns: list[str] | None = None,
+        include_old: bool = False,
     ) -> "ray.data.Dataset":
         """CDC diff: the changelog between two committed states — every
         key whose VISIBLE VALUE differs between ``as_of=seq_a`` and
@@ -607,6 +611,13 @@ class LakeTable:
         a re-upsert that leaves every payload value identical is NOT a
         change (compare ``read(as_of=...)`` twice if you want seq-level
         provenance).
+
+        ``include_old=True`` switches to the both-sides contract that
+        incremental view maintenance needs: payload columns carry the
+        NEW (b-side) values (null for delete) and each gains a
+        ``<col>__old`` sibling with the OLD (a-side) value (null for
+        insert) — so a consumer can retract the old contribution and
+        add the new one without a second state read.
 
         Scale shape: like :meth:`read`, one task per partition and NO
         shuffle — a partition's files at both cutoffs are co-located by
@@ -641,8 +652,15 @@ class LakeTable:
             out_cols = [c for c in out_cols if c in columns or c in key_cols]
         payload = [c for c in out_cols if c not in key_cols]
         phys_cols = sorted({OP_COL, SEQ_COL, *out_cols})
+        old_fields = (
+            [pa.field(f"{c}__old", target.field(c).type) for c in payload]
+            if include_old
+            else []
+        )
         out_schema = pa.schema(
-            [target.field(c) for c in out_cols] + [pa.field("change", pa.string())]
+            [target.field(c) for c in out_cols]
+            + old_fields
+            + [pa.field("change", pa.string())]
         )
         parts = sorted(set(live_a) | set(live_b))
         if not parts:
@@ -689,13 +707,20 @@ class LakeTable:
                     .otherwise(pl.lit(None, pl.String))
                     .alias("change")
                 ).filter(pl.col("change").is_not_null())
-                vals = [
-                    pl.when(pl.col("change") == "delete")
-                    .then(pl.col(c))
-                    .otherwise(pl.col(f"{c}__b"))
-                    .alias(c)
-                    for c in payload
-                ]
+                if include_old:
+                    # new values plain (a-side nulls for delete come from
+                    # the join), old values as <c>__old siblings
+                    vals = [pl.col(f"{c}__b").alias(c) for c in payload] + [
+                        pl.col(c).alias(f"{c}__old") for c in payload
+                    ]
+                else:
+                    vals = [
+                        pl.when(pl.col("change") == "delete")
+                        .then(pl.col(c))
+                        .otherwise(pl.col(f"{c}__b"))
+                        .alias(c)
+                        for c in payload
+                    ]
                 outs.append(
                     j.select([*key_cols, *vals, "change"]).to_arrow().cast(out_schema)
                 )

@@ -528,3 +528,63 @@ def test_diff_as_of(ray_session, tmp_path):
     # diff from seq 0 (empty state) is all inserts of the live state
     all_in = lake.diff_as_of(0, 7).take_all()
     assert {r["change"] for r in all_in} == {"insert"} and len(all_in) == 3
+
+
+def test_incremental_agg_view(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.pipelines.matview import IncrementalAggView
+
+    def ds_of(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "uid": pa.array([r[2] for r in rows], pa.int64()),
+                    "grp": pa.array([r[3] for r in rows], pa.string()),
+                    "val": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["uid"], 4)
+    lake.apply_window(
+        ds_of([(1, "insert", 1, "a", 10), (2, "insert", 2, "a", 20),
+               (3, "insert", 3, "b", 30)]),
+        0, 3,
+    )
+    view = IncrementalAggView(str(tmp_path / "view"), lake, ["grp"], ["val"])
+    m1 = view.refresh()
+    assert m1["from_seq"] == 0 and m1["to_seq"] == 3
+
+    def snap():
+        return {
+            r["grp"]: (r["n"], r["sum_val"]) for r in view.read().to_pylist()
+        }
+
+    assert snap() == {"a": (2, 30), "b": (1, 30)}
+    # incremental wave: value update (a stays), group move (b -> a),
+    # fresh insert (b), delete (a)
+    lake.apply_window(
+        ds_of([(4, "update", 2, "a", 25), (5, "update", 3, "a", 35),
+               (6, "insert", 4, "b", 40), (7, "delete", 1, None, None)]),
+        3, 7,
+    )
+    view.refresh()
+    assert snap() == {"a": (2, 60), "b": (1, 40)}
+    # the view must equal a direct recompute over the current state
+    rows = lake.read().take_all()
+    direct = {}
+    for r in rows:
+        n, s = direct.get(r["grp"], (0, 0))
+        direct[r["grp"]] = (n + 1, s + r["val"])
+    assert snap() == direct
+    # idempotent: refresh at an unchanged seq is a no-op
+    assert view.refresh()["changed_groups"] == 0
+    # a group emptied entirely disappears from the view
+    import pyarrow.compute as pc
+
+    lake.delete_where(lambda b: pc.equal(b["grp"], "b"))
+    view.refresh()
+    assert snap() == {"a": (2, 60)}
