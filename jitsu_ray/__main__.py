@@ -9,6 +9,8 @@ a cluster, `address="local"` here.
     python -m jitsu_ray compact --lake DIR [--watermark N]
     python -m jitsu_ray report  --lake DIR
     python -m jitsu_ray read    --lake DIR --out DIR [--columns a,b]
+    python -m jitsu_ray diff    --lake DIR --out DIR --from N [--to M] [--old]
+    python -m jitsu_ray view-refresh --lake DIR --view DIR --group a,b --sum x,y
 """
 
 from __future__ import annotations
@@ -108,6 +110,27 @@ def main(argv=None):
     d.add_argument("--out", required=True)
     d.add_argument("--columns", default=None)
 
+    df = sub.add_parser(
+        "diff", help="CDC changelog between two committed seqs, to parquet"
+    )
+    df.add_argument("--lake", required=True)
+    df.add_argument("--out", required=True)
+    df.add_argument("--from", dest="seq_a", type=int, required=True)
+    df.add_argument("--to", dest="seq_b", type=int, default=None,
+                    help="default: last committed seq")
+    df.add_argument("--old", action="store_true",
+                    help="emit <col>__old sibling columns")
+
+    vr = sub.add_parser(
+        "view-refresh",
+        help="create/refresh an incremental aggregate view of the lake",
+    )
+    vr.add_argument("--lake", required=True)
+    vr.add_argument("--view", required=True)
+    vr.add_argument("--group", required=True, help="comma-separated group cols")
+    vr.add_argument("--sum", dest="sums", required=True,
+                    help="comma-separated numeric value cols")
+
     args = p.parse_args(argv)
     ray = _session()
     from .sinks.lake import LakeTable
@@ -163,6 +186,31 @@ def main(argv=None):
             for f in _glob.glob(os.path.join(args.out, "*.parquet"))
         )
         print(json.dumps({"rows": n, "out": args.out}))
+    elif args.cmd == "diff":
+        lake = LakeTable.open(args.lake)
+        to = args.seq_b if args.seq_b is not None else lake.ledger.last_committed_hi()
+        lake.diff_as_of(args.seq_a, to, include_old=args.old).write_parquet(
+            args.out
+        )
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"changes": n, "from": args.seq_a, "to": to, "out": args.out}))
+    elif args.cmd == "view-refresh":
+        from .pipelines.matview import IncrementalAggView
+
+        lake = LakeTable.open(args.lake)
+        view = IncrementalAggView(
+            args.view, lake, args.group.split(","), args.sums.split(",")
+        )
+        m = view.refresh()
+        m["view_groups"] = view.read().num_rows
+        print(json.dumps(m))
     ray.shutdown()
 
 

@@ -50,6 +50,16 @@ class IncrementalAggView:
 
     def __init__(self, view_dir: str, lake, group_cols: list[str],
                  value_cols: list[str]):
+        from ..sinks.lake import OP_COL, PART_COL, SEQ_COL
+
+        sys_cols = {OP_COL, PART_COL, SEQ_COL}
+        bad = [c for c in [*group_cols, *value_cols] if c in sys_cols]
+        if bad:
+            raise ValueError(
+                f"lake system columns cannot be view columns: {bad} "
+                f"(they are not part of the visible state the CDC diff "
+                f"compares)"
+            )
         self.dir = view_dir
         self.lake = lake
         self.group_cols = list(group_cols)
