@@ -1,5 +1,6 @@
-"""Distributed SQL set operations: INTERSECT / EXCEPT (DISTINCT
-semantics) over arbitrary key-column tuples.
+"""Distributed SQL set operations: INTERSECT / EXCEPT in both DISTINCT
+and ALL (bag / multiplicity) semantics over arbitrary key-column
+tuples.
 
 Not in the reference's inventory (its only set op is the multi-table
 union fan-out, SURVEY §2.7 D4) — this is an LLM-data-suite addition:
@@ -29,7 +30,12 @@ import pyarrow as pa
 
 from .join import hash_shard_finalize
 
-__all__ = ["intersect_distinct", "except_distinct"]
+__all__ = [
+    "intersect_distinct",
+    "except_distinct",
+    "intersect_all",
+    "except_all",
+]
 
 
 def _tagged_distinct(ds, cols: list[str], side: int):
@@ -74,3 +80,64 @@ def except_distinct(a, b, cols: list[str], num_shards: int = 32):
     b`` — key tuples present in ``a`` and absent from ``b``."""
     # a-only keys have max side 0 (min <= max, so no __lo check needed)
     return _setop(a, b, cols, pl.col("__hi") == 0, num_shards)
+
+
+def _tagged_counts(ds, cols: list[str], side: str):
+    def run(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(cols))
+        out = df.group_by(cols).agg(pl.len().cast(pl.Int64).alias(side))
+        t = out.to_arrow()
+        other = "__cb" if side == "__ca" else "__ca"
+        return t.append_column(other, pa.nulls(t.num_rows, pa.int64()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _setop_all(a, b, cols: list[str], n_expr, num_shards: int):
+    """Bag-semantics core: per-key multiplicities per side (per-batch
+    count partials — at most one row per key per batch crosses the one
+    exchange), then a per-shard fold computes each key's output copy
+    count from ``n_expr`` and repeats the key that many times (SQL ALL
+    variants return duplicate rows)."""
+    u = _tagged_counts(a, cols, "__ca").union(_tagged_counts(b, cols, "__cb"))
+
+    def final_shard(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = (
+            df.group_by(cols)
+            .agg(
+                pl.sum("__ca").fill_null(0).alias("__ca"),
+                pl.sum("__cb").fill_null(0).alias("__cb"),
+            )
+            .with_columns(n_expr.alias("__n"))
+            .filter(pl.col("__n") > 0)
+        )
+        # repeat each key row __n times (duckdb EXCEPT ALL parity)
+        out = (
+            out.with_columns(pl.int_ranges(pl.col("__n")).alias("__r"))
+            .explode("__r")
+            .drop(["__ca", "__cb", "__n", "__r"])
+        )
+        return out.to_arrow()
+
+    return hash_shard_finalize(u, cols, final_shard, num_shards=num_shards)
+
+
+def intersect_all(a, b, cols: list[str], num_shards: int = 32):
+    """``SELECT cols FROM a INTERSECT ALL SELECT cols FROM b`` — each
+    key tuple repeated min(count_a, count_b) times."""
+    return _setop_all(
+        a, b, cols, pl.min_horizontal("__ca", "__cb"), num_shards
+    )
+
+
+def except_all(a, b, cols: list[str], num_shards: int = 32):
+    """``SELECT cols FROM a EXCEPT ALL SELECT cols FROM b`` — each key
+    tuple repeated max(count_a - count_b, 0) times."""
+    return _setop_all(
+        a,
+        b,
+        cols,
+        pl.max_horizontal(pl.col("__ca") - pl.col("__cb"), pl.lit(0, pl.Int64)),
+        num_shards,
+    )

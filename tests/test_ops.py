@@ -1143,3 +1143,40 @@ def test_exact_group_quantiles_cont_matches_sql(ray_session):
         exact_group_quantiles(
             ray.data.from_arrow(tbl), "g", "v", [0.5], interpolation="nope"
         )
+
+
+def test_setops_all_match_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.setops import except_all, intersect_all
+
+    # multiplicities: 'x' 3 times in a / 1 in b (EXCEPT ALL keeps 2,
+    # INTERSECT ALL keeps 1); null keys with counts on both sides
+    a = pa.table(
+        {
+            "k": pa.array(["x", "x", "x", "y", None, None]),
+            "g": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "k": pa.array(["x", "z", None]),
+            "g": pa.array([1, 9, 3], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    for op, fn in [("INTERSECT ALL", intersect_all), ("EXCEPT ALL", except_all)]:
+        exp = sorted(
+            con.sql(f"SELECT k, g FROM a {op} SELECT k, g FROM b").fetchall(),
+            key=str,
+        )
+        got = fn(
+            ray.data.from_arrow(a).repartition(2),
+            ray.data.from_arrow(b).repartition(2),
+            ["k", "g"],
+            num_shards=4,
+        ).take_all()
+        assert sorted(((r["k"], r["g"]) for r in got), key=str) == exp, op
