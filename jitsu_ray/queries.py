@@ -1827,39 +1827,51 @@ def q_cdc_diff(sf_dir: str):
     co-located by construction."""
     from .sinks.lake import LakeTable
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "commit_seq": batch["event_id"],
-                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
-                "user_id": batch["user_id"],
-                "event_type": batch["event_type"],
-                "value_c": _cents(batch, "value"),
-            }
-        )
-
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
-    ).map_batches(prep, batch_format="pyarrow")
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
     CUT, HI = 5000, 20_000_000
     _sweep_stale_lakes("lake_diff_")
     lake_dir = os.path.join(
         CACHE_DIR, f"lake_diff_{os.path.basename(sf_dir)}_{os.getpid()}"
     )
     lake = LakeTable.create(lake_dir, ["user_id"], 8)
-    lake.apply_window(
-        ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT
-    )
+    lake.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
     lake.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
-
-    def every_7th(batch: pa.Table) -> pa.Array:
-        uid = batch["user_id"]
-        return pc.equal(
-            pc.subtract(uid, pc.multiply(pc.divide(uid, 7), 7)), 0
-        )
-
-    lake.delete_where(every_7th)
+    lake.delete_where(_uid_mod7_is0)
     return lake.diff_as_of(CUT, lake.ledger.last_committed_hi())
+
+
+def _user_lww_prep(batch: pa.Table) -> pa.Table:
+    """events -> per-user LWW change rows (commit_seq = event_id) — the
+    shared lake-build projection for the CDC diff / matview queries."""
+    return pa.table(
+        {
+            "commit_seq": batch["event_id"],
+            "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "value_c": _cents(batch, "value"),
+        }
+    )
+
+
+def _uid_mod7_is0(batch: pa.Table) -> pa.Array:
+    """user_id % 7 == 0 — the shared tombstone-wave predicate."""
+    uid = batch["user_id"]
+    return pc.equal(pc.subtract(uid, pc.multiply(pc.divide(uid, 7), 7)), 0)
+
+
+_SQL_LWW_SA = """SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events WHERE event_id <= 5000 GROUP BY user_id"""
+
+_SQL_LWW_SB = """SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events GROUP BY user_id
+  HAVING user_id % 7 <> 0"""
 
 
 def q_matview_revenue(sf_dir: str):
@@ -1873,20 +1885,9 @@ def q_matview_revenue(sf_dir: str):
     from .pipelines.matview import IncrementalAggView
     from .sinks.lake import LakeTable
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "commit_seq": batch["event_id"],
-                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
-                "user_id": batch["user_id"],
-                "event_type": batch["event_type"],
-                "value_c": _cents(batch, "value"),
-            }
-        )
-
     ds = _read_sized(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
-    ).map_batches(prep, batch_format="pyarrow")
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
     CUT, HI = 5000, 20_000_000
     _sweep_stale_lakes("lake_mv_")
     base = os.path.join(CACHE_DIR, f"lake_mv_{os.path.basename(sf_dir)}_{os.getpid()}")
@@ -1897,23 +1898,14 @@ def q_matview_revenue(sf_dir: str):
     lake.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
     view.refresh()  # initial build (diff from the empty state)
     lake.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
-
-    def every_7th(batch: pa.Table) -> pa.Array:
-        uid = batch["user_id"]
-        return pc.equal(pc.subtract(uid, pc.multiply(pc.divide(uid, 7), 7)), 0)
-
-    lake.delete_where(every_7th)
+    lake.delete_where(_uid_mod7_is0)
     view.refresh()  # incremental: folds only the (CUT, hi] CDC diff
     return view.read()
 
 
-SQL_MATVIEW = """
+SQL_MATVIEW = f"""
 WITH sb AS (
-  SELECT user_id,
-         arg_max(event_type, event_id) AS event_type,
-         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
-  FROM events GROUP BY user_id
-  HAVING user_id % 7 <> 0
+  {_SQL_LWW_SB}
 )
 SELECT event_type, count(*) AS n,
        CAST(sum(value_c) AS BIGINT) AS sum_value_c
@@ -1921,18 +1913,11 @@ FROM sb GROUP BY event_type
 """
 
 
-SQL_CDC_DIFF = """
+SQL_CDC_DIFF = f"""
 WITH sa AS (
-  SELECT user_id,
-         arg_max(event_type, event_id) AS event_type,
-         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
-  FROM events WHERE event_id <= 5000 GROUP BY user_id
+  {_SQL_LWW_SA}
 ), sb AS (
-  SELECT user_id,
-         arg_max(event_type, event_id) AS event_type,
-         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
-  FROM events GROUP BY user_id
-  HAVING user_id % 7 <> 0
+  {_SQL_LWW_SB}
 )
 SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
        CASE WHEN sb.user_id IS NULL THEN sa.event_type ELSE sb.event_type END AS event_type,

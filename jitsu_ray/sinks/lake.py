@@ -651,6 +651,23 @@ class LakeTable:
         if columns:
             out_cols = [c for c in out_cols if c in columns or c in key_cols]
         payload = [c for c in out_cols if c not in key_cols]
+        # output/suffix name collisions would silently shadow user data
+        # (a payload literally named "change") or mis-pair the changed
+        # detection (payload x alongside x__b): reject them up front
+        reserved = {"change", "__a", "__b"}
+        names = set(out_cols)
+        clashes = [c for c in out_cols if c in reserved] + [
+            c
+            for c in payload
+            if f"{c}__b" in names or (include_old and f"{c}__old" in names)
+        ]
+        if clashes:
+            raise ValueError(
+                f"diff_as_of cannot operate on columns named {sorted(set(clashes))}: "
+                f"'change'/'__a'/'__b' are output/flag names and '<col>__b'/"
+                f"'<col>__old' are join-suffix names — rename or prune via "
+                f"columns=[...]"
+            )
         phys_cols = sorted({OP_COL, SEQ_COL, *out_cols})
         old_fields = (
             [pa.field(f"{c}__old", target.field(c).type) for c in payload]

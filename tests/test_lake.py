@@ -588,3 +588,48 @@ def test_incremental_agg_view(ray_session, tmp_path):
     lake.delete_where(lambda b: pc.equal(b["grp"], "b"))
     view.refresh()
     assert snap() == {"a": (2, 60)}
+
+
+def test_incremental_agg_view_float_and_rebuild(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.pipelines.matview import IncrementalAggView
+
+    def ds_of(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "uid": pa.array([r[2] for r in rows], pa.int64()),
+                    "grp": pa.array([r[3] for r in rows], pa.string()),
+                    "val": pa.array([r[4] for r in rows], pa.float64()),
+                }
+            )
+        )
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["uid"], 4)
+    lake.apply_window(
+        ds_of([(1, "insert", 1, "a", 10.5), (2, "insert", 2, "a", 20.25)]),
+        0, 2,
+    )
+    view = IncrementalAggView(str(tmp_path / "view"), lake, ["grp"], ["val"])
+    m = view.refresh()
+    assert m["mode"] == "incremental"
+    [row] = view.read().to_pylist()
+    # float sums must NOT truncate (10.5 + 20.25, not 10 + 20)
+    assert row == {"grp": "a", "n": 2, "sum_val": 30.75}
+    # vacuum the view's watermark history: compact folds the delta away
+    lake.apply_window(ds_of([(3, "insert", 3, "b", 1.5)]), 2, 3)
+    lake.compact(min_files=1, tombstone_watermark=0)
+    m2 = view.refresh()
+    assert m2["mode"] == "rebuild"
+    got = {r["grp"]: (r["n"], r["sum_val"]) for r in view.read().to_pylist()}
+    assert got == {"a": (2, 30.75), "b": (1, 1.5)}
+    # watermark survived the rebuild: next refresh is a no-op
+    assert view.refresh()["mode"] == "noop"
+    # system/key columns rejected up front
+    with pytest.raises(ValueError):
+        IncrementalAggView(str(tmp_path / "v2"), lake, ["grp"], ["commit_seq"])
+    with pytest.raises(ValueError):
+        IncrementalAggView(str(tmp_path / "v3"), lake, ["grp"], ["uid"])
