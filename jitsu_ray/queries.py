@@ -726,6 +726,74 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_spend_rolling7(sf_dir: str):
+    """Bounded-frame rolling window (SUM OVER ROWS BETWEEN 6 PRECEDING
+    AND CURRENT ROW) + NTILE(4) spend-quartile per user — the
+    trailing-window smoothing every metrics pipeline runs, via
+    ops.window.ordered_window_fns (rolling_k/ntile_n opt-ins, same
+    single shard shuffle)."""
+    from .ops.window import ordered_window_fns
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(_value_cents, batch_format="pyarrow")
+    return ordered_window_fns(
+        ds, "user_id", ["ts", "event_id"], "value_c",
+        fns=("rolling_value", "ntile"), rolling_k=7, ntile_n=4,
+    )
+
+
+SQL_ROLLING7 = """
+SELECT user_id, ts, event_id,
+       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER
+            (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling7_value,
+       CAST(ntile(4) OVER w AS BIGINT) AS ntile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_revenue_grouping_sets(sf_dir: str):
+    """GROUPING SETS with the SQL GROUPING() id column
+    (ops.rollup.grouping_sets_aggregate grouping_id=...): revenue at
+    (returnflag, linestatus), (linestatus), and grand total, each row
+    tagged with its grouping bitmask so rolled-up NULLs are
+    distinguishable from genuine null dims."""
+    from .ops.rollup import grouping_sets_aggregate
+
+    ds = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: _lineitem_cents(b).drop_columns(["qty"]),
+        batch_format="pyarrow",
+    )
+    return grouping_sets_aggregate(
+        ds,
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        ["revenue"],
+        grouping_id=["l_returnflag", "l_linestatus"],
+    )
+
+
+SQL_GROUPING_SETS = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS revenue
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+       count(*) AS n,
+       CAST(sum(revenue) AS BIGINT) AS sum_revenue
+FROM t
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 def q_spend_with_prev(sf_dir: str):
     """LAG/LEAD window functions (the CDC-adjacent "previous/next value
     per key" primitive): per user-event row, the prior and next event's
@@ -2604,6 +2672,8 @@ QUERIES = {
     "session_windows": q_session_windows,
     "running_user_spend": q_running_user_spend,
     "spend_with_prev": q_spend_with_prev,
+    "spend_rolling7": q_spend_rolling7,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
     "unpivot_lineitem": q_unpivot_lineitem,
     "browse_no_buy_days": q_browse_no_buy_days,
     "view_and_buy_days": q_view_and_buy_days,
@@ -2670,6 +2740,8 @@ ORACLES = {
     "session_windows": SQL_SESSIONS,
     "running_user_spend": SQL_RUNNING,
     "spend_with_prev": SQL_SPEND_PREV,
+    "spend_rolling7": SQL_ROLLING7,
+    "revenue_grouping_sets": SQL_GROUPING_SETS,
     "unpivot_lineitem": SQL_UNPIVOT,
     "browse_no_buy_days": SQL_EXCEPT_DAYS,
     "view_and_buy_days": SQL_INTERSECT_DAYS,
