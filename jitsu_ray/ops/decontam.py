@@ -1,0 +1,158 @@
+"""Benchmark decontamination — flag/drop training documents that
+overlap a held-out evaluation set (the standard pre-training hygiene
+step: eval snippets must not leak into the corpus).
+
+Two modes, auto-routed by benchmark size:
+
+- SUBSTRING (exact, the oracle default): a doc is contaminated iff any
+  benchmark snippet occurs verbatim in its text. Snippets broadcast
+  once via ``ray.put``; each batch runs one vectorized
+  ``pyarrow.compute.match_substring`` pass per snippet and ORs the
+  masks — k snippets cost k C-speed scans of the batch, which is the
+  right trade while the benchmark is small (real eval sets are: a few
+  thousand fixed strings vs a 100-TB corpus).
+- WORD-N-GRAM (the scale path): contamination = sharing >= ``min_hits``
+  word n-grams with the benchmark (the Lee et al. / GPT-3-style
+  definition, which also catches lightly-edited leaks that substring
+  misses). Benchmark n-gram hashes are computed once; docs hash every
+  n-gram with a vectorized rolling Horner pass over per-word md5
+  hashes and probe membership via ``searchsorted`` against the
+  broadcast sorted hash array — above a byte budget the probe is
+  Bloom-prefiltered (ops/sketch.BloomFilter) with the exact array
+  fetched lazily only by workers that see positives. Membership is by
+  64-bit hash: a false flag needs an md5-lower64 collision between a
+  doc n-gram and a bench n-gram (~(n_doc_ngrams * n_bench)/2^64 —
+  negligible and standard for n-gram decontamination), so this mode is
+  pytest-checked against a brute-force set intersection, while the
+  substring mode carries the SQL oracle.
+
+No reference analog (the reference ingests events, not corpora); this
+is an LLM-suite operator per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import md5_lower64
+
+# Horner multiplier for combining word hashes into an n-gram hash
+# (odd => invertible mod 2^64, so windows differing in any word differ)
+_NGRAM_C = np.uint64(0x100000001B3)  # FNV-1a 64 prime — public constant
+
+
+def _word_hashes(texts: list[str | None]) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize (whitespace split) and md5-lower64-hash every word of
+    every text. Returns (flat uint64 word-hash array, int64 doc index
+    per word). Hashing runs once per UNIQUE word (md5_lower64 caches),
+    so cost tracks vocabulary, not corpus length."""
+    words: list[str] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = t.split()
+        words.extend(ws)
+        doc_idx.extend([i] * len(ws))
+    if not words:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (md5_lower64(w) for w in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return uh[inv], np.asarray(doc_idx, dtype=np.int64)
+
+
+def ngram_hashes(texts: list[str | None], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-gram hashes across ``texts`` (windows never cross a
+    doc boundary). Returns (uint64 hashes, doc index per hash). The
+    rolling combine is n vectorized Horner passes over the flat
+    word-hash array — no per-window Python."""
+    wh, di = _word_hashes(texts)
+    L = len(wh) - n + 1
+    if L <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = np.zeros(L, dtype=np.uint64)
+    for j in range(n):
+        h = h * _NGRAM_C + wh[j : j + L]
+    valid = di[:L] == di[n - 1 :]  # window stays inside one doc
+    return h[valid], di[:L][valid]
+
+
+def decontaminate_substring(ds, text_col: str, snippets: list[str],
+                            out_col: str = "contaminated"):
+    """Append ``out_col`` (bool): does any benchmark snippet occur
+    verbatim in ``text_col``? Empty/None snippets are dropped (DuckDB's
+    ``contains(x, '')`` is vacuously true and never what a benchmark
+    means). Snippets ship once per node via ``ray.put``."""
+    snips = [s for s in snippets if s]
+    ref = ray.put(snips)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sn = ray.get(ref)
+        col = batch[text_col]
+        mask = np.zeros(len(batch), dtype=bool)
+        for s in sn:
+            m = pc.fill_null(pc.match_substring(col, s), False)  # NULL text
+            mask |= m.to_numpy(zero_copy_only=False)  # never contaminated
+        return batch.append_column(out_col, pa.array(mask))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate_ngram(ds, text_col: str, bench_texts: list[str | None],
+                        n: int = 8, min_hits: int = 1,
+                        out_col: str = "contaminated",
+                        broadcast_limit_bytes: int = 64 << 20):
+    """Append ``out_col`` (bool): does the doc share >= ``min_hits``
+    word n-grams with the benchmark? Under the broadcast budget the
+    sorted bench-hash array ships to every worker and each batch is one
+    ``searchsorted`` probe; above it, a Bloom prefilter (bits ~10/key)
+    ships instead and the exact array ref is fetched lazily only by
+    batches with Bloom positives — the ops/sketch semi-filter shape,
+    still exact modulo 64-bit hash collisions."""
+    bh, _ = ngram_hashes(bench_texts, n)
+    bench = np.unique(bh)
+    exact_ref = ray.put(bench)
+    bloom_ref = None
+    if bench.nbytes > broadcast_limit_bytes:
+        from .sketch import BloomFilter
+
+        bloom_ref = ray.put(BloomFilter.build(bench.view(np.int64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        h, di = ngram_hashes(texts, n)
+        hits_per_doc = np.zeros(len(batch), dtype=np.int64)
+        if len(h):
+            if bloom_ref is not None:
+                cand = ray.get(bloom_ref).contains_many(h.view(np.int64))
+                h, di = h[cand], di[cand]
+            if len(h):
+                b = ray.get(exact_ref)
+                pos = np.searchsorted(b, h)
+                pos[pos == len(b)] = 0
+                hit = b[pos] == h
+                np.add.at(hits_per_doc, di[hit], 1)
+        return batch.append_column(
+            out_col, pa.array(hits_per_doc >= min_hits)
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate_auto(ds, text_col: str, bench_texts: list[str | None],
+                       out_col: str = "contaminated",
+                       substring_limit: int = 4096, n: int = 8):
+    """Route by benchmark size (the embedding_near_dup_auto shape): at
+    or under ``substring_limit`` snippets -> exact substring scan (the
+    oracle semantics, k vectorized passes per batch); above it the
+    per-snippet scan cost k*bytes is the bottleneck, so -> n-gram hash
+    membership (one probe pass regardless of benchmark size)."""
+    snips = [s for s in bench_texts if s]
+    if len(snips) <= substring_limit:
+        return decontaminate_substring(ds, text_col, snips, out_col)
+    return decontaminate_ngram(ds, text_col, snips, n=n, out_col=out_col)

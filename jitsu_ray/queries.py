@@ -2135,6 +2135,44 @@ WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 100 <
 """
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag every document that contains a
+    held-out eval snippet verbatim (ops/decontam, substring mode — the
+    oracle semantics; the n-gram scale mode is pytest-checked). The
+    benchmark here is derived deterministically from the corpus (every
+    29th doc donates words 4..11) because the sandbox has no external
+    eval set; in production ``bench_texts`` is the external benchmark
+    file — small by definition, read driver-side."""
+    import pyarrow.parquet as pq
+
+    from .ops.decontam import decontaminate_auto
+
+    bt = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    snippets = [
+        " ".join(t.split(" ")[3:11])
+        for i, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist())
+        if i % 29 == 3 and t is not None and len(t.split(" ")) >= 11
+    ]
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    return decontaminate_auto(ds, "text", snippets).select_columns(
+        ["doc_id", "lang", "contaminated"]
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH bench AS (
+  SELECT array_to_string((string_split(text, ' '))[4:11], ' ') AS snip
+  FROM documents
+  WHERE doc_id % 29 = 3 AND text IS NOT NULL
+    AND len(string_split(text, ' ')) >= 11
+)
+SELECT d.doc_id, d.lang,
+       EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.snip))
+         AS contaminated
+FROM documents d ORDER BY d.doc_id
+"""
+
+
 def q_dedup_keep_docs(sf_dir: str):
     """The END of the dedup story: the deduplicated corpus. MinHash
     clusters computed fully distributed, then every cluster member
@@ -2710,6 +2748,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
@@ -2773,6 +2812,7 @@ ORACLES = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,
+    "decontaminate_docs": SQL_DECONTAMINATE,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,

@@ -1180,3 +1180,103 @@ def test_setops_all_match_sql(ray_session):
             num_shards=4,
         ).take_all()
         assert sorted(((r["k"], r["g"]) for r in got), key=str) == exp, op
+
+
+# ---- decontamination (ops/decontam) ------------------------------------
+
+
+def _brute_ngram_contaminated(texts, bench, n, min_hits=1):
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bg = set()
+    for b in bench:
+        bg |= grams(b)
+    return [len(grams(t) & bg) >= min_hits for t in texts]
+
+
+def test_decontaminate_substring_flags_verbatim(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_substring
+
+    tbl = docs_table()
+    snippets = ["fox jumps over the lazy", "no such snippet anywhere"]
+    ds = ray.data.from_arrow(tbl)
+    out = decontaminate_substring(ds, "text", snippets).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got[0] and got[1] and got[3]  # base + near + copy all contain it
+    assert not got[2] and not got[4]
+
+
+def test_decontaminate_substring_ignores_empty_and_null(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_substring
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["plain text", None])}
+    )
+    out = decontaminate_substring(
+        ray.data.from_arrow(tbl), "text", ["", "plain"]
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got[0] and not got[1]  # '' dropped; NULL text never flagged
+
+
+def test_decontaminate_ngram_matches_bruteforce(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_ngram
+
+    tbl = docs_table()
+    texts = tbl["text"].to_pylist()
+    bench = [texts[0], "an unrelated benchmark question about physics today ok"]
+    for n, min_hits in [(4, 1), (4, 3), (8, 1)]:
+        expect = _brute_ngram_contaminated(texts, bench, n, min_hits)
+        out = decontaminate_ngram(
+            ray.data.from_arrow(tbl), "text", bench, n=n, min_hits=min_hits
+        ).to_pandas().sort_values("doc_id")
+        assert out["contaminated"].tolist() == expect, (n, min_hits)
+
+
+def test_decontaminate_ngram_bloom_path_exact(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_ngram
+
+    tbl = docs_table()
+    texts = tbl["text"].to_pylist()
+    bench = [texts[2]]
+    expect = _brute_ngram_contaminated(texts, bench, 5)
+    # force the Bloom prefilter path with a tiny broadcast budget
+    out = decontaminate_ngram(
+        ray.data.from_arrow(tbl), "text", bench, n=5, broadcast_limit_bytes=1
+    ).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == expect
+
+
+def test_decontaminate_auto_routes_by_benchmark_size(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_auto
+
+    tbl = docs_table()
+    texts = tbl["text"].to_pylist()
+    # above the limit -> ngram mode: a snippet that is a verbatim
+    # substring but shorter than n words no longer flags anything
+    short_snip = "fox jumps over"
+    out = decontaminate_auto(
+        ray.data.from_arrow(tbl), "text", [short_snip, texts[4]],
+        substring_limit=1, n=5,
+    ).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert not got[0]  # substring would flag; 5-gram mode doesn't
+    assert got[4]  # whole doc 4 in the benchmark still flags itself
+    # under the limit -> substring mode flags doc 0
+    out2 = decontaminate_auto(
+        ray.data.from_arrow(tbl), "text", [short_snip], substring_limit=10
+    ).to_pandas().sort_values("doc_id")
+    assert dict(zip(out2["doc_id"], out2["contaminated"]))[0]
