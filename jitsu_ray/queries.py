@@ -1877,6 +1877,52 @@ def q_time_travel(sf_dir: str):
     return lake.read(as_of=hi).select_columns(["event_id", "event_type", "value_c"])
 
 
+def q_point_lookup_users(sf_dir: str):
+    """Zone-map point lookup (sinks/lake.LakeTable.lookup): build the
+    per-user LWW lake in THREE windows (so each partition holds several
+    delta files with distinct commit-seq — and key — ranges), then fetch
+    users with user_id % 37 == 5 via the pruned lookup path: partition
+    pruning by the write-side hash + per-file [min,max] zone maps from
+    the ledger. The full requested-key range 0..4999 includes absent
+    keys (they must return no row, exactly like the SQL filter)."""
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    _sweep_stale_lakes("lake_pl_")
+    lake_dir = os.path.join(
+        CACHE_DIR, f"lake_pl_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    lake = LakeTable.create(lake_dir, ["user_id"], 8)
+    c1, c2, hi = 3000, 6000, 20_000_000
+
+    def upto(c_lo, c_hi):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater(b["commit_seq"], c_lo), pc.less_equal(b["commit_seq"], c_hi)
+            )
+            return b.filter(m)
+
+        return f
+
+    lake.apply_window(ds.map_batches(upto(0, c1), batch_format="pyarrow"), 0, c1)
+    lake.apply_window(ds.map_batches(upto(c1, c2), batch_format="pyarrow"), c1, c2)
+    lake.apply_window(ds.map_batches(upto(c2, hi), batch_format="pyarrow"), c2, hi)
+    keys = [{"user_id": u} for u in range(0, 5000) if u % 37 == 5]
+    return lake.lookup(keys, columns=["event_type", "value_c"]).select(
+        ["user_id", "event_type", "value_c"]
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT user_id,
+       arg_max(event_type, event_id) AS event_type,
+       arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+FROM events WHERE user_id % 37 = 5 GROUP BY user_id
+"""
+
+
 SQL_TIME_TRAVEL = """
 SELECT event_id, event_type,
        CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
@@ -2743,6 +2789,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
     "time_travel": q_time_travel,
+    "point_lookup_users": q_point_lookup_users,
     "cdc_diff": q_cdc_diff,
     "matview_revenue": q_matview_revenue,
     "corpus_pipeline": q_corpus_pipeline,
@@ -2807,6 +2854,7 @@ ORACLES = {
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
     "time_travel": SQL_TIME_TRAVEL,
+    "point_lookup_users": SQL_POINT_LOOKUP,
     "cdc_diff": SQL_CDC_DIFF,
     "matview_revenue": SQL_MATVIEW,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,

@@ -106,6 +106,73 @@ def _split_block(block: pa.Table, pool_size: int):
     return out if pool_size > 1 else out[0]
 
 
+def _key_zone_stats(tbl: pa.Table, key_cols: list[str]) -> dict:
+    """Per-key-column [min, max] zone map for one delta/base file —
+    recorded in its ledger entry so key lookups can skip files whose
+    range excludes every requested key (the lakehouse file-statistics
+    idea, derived from the ledger instead of parquet footers: at 100 TB
+    the ledger scan is one small-file read vs millions of footer
+    fetches). A column with any NULL key or a non-JSON-serializable
+    bound is recorded [None, None] = never prunable — pruning must only
+    ever skip files that provably lack the key."""
+    out = {}
+    for c in key_cols:
+        col = tbl[c]
+        bounds = [None, None]
+        if len(col) and col.null_count == 0:
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(lo, (str, int, float, bool)):
+                bounds = [lo, hi]
+        out[c] = bounds
+    return out
+
+
+@ray.remote(num_cpus=0)
+def _lookup_partition(
+    files: list[str],
+    ktab: pa.Table,
+    target: pa.Schema,
+    phys_cols: list[str],
+    key_cols: list[str],
+    out_cols: list[str],
+) -> pa.Table:
+    """One partition's pruned point lookup: read only the zone-map-kept
+    files, exact semi-join to the requested keys (polars, composite-key
+    safe), then LWW-resolve — resolution over just the key's own rows
+    equals global resolution because a key's versions all live here.
+    Zero-cpu: a handful of row-group reads, scheduled without starving
+    pipeline stages."""
+    t = pq.ParquetDataset(files, schema=target).read(columns=phys_cols)
+    hit = (
+        pl.from_arrow(t)
+        .join(pl.from_arrow(ktab), on=key_cols, how="semi")
+        .to_arrow()
+        .cast(t.schema)
+    )
+    return resolve_arrow(hit, key_cols).select(out_cols)
+
+
+def _zone_may_contain(stats: dict, keys: pa.Table) -> bool:
+    """True unless the zone map proves NO requested key is in the file:
+    a key matches iff every key column lies within that column's
+    [min, max]; missing / None bounds never prune."""
+    import numpy as np
+
+    mask = np.ones(keys.num_rows, dtype=bool)
+    for c in keys.column_names:
+        b = stats.get(c)
+        if not b or b[0] is None:
+            continue
+        v = keys[c]
+        ge = pc.fill_null(pc.greater_equal(v, b[0]), False)
+        le = pc.fill_null(pc.less_equal(v, b[1]), False)
+        mask &= pc.and_(ge, le).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return False
+    return bool(mask.any())
+
+
 @ray.remote(num_cpus=0, max_restarts=0)
 class PartitionMerger:
     """Stateful merger actor: owns a fixed set of lake partitions for the
@@ -188,6 +255,7 @@ class PartitionMerger:
                         "rows": merged.num_rows,
                         "tombstones": n_tomb,
                         "bytes": os.path.getsize(final),
+                        "key_stats": _key_zone_stats(merged, self.key_cols),
                     }
                 )
         self.buf = []
@@ -506,6 +574,7 @@ class LakeTable:
             "hi": hi,
             "schema_version": self.schema.version,
             "files": {str(r["part"]): r["file"] for r in stats_rows},
+            "key_stats": {str(r["part"]): r["key_stats"] for r in stats_rows},
             "metrics": {
                 "partitions": len(stats_rows),
                 "rows_written": int(sum(r["rows"] for r in stats_rows)),
@@ -594,6 +663,102 @@ class LakeTable:
         return ray.data.from_items(items).map_batches(
             load_partition, batch_size=1, batch_format="pyarrow"
         )
+
+    def _file_key_stats(self) -> dict[str, dict]:
+        """{relative file path: per-key-col zone map} from one ledger
+        scan. Files committed before zone maps existed simply have no
+        entry (never pruned)."""
+        stats: dict[str, dict] = {}
+        for e in self.ledger.entries():
+            if e["kind"] == "window":
+                ks = e.get("key_stats", {})
+                for p, f in e["files"].items():
+                    if p in ks:
+                        stats[f] = ks[p]
+            elif e["kind"] == "compact":
+                for info in e["parts"].values():
+                    if info.get("file") and info.get("key_stats"):
+                        stats[info["file"]] = info["key_stats"]
+        return stats
+
+    def lookup(
+        self,
+        keys,
+        columns: list[str] | None = None,
+        as_of: int | None = None,
+    ) -> pa.Table:
+        """Resolved rows for an explicit key set, with TWO-LEVEL file
+        pruning — the point-lookup path a 100-TB lake needs (a full
+        ``read()`` would stream every partition for a handful of keys):
+
+        1. PARTITION pruning: each key hashes to exactly one partition
+           (hash_mod_column is the same function the write path uses),
+           so only |keys| of num_partitions partitions are touched.
+        2. ZONE-MAP pruning: within a touched partition, files whose
+           ledger-recorded per-key-column [min, max] excludes every
+           requested key are skipped (sound: such a file provably holds
+           no version of the key, and LWW resolution only needs the
+           key's own rows — all of which live in its one partition).
+
+        ``keys``: list[dict] or pa.Table holding exactly the key
+        columns. Returns a pa.Table (point lookups are small by
+        contract; use ``read()`` for scans). Tombstoned keys return no
+        row. ``self.last_lookup_stats`` records files_total /
+        files_read / partitions_read for observability and tests."""
+        import polars as pl
+
+        if isinstance(keys, list):
+            keys = pa.Table.from_pylist(keys)
+        target = self.full_arrow_schema()
+        keys = pa.table(
+            {c: pc.cast(keys[c], target.field(c).type) for c in self.key_cols}
+        )
+        parts = hash_mod_column(keys, self.key_cols, self.num_partitions)
+        parts_np = parts.to_numpy(zero_copy_only=False)
+        live = self.live_files(as_of=as_of)
+        stats = self._file_key_stats()
+        out_cols = [f.name for f in target if f.name not in (PART_COL, OP_COL)]
+        if columns:
+            out_cols = [c for c in out_cols if c in columns or c in self.key_cols]
+        phys_cols = sorted({OP_COL, SEQ_COL, *self.key_cols, *out_cols})
+        key_cols = self.key_cols
+
+        by_part: dict[int, list[int]] = {}
+        for i, p in enumerate(parts_np):
+            by_part.setdefault(int(p), []).append(i)
+        files_read = partitions_read = 0
+        tasks = []
+        for p, idx in sorted(by_part.items()):
+            fs = live.get(p)
+            if not fs:
+                continue
+            ktab = keys.take(idx)
+            kept = [
+                f
+                for f in fs
+                if _zone_may_contain(
+                    stats.get(os.path.relpath(f, self.dir), {}), ktab
+                )
+            ]
+            if not kept:
+                continue
+            partitions_read += 1
+            files_read += len(kept)
+            tasks.append(
+                _lookup_partition.remote(
+                    kept, ktab, target, phys_cols, key_cols, out_cols
+                )
+            )
+        self.last_lookup_stats = {
+            "keys": keys.num_rows,
+            "files_total": sum(len(fs) for fs in live.values()),
+            "files_read": files_read,
+            "partitions_total": len(live),
+            "partitions_read": partitions_read,
+        }
+        empty = pa.schema([target.field(c) for c in out_cols]).empty_table()
+        got = [t for t in ray.get(tasks) if t.num_rows]
+        return pa.concat_tables([empty, *got]) if got else empty
 
     def diff_as_of(
         self,
@@ -790,6 +955,7 @@ class LakeTable:
                 "file": rel,
                 "replaces": [os.path.relpath(f, lake_dir) for f in files],
                 "rows": merged.num_rows,
+                "key_stats": _key_zone_stats(merged, key_cols),
             }
 
         todo = {p: fs for p, fs in self.live_files().items() if len(fs) >= min_files}

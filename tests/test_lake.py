@@ -633,3 +633,82 @@ def test_incremental_agg_view_float_and_rebuild(ray_session, tmp_path):
         IncrementalAggView(str(tmp_path / "v2"), lake, ["grp"], ["commit_seq"])
     with pytest.raises(ValueError):
         IncrementalAggView(str(tmp_path / "v3"), lake, ["grp"], ["uid"])
+
+
+# ---- zone-map point lookup ----------------------------------------------
+
+
+def _lookup_lake(tmp_path, parts=8):
+    """Three windows with disjoint composite-key ranges so zone maps can
+    prune; one cross-window update so LWW matters."""
+    lake = new_lake(tmp_path, parts=parts)
+    for w, lo in enumerate([0, 100, 200]):
+        rows = [
+            ev(lo + i, "insert", f"r{lo + i:04d}", "f.py", commit=f"c{lo + i}",
+               lang="py", content=f"body {lo + i}")
+            for i in range(100)
+        ]
+        lake.apply_window(make_ds(rows), lo, lo + 100)
+    lake.apply_window(
+        make_ds([ev(900, "insert", "r0050", "f.py", commit="c900",
+                    lang="py", content="updated")]),
+        300, 901,
+    )
+    return lake
+
+
+def test_lookup_matches_full_read_and_prunes(ray_session, tmp_path):
+    lake = _lookup_lake(tmp_path)
+    keys = [{"repo": "r0050", "path": "f.py"}, {"repo": "r0250", "path": "f.py"},
+            {"repo": "nope", "path": "f.py"}]
+    got = {(r["repo"], r["path"]): r for r in lake.lookup(keys).to_pylist()}
+    full = read_rows(lake)
+    assert set(got) == {("r0050", "f.py"), ("r0250", "f.py")}
+    for k in got:
+        assert got[k]["commit"] == full[k]["commit"]
+        assert got[k]["content"] == full[k]["content"]
+    assert got[("r0050", "f.py")]["content"] == "updated"  # LWW across windows
+    st = lake.last_lookup_stats
+    assert st["files_read"] < st["files_total"]  # zone maps actually pruned
+    assert st["partitions_read"] <= len(keys)
+
+
+def test_lookup_tombstoned_key_absent(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    lake = _lookup_lake(tmp_path)
+    lake.delete_where(lambda b: pc.equal(b["repo"], "r0010"))
+    assert lake.lookup([{"repo": "r0010", "path": "f.py"}]).num_rows == 0
+
+
+def test_lookup_as_of_sees_pre_delete_state(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    lake = _lookup_lake(tmp_path)
+    hi = lake.last_committed_hi()
+    lake.delete_where(lambda b: pc.equal(b["repo"], "r0010"))
+    out = lake.lookup([{"repo": "r0010", "path": "f.py"}], as_of=hi)
+    assert out.num_rows == 1 and out["content"][0].as_py() == "body 10"
+
+
+def test_lookup_survives_compaction_and_legacy_entries(ray_session, tmp_path):
+    import json
+
+    lake = _lookup_lake(tmp_path)
+    # simulate a legacy (pre-zone-map) ledger row: strip key_stats
+    led = lake.ledger
+    names = sorted(
+        n for n in os.listdir(led.dir) if n.endswith(".json")
+    )
+    p0 = os.path.join(led.dir, names[0])
+    e = json.load(open(p0))
+    e.pop("key_stats", None)
+    json.dump(e, open(p0, "w"))
+    got = lake.lookup([{"repo": "r0050", "path": "f.py"}])
+    assert got.num_rows == 1 and got["content"][0].as_py() == "updated"
+    # compaction rewrites files and records fresh stats
+    lake.compact()
+    got2 = lake.lookup([{"repo": "r0050", "path": "f.py"}])
+    assert got2.num_rows == 1 and got2["content"][0].as_py() == "updated"
+    st = lake.last_lookup_stats
+    assert st["files_read"] <= st["files_total"]
