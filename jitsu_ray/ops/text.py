@@ -166,6 +166,82 @@ class DocAnalyzer:
         return batch
 
 
+class RepetitionSignals:
+    """Repetition-based quality signals (the MassiveText/Gopher family
+    of filters, adapted to word level since the corpus docs are
+    single-line):
+
+      dup_word_frac     1 - distinct_words / words   (0.0 if no words)
+      top_bigram_frac   count of the most frequent word bigram / total
+                        bigrams                      (0.0 if < 2 words)
+      repetition_ok     dup_word_frac <= max_dup AND
+                        top_bigram_frac <= max_top_bigram
+
+    One numpy pass per batch: all words flatten into one array, a
+    lexsort groups (doc, word) / (doc, bigram) runs, and per-doc
+    distinct / max-run counts come from reduceat over the doc
+    boundaries — no per-row Python. Exact SQL twin in
+    queries.SQL_REPETITION (list_distinct + bigram unnest)."""
+
+    def __init__(self, max_dup: float = 0.9, max_top_bigram: float = 0.18,
+                 text_col: str = "text"):
+        self.max_dup = max_dup
+        self.max_top = max_top_bigram
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        words: list[str] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split()
+            counts[i] = len(ws)
+            words.extend(ws)
+        dup = np.zeros(n, dtype=np.float64)
+        top = np.zeros(n, dtype=np.float64)
+        if words:
+            doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+            _, codes = np.unique(np.asarray(words, dtype=object),
+                                 return_inverse=True)
+            # distinct words per doc: runs of equal (doc, code)
+            order = np.lexsort((codes, doc))
+            d_s, c_s = doc[order], codes[order]
+            new_run = np.ones(len(d_s), dtype=bool)
+            new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            nd = np.bincount(d_s[new_run], minlength=n)
+            has = counts > 0
+            dup[has] = 1.0 - nd[has] / counts[has]
+            # bigrams: adjacent word pairs inside one doc
+            L = len(codes) - 1
+            if L > 0:
+                valid = doc[:L] == doc[1:]
+                b_doc, b1, b2 = doc[:L][valid], codes[:L][valid], codes[1:][valid]
+                if len(b_doc):
+                    order = np.lexsort((b2, b1, b_doc))
+                    d_s, b1s, b2s = b_doc[order], b1[order], b2[order]
+                    new_run = np.ones(len(d_s), dtype=bool)
+                    new_run[1:] = (
+                        (d_s[1:] != d_s[:-1]) | (b1s[1:] != b1s[:-1]) | (b2s[1:] != b2s[:-1])
+                    )
+                    starts = np.nonzero(new_run)[0]
+                    run_len = np.diff(np.append(starts, len(d_s)))
+                    run_doc = d_s[starts]
+                    max_run = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(max_run, run_doc, run_len)
+                    nb = np.maximum(counts - 1, 0)
+                    hasb = nb > 0
+                    top[hasb] = max_run[hasb] / nb[hasb]
+        ok = (dup <= self.max_dup) & (top <= self.max_top)
+        return (
+            batch.append_column("dup_word_frac", pa.array(dup))
+            .append_column("top_bigram_frac", pa.array(top))
+            .append_column("repetition_ok", pa.array(ok))
+        )
+
+
 class TextStats:
     """Vectorized length/token stats. n_tokens is defined as
     count(' ') + 1 — a spec shared with the SQL oracle so both sides

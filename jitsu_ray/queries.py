@@ -2181,6 +2181,47 @@ WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 100 <
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Repetition-based quality signals (ops/text.RepetitionSignals —
+    the Gopher/MassiveText filter family at word level): duplicate-word
+    fraction, top-bigram fraction, and the pass/fail flag, all in one
+    vectorized numpy pass per batch."""
+    from .ops.text import RepetitionSignals
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        RepetitionSignals(), batch_format="pyarrow"
+    ).select_columns(["doc_id", "dup_word_frac", "top_bigram_frac", "repetition_ok"])
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, len(ws) AS nw,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(ws)) * 1.0 / len(ws) END AS dup_word_frac
+  FROM w
+),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS b
+  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+),
+top AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.dup_word_frac,
+       coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+       u.dup_word_frac <= 0.9 AND coalesce(t.top_bigram_frac, 0.0) <= 0.18
+         AS repetition_ok
+FROM uni u LEFT JOIN top t USING (doc_id) ORDER BY u.doc_id
+"""
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document that contains a
     held-out eval snippet verbatim (ops/decontam, substring mode — the
@@ -2796,6 +2837,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "doc_repetition": q_doc_repetition,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
@@ -2861,6 +2903,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,
     "decontaminate_docs": SQL_DECONTAMINATE,
+    "doc_repetition": SQL_REPETITION,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,

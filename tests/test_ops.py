@@ -1280,3 +1280,52 @@ def test_decontaminate_auto_routes_by_benchmark_size(ray_session):
         ray.data.from_arrow(tbl), "text", [short_snip], substring_limit=10
     ).to_pandas().sort_values("doc_id")
     assert dict(zip(out2["doc_id"], out2["contaminated"]))[0]
+
+
+def test_repetition_signals_handcomputed(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.text import RepetitionSignals
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",      # dup: 1-2/6; top bigram 'a b' 3/5
+                    "x y z",            # no dups, each bigram once -> 1/2
+                    "",                 # empty -> zeros, ok
+                    None,               # NULL -> zeros, ok
+                ]
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(RepetitionSignals(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["dup_word_frac"].tolist() == pytest.approx([1 - 2 / 6, 0.0, 0.0, 0.0])
+    assert out["top_bigram_frac"].tolist() == pytest.approx([3 / 5, 1 / 2, 0.0, 0.0])
+    assert out["repetition_ok"].tolist() == [False, False, True, True]
+
+
+def test_repetition_signals_batch_boundary_independent(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.text import RepetitionSignals
+
+    texts = [f"w{i % 7} common w{i % 3} common tail{i}" for i in range(50)]
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()), "text": pa.array(texts)})
+    big = (
+        ray.data.from_arrow(tbl)
+        .map_batches(RepetitionSignals(), batch_format="pyarrow", batch_size=50)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    small = (
+        ray.data.from_arrow(tbl)
+        .map_batches(RepetitionSignals(), batch_format="pyarrow", batch_size=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert big.equals(small)
