@@ -65,7 +65,7 @@ import ray.data
 from ..schema.reconciler import LakeSchema, observed_payload
 from ..state.ledger import Ledger
 from ..types import DataType, from_arrow, to_arrow
-from ..util import HASH_ALGO, hash_mod_column, pad_and_cast
+from ..util import HASH_ALGO, hash64_column, hash_mod_column, pad_and_cast
 
 OP_COL = "op"
 SEQ_COL = "commit_seq"
@@ -104,6 +104,46 @@ def _split_block(block: pa.Table, pool_size: int):
     g = block[PART_COL].to_numpy(zero_copy_only=False) % pool_size
     out = tuple(block.take(idx) for idx in group_take_indices(g, pool_size))
     return out if pool_size > 1 else out[0]
+
+
+def _write_key_bloom(tbl: pa.Table, key_cols: list[str], parquet_path: str) -> str:
+    """Per-file key Bloom sidecar (``<file>.bloom.npz``) over the
+    64-bit composite-key hash — the point-lookup complement to zone
+    maps: hash-partitioned string keys (repo/path) span the whole
+    alphabet in EVERY delta file, so [min,max] never prunes them, while
+    a ~10-bits/key Bloom skips a file for any absent key with ~1% false
+    positives. Written tmp+rename next to the (already deterministic)
+    delta path, so idempotent window retries converge. A Bloom "maybe"
+    still reads the parquet — pruning stays exact."""
+    from ..ops.sketch import BloomFilter
+    from ..util import hash64_column
+
+    keys = pl.from_arrow(tbl.select(key_cols)).unique().to_arrow()
+    bf = BloomFilter.build(hash64_column(keys, key_cols).to_numpy(zero_copy_only=False))
+    import numpy as np
+
+    path = parquet_path + ".bloom.npz"
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "wb") as f:
+        np.savez(f, bits=bf.bits, m=np.int64(bf.m), k=np.int64(bf.k))
+    os.replace(tmp, path)
+    return path
+
+
+def _bloom_may_contain(parquet_path: str, key_hashes) -> bool:
+    """Probe a file's Bloom sidecar; a missing/corrupt sidecar never
+    prunes (legacy files, partial writes)."""
+    import numpy as np
+
+    from ..ops.sketch import BloomFilter
+
+    path = parquet_path + ".bloom.npz"
+    try:
+        with np.load(path) as z:
+            bf = BloomFilter(z["bits"], int(z["m"]), int(z["k"]))
+    except (OSError, KeyError, ValueError):
+        return True
+    return bool(bf.contains_many(key_hashes).any())
 
 
 def _key_zone_stats(tbl: pa.Table, key_cols: list[str]) -> dict:
@@ -247,6 +287,7 @@ class PartitionMerger:
                 os.close(fd)
                 pq.write_table(merged, tmp)
                 os.replace(tmp, final)  # deterministic path => idempotent retry
+                _write_key_bloom(merged, self.key_cols, final)
                 n_tomb = merged.filter(pc.equal(merged[OP_COL], TOMBSTONE)).num_rows
                 out.append(
                     {
@@ -694,11 +735,15 @@ class LakeTable:
         1. PARTITION pruning: each key hashes to exactly one partition
            (hash_mod_column is the same function the write path uses),
            so only |keys| of num_partitions partitions are touched.
-        2. ZONE-MAP pruning: within a touched partition, files whose
-           ledger-recorded per-key-column [min, max] excludes every
-           requested key are skipped (sound: such a file provably holds
-           no version of the key, and LWW resolution only needs the
-           key's own rows — all of which live in its one partition).
+        2. FILE pruning, two independent proofs of absence: the
+           ledger-recorded per-key-column [min, max] zone map (wins on
+           range-correlated keys: sequence ids, timestamps), then the
+           per-file Bloom sidecar over the composite-key hash (wins on
+           hash-like string keys, where every file spans the whole
+           alphabet and min/max never excludes). Sound either way: a
+           skipped file provably holds no version of the key, and LWW
+           resolution only needs the key's own rows — all of which
+           live in its one partition.
 
         ``keys``: list[dict] or pa.Table holding exactly the key
         columns. Returns a pa.Table (point lookups are small by
@@ -728,18 +773,23 @@ class LakeTable:
             by_part.setdefault(int(p), []).append(i)
         files_read = partitions_read = 0
         tasks = []
+        zone_skipped = bloom_skipped = 0
         for p, idx in sorted(by_part.items()):
             fs = live.get(p)
             if not fs:
                 continue
             ktab = keys.take(idx)
-            kept = [
-                f
-                for f in fs
-                if _zone_may_contain(
+            kh = hash64_column(ktab, key_cols).to_numpy(zero_copy_only=False)
+            kept = []
+            for f in fs:
+                if not _zone_may_contain(
                     stats.get(os.path.relpath(f, self.dir), {}), ktab
-                )
-            ]
+                ):
+                    zone_skipped += 1
+                elif not _bloom_may_contain(f, kh):
+                    bloom_skipped += 1
+                else:
+                    kept.append(f)
             if not kept:
                 continue
             partitions_read += 1
@@ -753,6 +803,8 @@ class LakeTable:
             "keys": keys.num_rows,
             "files_total": sum(len(fs) for fs in live.values()),
             "files_read": files_read,
+            "files_zone_skipped": zone_skipped,
+            "files_bloom_skipped": bloom_skipped,
             "partitions_total": len(live),
             "partitions_read": partitions_read,
         }
@@ -951,6 +1003,7 @@ class LakeTable:
             os.close(fd)
             pq.write_table(merged, tmp)
             os.replace(tmp, os.path.join(lake_dir, rel))
+            _write_key_bloom(merged, key_cols, os.path.join(lake_dir, rel))
             return part, {
                 "file": rel,
                 "replaces": [os.path.relpath(f, lake_dir) for f in files],
@@ -968,10 +1021,11 @@ class LakeTable:
         self.ledger.append(entry)
         for _, info in results:  # best-effort cleanup; ledger already excludes
             for f in info["replaces"]:
-                try:
-                    os.unlink(os.path.join(self.dir, f))
-                except OSError:
-                    pass
+                for path in (f, f + ".bloom.npz"):
+                    try:
+                        os.unlink(os.path.join(self.dir, path))
+                    except OSError:
+                        pass
         return entry
 
     def last_committed_hi(self) -> int:

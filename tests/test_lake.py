@@ -712,3 +712,58 @@ def test_lookup_survives_compaction_and_legacy_entries(ray_session, tmp_path):
     assert got2.num_rows == 1 and got2["content"][0].as_py() == "updated"
     st = lake.last_lookup_stats
     assert st["files_read"] <= st["files_total"]
+
+
+def test_lookup_bloom_prunes_when_zone_maps_cannot(ray_session, tmp_path):
+    """String keys spanning the whole alphabet in every file defeat
+    [min,max] zone maps (stripped here to simulate / isolate); the
+    per-file Bloom sidecar must still prune absent-key files."""
+    import json
+
+    lake = _lookup_lake(tmp_path)
+    for n in sorted(os.listdir(lake.ledger.dir)):
+        if n.endswith(".json"):
+            p = os.path.join(lake.ledger.dir, n)
+            e = json.load(open(p))
+            e.pop("key_stats", None)
+            json.dump(e, open(p, "w"))
+    got = lake.lookup([{"repo": "r0250", "path": "f.py"}])
+    assert got.num_rows == 1 and got["content"][0].as_py() == "body 250"
+    st = lake.last_lookup_stats
+    assert st["files_zone_skipped"] == 0  # stats stripped
+    assert st["files_bloom_skipped"] >= 1  # bloom did the pruning
+    assert st["files_read"] < st["files_total"]
+
+
+def test_lookup_missing_bloom_sidecar_reads_file(ray_session, tmp_path):
+    """Legacy lakes have no sidecars: lookup must fall back to reading
+    the file (never wrongly prune)."""
+    import glob
+    import json
+
+    lake = _lookup_lake(tmp_path)
+    for b in glob.glob(os.path.join(str(tmp_path / "lake"), "part=*", "*.bloom.npz")):
+        os.unlink(b)
+    for n in sorted(os.listdir(lake.ledger.dir)):
+        if n.endswith(".json"):
+            p = os.path.join(lake.ledger.dir, n)
+            e = json.load(open(p))
+            e.pop("key_stats", None)
+            json.dump(e, open(p, "w"))
+    got = lake.lookup([{"repo": "r0150", "path": "f.py"}])
+    assert got.num_rows == 1 and got["content"][0].as_py() == "body 150"
+    st = lake.last_lookup_stats
+    assert st["files_bloom_skipped"] == 0 and st["files_zone_skipped"] == 0
+
+
+def test_compaction_removes_stale_bloom_sidecars(ray_session, tmp_path):
+    import glob
+
+    lake = _lookup_lake(tmp_path)
+    before = set(glob.glob(os.path.join(str(tmp_path / "lake"), "part=*", "*.bloom.npz")))
+    assert before  # write path produced sidecars
+    lake.compact()
+    after = set(glob.glob(os.path.join(str(tmp_path / "lake"), "part=*", "*.bloom.npz")))
+    assert not (before & after)  # replaced deltas' sidecars are gone
+    for b in after:
+        assert "base-" in os.path.basename(b)  # compacted bases have fresh ones
