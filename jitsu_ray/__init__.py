@@ -40,6 +40,6 @@ _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
 
 from .types import DataType, promote
 from .sinks.lake import LakeTable
-from .pipelines.replay import Replayer, replay_changelog
+from .pipelines.replay import Replayer, bootstrap_snapshot, replay_changelog
 
-__all__ = ["DataType", "promote", "LakeTable", "Replayer", "replay_changelog"]
+__all__ = ["DataType", "promote", "LakeTable", "Replayer", "bootstrap_snapshot", "replay_changelog"]

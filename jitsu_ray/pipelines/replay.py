@@ -336,6 +336,54 @@ class Replayer:
         return n
 
 
+def bootstrap_snapshot(lake: LakeTable, ds: "ray.data.Dataset",
+                       as_of_seq: int = 0) -> dict:
+    """Initial-load bootstrap: apply a FULL source snapshot that is
+    consistent AS OF changelog position ``as_of_seq`` as one insert
+    window, then ``Replayer.run()`` tails the changelog incrementally
+    from exactly that position — the standard CDC bootstrap-then-tail
+    lifecycle (reference semantics: a source driver's first full sync
+    before interval syncs, server/drivers/base.go
+    GetAllAvailableIntervals + the incremental path).
+
+    The handoff is seam-free by construction: snapshot rows are
+    stamped ``commit_seq = as_of_seq`` and the window commits with
+    ``hi = as_of_seq``, so the replayer resumes at ``lo = as_of_seq``
+    (events <= as_of_seq are already reflected IN the snapshot; every
+    later event outranks it under LWW).
+
+    ``ds`` carries the key + payload columns; ``op``/``commit_seq`` are
+    stamped here, so any source Dataset works unmodified. Idempotent
+    like any window: once any ledger row with hi >= as_of_seq exists a
+    re-run is skipped, and a crashed bootstrap left no ledger row, so
+    its staged files are invisible and the retry overwrites them. The
+    one case apply_window's hi-watermark check can't see is
+    ``as_of_seq == 0`` on a virgin lake (hi == last_committed_hi == 0),
+    distinguished from an already-bootstrapped lake by the ledger being
+    empty."""
+    if as_of_seq < 0:
+        raise ValueError("as_of_seq must be >= 0")
+    force = as_of_seq == 0 and not lake.ledger.entries()
+    if not force and lake.last_committed_hi() >= max(as_of_seq, 1):
+        return {"kind": "window", "lo": as_of_seq - 1, "hi": as_of_seq,
+                "skipped": True}
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        cols = set(batch.column_names)
+        if "op" not in cols:
+            batch = batch.append_column(
+                "op", pa.array(["insert"] * batch.num_rows, pa.string())
+            )
+        if SEQ_COL not in cols:
+            batch = batch.append_column(
+                SEQ_COL, pa.array([as_of_seq] * batch.num_rows, pa.int64())
+            )
+        return batch
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    return lake.apply_window(stamped, as_of_seq - 1, as_of_seq, force=force)
+
+
 def replay_changelog(
     changelog_path: str,
     lake_dir: str,

@@ -251,3 +251,103 @@ def test_sweep_dead_spool_tmp(tmp_path):
     assert live.exists()  # our own live dir is never swept
     assert foreign.exists()  # unverifiable cross-node dir: hands off
     assert other.exists()  # completed spool dirs are never touched
+
+
+def test_bootstrap_snapshot_then_tail(ray_session, tmp_path):
+    """CDC lifecycle: full-snapshot initial load, then incremental
+    changelog tail — final state must equal LWW over (snapshot at seq 0
+    UNION changelog), with deletes honored and the bootstrap idempotent."""
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.pipelines.replay import Replayer, bootstrap_snapshot
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.testgen import write_changelog
+
+    snap = pa.table(
+        {
+            "repo": pa.array([f"r{i % 5}" for i in range(40)]),
+            "path": pa.array([f"f{i}.py" for i in range(40)]),
+            "commit": pa.array(["snap"] * 40),
+            "lang": pa.array(["py"] * 40),
+            "content": pa.array([f"snapshot body {i}" for i in range(40)], pa.large_string()),
+        }
+    )
+    # tail: update 10 keys, delete 5, insert 3 new
+    rows = []
+    seq = 1
+    for i in range(10):
+        rows.append((seq, "update", f"r{i % 5}", f"f{i}.py", f"c{seq}", "py", f"updated {i}")); seq += 1
+    for i in range(10, 15):
+        rows.append((seq, "delete", f"r{i % 5}", f"f{i}.py", None, None, None)); seq += 1
+    for i in range(100, 103):
+        rows.append((seq, "insert", "rnew", f"f{i}.py", f"c{seq}", "py", f"new {i}")); seq += 1
+    log = pa.table(
+        {
+            "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows], pa.large_string()),
+        }
+    )
+    write_changelog(str(tmp_path / "log"), log, rows_per_file=7)
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 8)
+    e1 = bootstrap_snapshot(lake, ray.data.from_arrow(snap))
+    assert not e1.get("skipped")
+    e2 = bootstrap_snapshot(lake, ray.data.from_arrow(snap))  # idempotent
+    assert e2.get("skipped")
+    rep = Replayer(str(tmp_path / "log"), lake, window_size=6)
+    m = rep.run()
+    assert m["events"] == seq - 1
+    state = {(r["repo"], r["path"]): r for r in lake.read().take_all()}
+    assert len(state) == 40 - 5 + 3
+    assert state[("r0", "f0.py")]["content"] == "updated 0"
+    assert state[("r2", "f22.py")]["content"] == "snapshot body 22"
+    assert ("r2", "f12.py") not in state  # deleted
+    assert state[("rnew", "f100.py")]["content"] == "new 100"
+
+
+def test_bootstrap_mid_log_resumes_after_as_of(ray_session, tmp_path):
+    """A snapshot consistent as-of seq N hands off to the tail at
+    exactly N: events <= N are never re-read, events > N apply on top."""
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.pipelines.replay import Replayer, bootstrap_snapshot
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.testgen import write_changelog
+
+    rows = [(s, "update", "r", f"f{s % 4}.py", f"c{s}", "py", f"v{s}")
+            for s in range(1, 21)]
+    log = pa.table(
+        {
+            "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array([r[2] for r in rows]),
+            "path": pa.array([r[3] for r in rows]),
+            "commit": pa.array([r[4] for r in rows]),
+            "lang": pa.array([r[5] for r in rows]),
+            "content": pa.array([r[6] for r in rows], pa.large_string()),
+        }
+    )
+    write_changelog(str(tmp_path / "log"), log, rows_per_file=5)
+    # snapshot as-of 10: keys f0..f3 at their latest value <= seq 10
+    snap = pa.table(
+        {
+            "repo": pa.array(["r"] * 4),
+            "path": pa.array([f"f{k}.py" for k in range(4)]),
+            "commit": pa.array([f"c{k}" for k in [8, 9, 10, 7]]),
+            "lang": pa.array(["py"] * 4),
+            "content": pa.array([f"v{k}" for k in [8, 9, 10, 7]], pa.large_string()),
+        }
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    bootstrap_snapshot(lake, ray.data.from_arrow(snap), as_of_seq=10)
+    m = Replayer(str(tmp_path / "log"), lake, window_size=4).run()
+    assert m["events"] == 10  # only seq 11..20 tailed
+    state = {r["path"]: r["content"] for r in lake.read().take_all()}
+    # latest overall: f0 -> v20, f1 -> v17, f2 -> v18, f3 -> v19
+    assert state == {"f0.py": "v20", "f1.py": "v17", "f2.py": "v18", "f3.py": "v19"}
