@@ -88,11 +88,13 @@ def decontaminate_substring(ds, text_col: str, snippets: list[str],
     verbatim in ``text_col``? Empty/None snippets are dropped (DuckDB's
     ``contains(x, '')`` is vacuously true and never what a benchmark
     means). Snippets ship once per node via ``ray.put``."""
+    from ..util import once_per_process
+
     snips = [s for s in snippets if s]
     ref = ray.put(snips)
 
     def flag(batch: pa.Table) -> pa.Table:
-        sn = ray.get(ref)
+        sn = once_per_process("decontam.snippets", ref)
         col = batch[text_col]
         mask = np.zeros(len(batch), dtype=bool)
         for s in sn:
@@ -114,6 +116,8 @@ def decontaminate_ngram(ds, text_col: str, bench_texts: list[str | None],
     ships instead and the exact array ref is fetched lazily only by
     batches with Bloom positives — the ops/sketch semi-filter shape,
     still exact modulo 64-bit hash collisions."""
+    from ..util import once_per_process
+
     bh, _ = ngram_hashes(bench_texts, n)
     bench = np.unique(bh)
     exact_ref = ray.put(bench)
@@ -128,15 +132,25 @@ def decontaminate_ngram(ds, text_col: str, bench_texts: list[str | None],
         h, di = ngram_hashes(texts, n)
         hits_per_doc = np.zeros(len(batch), dtype=np.int64)
         if len(h):
+            # hits count DISTINCT shared n-grams (the set-intersection
+            # definition): dedupe (doc, gram-hash) pairs first, else a
+            # doc repeating one leaked gram min_hits times self-flags
+            order = np.lexsort((h, di))
+            d_s, h_s = di[order], h[order]
+            first = np.ones(len(d_s), dtype=bool)
+            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            h, di = h_s[first], d_s[first]
             if bloom_ref is not None:
-                cand = ray.get(bloom_ref).contains_many(h.view(np.int64))
+                bf = once_per_process("decontam.bloom", bloom_ref)
+                cand = bf.contains_many(h.view(np.int64))
                 h, di = h[cand], di[cand]
             if len(h):
-                b = ray.get(exact_ref)
-                pos = np.searchsorted(b, h)
-                pos[pos == len(b)] = 0
-                hit = b[pos] == h
-                np.add.at(hits_per_doc, di[hit], 1)
+                b = once_per_process("decontam.bench", exact_ref)
+                if len(b):
+                    pos = np.searchsorted(b, h)
+                    pos[pos == len(b)] = 0
+                    hit = b[pos] == h
+                    np.add.at(hits_per_doc, di[hit], 1)
         return batch.append_column(
             out_col, pa.array(hits_per_doc >= min_hits)
         )

@@ -364,9 +364,23 @@ def bootstrap_snapshot(lake: LakeTable, ds: "ray.data.Dataset",
     if as_of_seq < 0:
         raise ValueError("as_of_seq must be >= 0")
     force = as_of_seq == 0 and not lake.ledger.entries()
-    if not force and lake.last_committed_hi() >= max(as_of_seq, 1):
+    committed = lake.last_committed_hi()
+    if not force and committed >= max(as_of_seq, 1):
         return {"kind": "window", "lo": as_of_seq - 1, "hi": as_of_seq,
                 "skipped": True}
+    if not force and committed > 0:
+        # Re-bootstrapping a PARTIALLY-tailed lake would silently merge:
+        # a key deleted between `committed` and `as_of_seq` is absent
+        # from the snapshot, its old row would stay the LWW winner, and
+        # the replayer (resuming at as_of_seq) would never read the
+        # delete — resurrected forever. Bootstrap only targets empty
+        # lakes; continue the tail (Replayer.run) or rebuild instead.
+        raise ValueError(
+            f"lake already tailed to seq {committed} < as_of_seq "
+            f"{as_of_seq}: bootstrapping over a partially-applied "
+            "changelog would resurrect keys deleted in between; "
+            "rebuild the lake or keep tailing instead"
+        )
 
     def stamp(batch: pa.Table) -> pa.Table:
         cols = set(batch.column_names)

@@ -1906,7 +1906,9 @@ def q_point_lookup_users(sf_dir: str):
 
         return f
 
-    lake.apply_window(ds.map_batches(upto(0, c1), batch_format="pyarrow"), 0, c1)
+    # first window lower bound -1: event_id 0 is a real row in the
+    # testdata and windows are (lo, hi]
+    lake.apply_window(ds.map_batches(upto(-1, c1), batch_format="pyarrow"), -1, c1)
     lake.apply_window(ds.map_batches(upto(c1, c2), batch_format="pyarrow"), c1, c2)
     lake.apply_window(ds.map_batches(upto(c2, hi), batch_format="pyarrow"), c2, hi)
     keys = [{"user_id": u} for u in range(0, 5000) if u % 37 == 5]
@@ -2232,7 +2234,7 @@ def q_decontaminate_docs(sf_dir: str):
     file — small by definition, read driver-side."""
     import pyarrow.parquet as pq
 
-    from .ops.decontam import decontaminate_auto
+    from .ops.decontam import decontaminate_substring
 
     bt = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     snippets = [
@@ -2241,7 +2243,10 @@ def q_decontaminate_docs(sf_dir: str):
         if i % 29 == 3 and t is not None and len(t.split(" ")) >= 11
     ]
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
-    return decontaminate_auto(ds, "text", snippets).select_columns(
+    # substring mode EXPLICITLY (not _auto): this query is paired with a
+    # contains() oracle, and _auto legally switches to n-gram semantics
+    # above its snippet bound — which would silently diverge at large sf
+    return decontaminate_substring(ds, "text", snippets).select_columns(
         ["doc_id", "lang", "contaminated"]
     )
 

@@ -141,8 +141,8 @@ def _bloom_may_contain(parquet_path: str, key_hashes) -> bool:
     try:
         with np.load(path) as z:
             bf = BloomFilter(z["bits"], int(z["m"]), int(z["k"]))
-    except (OSError, KeyError, ValueError):
-        return True
+    except Exception:  # missing, truncated (EOFError/BadZipFile), garbage
+        return True  # — ANY unreadable sidecar must fail open, never prune
     return bool(bf.contains_many(key_hashes).any())
 
 
@@ -646,10 +646,14 @@ class LakeTable:
 
     # -- read path ----------------------------------------------------------
 
-    def live_files(self, as_of: int | None = None) -> dict[int, list[str]]:
+    def live_files(
+        self, as_of: int | None = None, entries: list[dict] | None = None
+    ) -> dict[int, list[str]]:
         return {
             p: [os.path.join(self.dir, f) for f in fs]
-            for p, fs in self.ledger.live_files(as_of_hi=as_of).items()
+            for p, fs in self.ledger.live_files(
+                as_of_hi=as_of, entries=entries
+            ).items()
             if fs
         }
 
@@ -705,12 +709,12 @@ class LakeTable:
             load_partition, batch_size=1, batch_format="pyarrow"
         )
 
-    def _file_key_stats(self) -> dict[str, dict]:
+    def _file_key_stats(self, entries: list[dict] | None = None) -> dict[str, dict]:
         """{relative file path: per-key-col zone map} from one ledger
         scan. Files committed before zone maps existed simply have no
         entry (never pruned)."""
         stats: dict[str, dict] = {}
-        for e in self.ledger.entries():
+        for e in self.ledger.entries() if entries is None else entries:
             if e["kind"] == "window":
                 ks = e.get("key_stats", {})
                 for p, f in e["files"].items():
@@ -755,16 +759,31 @@ class LakeTable:
         if isinstance(keys, list):
             keys = pa.Table.from_pylist(keys)
         target = self.full_arrow_schema()
+        out_cols = [f.name for f in target if f.name not in (PART_COL, OP_COL)]
+        if columns:
+            out_cols = [c for c in out_cols if c in columns or c in self.key_cols]
+        if keys.num_rows == 0:
+            self.last_lookup_stats = {
+                "keys": 0, "files_total": 0, "files_read": 0,
+                "files_zone_skipped": 0, "files_bloom_skipped": 0,
+                "partitions_total": 0, "partitions_read": 0,
+            }
+            return pa.schema([target.field(c) for c in out_cols]).empty_table()
         keys = pa.table(
             {c: pc.cast(keys[c], target.field(c).type) for c in self.key_cols}
         )
         parts = hash_mod_column(keys, self.key_cols, self.num_partitions)
         parts_np = parts.to_numpy(zero_copy_only=False)
-        live = self.live_files(as_of=as_of)
-        stats = self._file_key_stats()
-        out_cols = [f.name for f in target if f.name not in (PART_COL, OP_COL)]
-        if columns:
-            out_cols = [c for c in out_cols if c in columns or c in self.key_cols]
+        ents = self.ledger.entries()  # ONE ledger scan feeds both views
+        live = self.live_files(as_of=as_of, entries=ents)
+        if as_of is not None:
+            missing = [f for fs in live.values() for f in fs if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"time-travel history at as_of={as_of} was vacuumed by a "
+                    f"later compaction; missing: {missing[:3]}"
+                )
+        stats = self._file_key_stats(entries=ents)
         phys_cols = sorted({OP_COL, SEQ_COL, *self.key_cols, *out_cols})
         key_cols = self.key_cols
 

@@ -72,7 +72,9 @@ class Ledger:
 
     # -- derived state ------------------------------------------------------
 
-    def live_files(self, as_of_hi: int | None = None) -> dict[int, list[str]]:
+    def live_files(
+        self, as_of_hi: int | None = None, entries: list[dict] | None = None
+    ) -> dict[int, list[str]]:
         """Replay the ledger into {partition: [relative file paths]}.
 
         ``as_of_hi``: TIME TRAVEL — include only windows whose ``hi`` is
@@ -91,7 +93,7 @@ class Ledger:
         # ordered list alone makes this replay O(windows^2) on
         # long-running streaming lakes — round-3 ADVICE)
         skipped_window = False
-        for e in self.entries():
+        for e in self.entries() if entries is None else entries:
             if as_of_hi is not None and e["kind"] == "window" and int(e["hi"]) > as_of_hi:
                 skipped_window = True
                 continue

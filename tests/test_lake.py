@@ -767,3 +767,33 @@ def test_compaction_removes_stale_bloom_sidecars(ray_session, tmp_path):
     assert not (before & after)  # replaced deltas' sidecars are gone
     for b in after:
         assert "base-" in os.path.basename(b)  # compacted bases have fresh ones
+
+
+def test_lookup_empty_keys_returns_empty(ray_session, tmp_path):
+    lake = _lookup_lake(tmp_path)
+    out = lake.lookup([])
+    assert out.num_rows == 0
+    assert lake.last_lookup_stats["files_read"] == 0
+
+
+def test_lookup_as_of_vacuumed_history_raises(ray_session, tmp_path):
+    import pyarrow.compute as pc
+    import pytest as _pytest
+
+    lake = _lookup_lake(tmp_path)
+    hi = lake.last_committed_hi()
+    lake.delete_where(lambda b: pc.equal(b["repo"], "r0010"))
+    lake.compact(min_files=1)  # vacuum pre-delete deltas
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        lake.lookup([{"repo": "r0010", "path": "f.py"}], as_of=hi)
+
+
+def test_lookup_corrupt_bloom_sidecar_fails_open(ray_session, tmp_path):
+    import glob
+
+    lake = _lookup_lake(tmp_path)
+    for b in glob.glob(os.path.join(str(tmp_path / "lake"), "part=*", "*.bloom.npz")):
+        open(b, "wb").write(b"garbage")
+    got = lake.lookup([{"repo": "r0150", "path": "f.py"}])
+    assert got.num_rows == 1 and got["content"][0].as_py() == "body 150"
+    assert lake.last_lookup_stats["files_bloom_skipped"] == 0

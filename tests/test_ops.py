@@ -1329,3 +1329,35 @@ def test_repetition_signals_batch_boundary_independent(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert big.equals(small)
+
+
+def test_decontaminate_ngram_min_hits_counts_distinct_grams(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_ngram
+
+    # doc repeats ONE leaked bigram three times: distinct shared grams = 1
+    tbl = pa.table(
+        {"doc_id": pa.array([0], pa.int64()),
+         "text": pa.array(["foo bar foo bar foo bar"])}
+    )
+    out = decontaminate_ngram(
+        ray.data.from_arrow(tbl), "text", ["foo bar"], n=2, min_hits=2
+    ).to_pandas()
+    assert out["contaminated"].tolist() == [False]
+    out1 = decontaminate_ngram(
+        ray.data.from_arrow(tbl), "text", ["foo bar"], n=2, min_hits=1
+    ).to_pandas()
+    assert out1["contaminated"].tolist() == [True]
+
+
+def test_decontaminate_ngram_empty_benchmark_flags_nothing(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.decontam import decontaminate_ngram
+
+    tbl = docs_table()  # docs all have >= 8 words
+    out = decontaminate_ngram(
+        ray.data.from_arrow(tbl), "text", ["too short"], n=8
+    ).to_pandas()
+    assert not out["contaminated"].any()

@@ -351,3 +351,30 @@ def test_bootstrap_mid_log_resumes_after_as_of(ray_session, tmp_path):
     state = {r["path"]: r["content"] for r in lake.read().take_all()}
     # latest overall: f0 -> v20, f1 -> v17, f2 -> v18, f3 -> v19
     assert state == {"f0.py": "v20", "f1.py": "v17", "f2.py": "v18", "f3.py": "v19"}
+
+
+def test_bootstrap_refuses_partially_tailed_lake(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from jitsu_ray.pipelines.replay import bootstrap_snapshot
+    from jitsu_ray.sinks.lake import LakeTable
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    w = pa.table(
+        {
+            "commit_seq": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["insert", "insert"]),
+            "repo": pa.array(["r", "r"]),
+            "path": pa.array(["a.py", "b.py"]),
+            "content": pa.array(["x", "y"], pa.large_string()),
+        }
+    )
+    lake.apply_window(ray.data.from_arrow(w), 0, 2)  # tailed to seq 2
+    snap = pa.table(
+        {"repo": pa.array(["r"]), "path": pa.array(["a.py"]),
+         "content": pa.array(["z"], pa.large_string())}
+    )
+    with _pytest.raises(ValueError, match="resurrect"):
+        bootstrap_snapshot(lake, ray.data.from_arrow(snap), as_of_seq=5)
