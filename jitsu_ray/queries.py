@@ -1596,6 +1596,66 @@ FROM p WHERE c * 1.0 / (sn - c) >= 0.6 ORDER BY a, b
 """
 
 
+def q_incremental_near_dup(sf_dir: str):
+    """STREAMING near-dup (ops/lsh_index): docs < 400 are the already-
+    ingested corpus (persisted LSH band index + text lake), docs >= 400
+    arrive as one ingestion window and are checked incrementally — the
+    index is only scanned at its touched buckets, old candidate texts
+    come through the lake's pruned point lookup, and the window's own
+    pairs are found with the in-window LSH pass. Oracle: exact
+    char-5-gram Jaccard >= 0.8 over (new x old) + (new x new, a < b)
+    pairs — valid for the same reason as SQL_MINHASH (the seeded LSH
+    has ~100% recall at s=0.8 on this corpus)."""
+    from .ops.lsh_index import MinHashIndex, incremental_near_dup
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    old = ds.filter(expr="doc_id < 400")
+    new = ds.filter(expr="doc_id >= 400")
+    _sweep_stale_lakes("lsh_inc_")
+    base = os.path.join(
+        CACHE_DIR, f"lsh_inc_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = MinHashIndex.create(os.path.join(base, "idx"), num_perm=64, bands=16)
+    lake = LakeTable.create(os.path.join(base, "corpus"), ["doc_id"], 8)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "commit_seq": batch["doc_id"],
+                "op": pa.array(["insert"] * batch.num_rows, pa.string()),
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+            }
+        )
+
+    idx.add(old)
+    lake.apply_window(old.map_batches(prep, batch_format="pyarrow"), -1, 400)
+    pairs, _stats = incremental_near_dup(new, idx, lake, threshold=0.8)
+    return pairs
+
+
+SQL_INCREMENTAL_NEAR_DUP = r"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT substr(s, CAST(i AS INT), 5)) AS gs,
+         count(DISTINCT substr(s, CAST(i AS INT), 5)) AS n
+  FROM t CROSS JOIN UNNEST(range(1, greatest(len(s) - 3, 2))) AS g(i)
+  GROUP BY doc_id
+),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS c, x.n + y.n AS sn
+  FROM sh x JOIN sh y
+    ON x.doc_id >= 400 AND (y.doc_id < 400 OR y.doc_id > x.doc_id)
+)
+SELECT a, b, CAST(floor(c * 1000000.0 / (sn - c) + 0.5) AS BIGINT) AS jaccard_ppm
+FROM p WHERE c * 1.0 / (sn - c) >= 0.8 ORDER BY a, b
+"""
+
+
 def q_simhash_docs(sf_dir: str):
     """64-bit SimHash per doc (md5-lower64 token hashes, batch-level
     vectorized bit voting). Oracle: the same vote in SQL via
@@ -2827,6 +2887,7 @@ QUERIES = {
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "incremental_near_dup": q_incremental_near_dup,
     "simhash_docs": q_simhash_docs,
     "doc_quality": q_doc_quality,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2891,6 +2952,7 @@ ORACLES = {
     "embedding_near_dup": SQL_NEAR_DUP,
     "minhash_dedup_docs": SQL_MINHASH,
     "ngram_jaccard_docs": SQL_NGRAM,
+    "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "doc_quality": SQL_DOC_QUALITY,
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,

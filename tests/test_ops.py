@@ -1361,3 +1361,107 @@ def test_decontaminate_ngram_empty_benchmark_flags_nothing(ray_session):
         ray.data.from_arrow(tbl), "text", ["too short"], n=8
     ).to_pandas()
     assert not out["contaminated"].any()
+
+
+# ---- incremental LSH index (ops/lsh_index) ------------------------------
+
+
+def _brute_jaccard(ta, tb, k=5):
+    import re
+
+    def grams(t):
+        s = t  # char shingles over the raw text, same as _shingle_hashes
+        return {s[i : i + k] for i in range(max(len(s) - k + 1, 1))}
+
+    ga, gb = grams(ta), grams(tb)
+    return len(ga & gb) / max(len(ga | gb), 1)
+
+
+def test_incremental_near_dup_matches_bruteforce(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.ops.lsh_index import MinHashIndex, incremental_near_dup
+    from jitsu_ray.sinks.lake import LakeTable
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the open door tonight")
+    w1 = {
+        0: base,
+        1: "import numpy as np def main print hello world return zero "
+           "exit code done finished complete stop now",
+        2: "completely unrelated text about databases and streaming "
+           "systems with windows and watermarks everywhere",
+    }
+    w2 = {
+        10: base.replace("warm", "cold"),      # near-dup of OLD doc 0
+        11: "fresh unique content that matches nothing indexed before "
+            "in any way shape or form at all",
+        12: "fresh unique content that matches nothing indexed before "
+            "in any way shape or form at most",  # near-dup WITHIN window
+    }
+
+    def ds_of(d):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(list(d), pa.int64()),
+                      "text": pa.array(list(d.values()))})
+        )
+
+    idx = MinHashIndex.create(str(tmp_path / "idx"), num_perm=64, bands=16)
+    lake = LakeTable.create(str(tmp_path / "corpus"), ["doc_id"], 8)
+
+    def to_lake(d, lo, hi):
+        tbl = pa.table(
+            {"commit_seq": pa.array(list(d), pa.int64()),
+             "op": pa.array(["insert"] * len(d)),
+             "doc_id": pa.array(list(d), pa.int64()),
+             "text": pa.array(list(d.values()))}
+        )
+        lake.apply_window(ray.data.from_arrow(tbl), lo, hi)
+
+    # window 1: index + lake
+    assert idx.add(ds_of(w1)) > 0
+    to_lake(w1, 0, 3)
+    # window 2: probe against window 1, verify through the lake lookup
+    pairs, stats = incremental_near_dup(
+        ds_of(w2), idx, lake, threshold=0.8, add=True
+    )
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (10, 0) in got          # cross-window near-dup found
+    assert (11, 12) in got or (12, 11) in got  # within-window near-dup
+    assert all(a in w2 for a, _ in got)  # 'a' is always a window doc
+    # every reported pair really is >= threshold (brute force)
+    texts = {**w1, **w2}
+    for a, b in got:
+        assert _brute_jaccard(texts[a], texts[b]) >= 0.8
+    # no false pairs: unrelated docs absent
+    assert not any(b == 2 or a == 2 for a, b in got)
+    assert stats["verified"] == len(got)
+    assert stats["lookup"]["files_read"] >= 1  # old texts came via lookup
+    # window 3 probes now see window 2's docs too (index grew)
+    to_lake(w2, 3, 13)
+    w3 = {20: base.replace("lazy", "busy")}
+    pairs3, _ = incremental_near_dup(ds_of(w3), idx, lake, threshold=0.7, add=False)
+    got3 = {(r["a"], r["b"]) for r in pairs3.to_pylist()}
+    assert (20, 0) in got3 and (20, 10) in got3
+
+
+def test_incremental_index_probe_empty_and_exclude(ray_session, tmp_path):
+    import ray.data
+
+    from jitsu_ray.ops.lsh_index import MinHashIndex
+
+    idx = MinHashIndex.create(str(tmp_path / "idx"))
+    docs = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array(["some document body with enough words to shingle"])}
+    )
+    rows = list(
+        idx.band_rows(ray.data.from_arrow(docs)).iter_batches(batch_format="pyarrow")
+    )
+    band = pa.concat_tables(rows)
+    # probing an EMPTY index returns no pairs
+    assert idx.probe_rows(band).count() == 0
+    idx.add_rows(ray.data.from_arrow(band))
+    # a doc always matches itself in the index unless excluded
+    assert idx.probe_rows(band).count() == 1
+    assert idx.probe_rows(band, exclude_ids=[1]).count() == 0
