@@ -128,8 +128,11 @@ def main() -> dict:
     ).materialize()
 
     # min-of-k headline: the sandbox VM injects multi-second memory-
-    # compaction stalls (BASELINE.md); min is the least-interference run
-    attempts = int(os.environ.get("BENCH_REPEATS", "2"))
+    # compaction stalls (BASELINE.md); min is the least-interference run.
+    # k=3: measured same-process run sequences like [4.6, 11.2] and
+    # [9.4, 15.7] on a quiet machine — one extra draw materially raises
+    # the chance of catching a stall-free window
+    attempts = int(os.environ.get("BENCH_REPEATS", "3"))
     runs = []
     for att in range(attempts):
         lake_dir = os.path.join(
