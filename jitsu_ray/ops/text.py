@@ -297,3 +297,73 @@ class Fingerprint:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return _fused_subset(batch, ["fingerprint"])
+
+
+# text-level PII patterns, applied IN ORDER (each later pattern sees the
+# earlier replacements): the order matters — emails first so the ipv4
+# rule can't eat a dotted local-part, phone last so it can't split an
+# address. Every pattern is written in the common Rust-regex/RE2 subset
+# (no backrefs, no lookaround) so polars' replace_all and DuckDB's
+# regexp_replace produce byte-identical output — verified char-for-char
+# in tests/test_text.py over the adversarial cases (nested dots,
+# 999.999.* pseudo-IPs, adjacent matches).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}", "<PHONE>"),
+)
+
+
+class PiiRedactor:
+    """Text-level PII redaction — the corpus-side complement to the
+    field-level PII sha256 hashing (M9, stages/enrich.py): training text
+    must not carry raw emails / IPs / phone numbers even when no schema
+    field is marked PII. Reference has no text analytics; this follows
+    the public CCNet/Dolma-style scrubbing recipe.
+
+    One polars pass per batch: for each (name, pattern, token) rule, a
+    vectorized ``count_matches`` over the CURRENT text (so ``n_<name>``
+    counts what this rule actually redacted) then ``replace_all``; rules
+    chain in PII_PATTERNS order. Appends:
+
+      text_redacted  the scrubbed text (null text stays null)
+      n_<name>       int64 match count per rule (null for null text)
+      pii_found      any rule matched (null for null text)
+
+    Stateless and shuffle-free — scales as a plain map_batches stage;
+    pass ``concurrency=N`` at the call site for an actor pool when the
+    rule list grows expensive."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    ):
+        if not patterns:
+            raise ValueError("PiiRedactor needs at least one (name, pattern, token) rule")
+        self.text_col = text_col
+        self.patterns = tuple(patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"__t": batch[self.text_col]}))
+        for name, pat, tok in self.patterns:
+            df = df.with_columns(
+                pl.col("__t").str.count_matches(pat).cast(pl.Int64).alias(f"n_{name}"),
+                pl.col("__t").str.replace_all(pat, tok).alias("__t"),
+            )
+        total = pl.sum_horizontal(pl.col(f"n_{n}") for n, _, _ in self.patterns)
+        # sum_horizontal skips nulls -> 0; null text must stay null
+        df = df.with_columns(
+            pl.when(pl.col("__t").is_null())
+            .then(None)
+            .otherwise(total > 0)
+            .alias("pii_found")
+        )
+        out = df.to_arrow()
+        red = out["__t"]
+        if red.type == pa.large_string():
+            red = red.cast(pa.string())
+        batch = batch.append_column("text_redacted", red)
+        for name, _, _ in self.patterns:
+            batch = batch.append_column(f"n_{name}", out[f"n_{name}"])
+        return batch.append_column("pii_found", out["pii_found"])

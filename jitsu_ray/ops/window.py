@@ -397,3 +397,71 @@ def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
         .groupby("__shard")
         .map_groups(sessions_shard, batch_format="pandas")
     )
+
+
+def scd2_history(
+    ds,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_value: str = "delete",
+    attr_cols: list[str] | None = None,
+    num_shards: int = 32,
+):
+    """Slowly-changing-dimension Type-2 history from a CDC changelog —
+    the warehouse-side complement to the lake's LWW-latest state
+    (sinks/lake.py keeps only each key's final version; SCD2 keeps them
+    ALL with validity intervals, the shape BI dimension tables expect).
+
+    Per key ordered by ``seq_col``, each event opens a version at its
+    own seq and the NEXT event of any kind closes it:
+
+      valid_from_seq   the event's seq
+      valid_to_seq     lead(seq) over the key (null = still open)
+      is_current       valid_to_seq IS NULL and the row is not a delete
+
+    Delete events participate in interval bounds (they close the prior
+    version) but emit no row themselves; a later re-insert simply opens
+    a new interval — exactly SQL's ``lead() OVER (PARTITION BY key
+    ORDER BY seq)`` with a ``op <> delete`` post-filter, which is the
+    driver oracle for `scd2_history`.
+
+    Distributed shape mirrors ordered_window_fns: ONE hash shuffle on
+    the composite key (a key never spans shards), then each shard
+    resolves all its keys in a single vectorized polars sort +
+    ``shift(-1).over(keys)`` pass. (key, seq) pairs must be unique per
+    key — CDC commit seqs are — or interval bounds are nondeterministic.
+    ``attr_cols`` picks the carried attribute columns (default: every
+    non-system input column)."""
+    from ..util import hash_mod_column
+
+    if attr_cols is None:
+        skip = set(key_cols) | {seq_col, op_col}
+        attr_cols = [c for c in ds.schema().names if c not in skip]
+    keep = [*key_cols, seq_col, *([op_col] if op_col else []), *attr_cols]
+
+    def shard(batch: pa.Table) -> pa.Table:
+        sh = hash_mod_column(batch, key_cols, num_shards)
+        return batch.select(keep).append_column("__shard", sh)
+
+    def versions_shard(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.select(keep))
+            .sort([*key_cols, seq_col])
+            .with_columns(
+                pl.col(seq_col).shift(-1).over(key_cols).alias("valid_to_seq")
+            )
+        )
+        if op_col:
+            df = df.filter(pl.col(op_col) != delete_value).drop(op_col)
+        df = df.with_columns(pl.col("valid_to_seq").is_null().alias("is_current"))
+        out = df.rename({seq_col: "valid_from_seq"}).select(
+            [*key_cols, *attr_cols, "valid_from_seq", "valid_to_seq", "is_current"]
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(versions_shard, batch_format="pyarrow")
+    )

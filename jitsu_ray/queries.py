@@ -1491,6 +1491,47 @@ FROM r WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 versioned history over the sf-scaled changelog
+    (ops/window.scd2_history): every non-delete event becomes a version
+    row with [valid_from_seq, valid_to_seq) bounds and an is_current
+    flag — the full-history complement to cdc_replay's LWW-latest
+    state. One composite-key hash shuffle; per-shard vectorized
+    lead."""
+    from .ops.window import scd2_history
+    from .testgen import ensure_changelog
+
+    sf = _sf_of(sf_dir)
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    ds = _read_sized(log_dir, columns=["repo", "path", "commit_seq", "op", "commit"])
+    return scd2_history(
+        ds, ["repo", "path"], "commit_seq", op_col="op", attr_cols=["commit"]
+    )
+
+
+def scd2_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for q_scd2_history: plain SQL lead() over the same cached
+    changelog parquet (dynamic — the path embeds the sf-scaled params)."""
+    from .testgen import ensure_changelog
+
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    return f"""
+WITH h AS (
+  SELECT repo, path, commit, op, commit_seq AS valid_from_seq,
+         lead(commit_seq) OVER (PARTITION BY repo, path ORDER BY commit_seq)
+           AS valid_to_seq
+  FROM '{log_dir}/*.parquet'
+)
+SELECT repo, path, commit, valid_from_seq, valid_to_seq,
+       valid_to_seq IS NULL AS is_current
+FROM h WHERE op <> 'delete'
+"""
+
+
 def q_cdc_replay(sf_dir: str):
     """Flagship: deterministic synthetic changelog scaled to sf, replayed
     through the lake; returns the converged table with sha256(content).
@@ -2284,6 +2325,75 @@ FROM uni u LEFT JOIN top t USING (doc_id) ORDER BY u.doc_id
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """Text-level PII redaction (ops/text.PiiRedactor): scrub emails /
+    IPv4s / phone numbers from corpus text, counting per-rule matches.
+    The documents table is synthetic and PII-free, so every third doc is
+    first SEEDED with a deterministic contact line (doc_id-derived email
+    + IP + phone) — the same expression the oracle builds in SQL — so
+    the redactor has real matches to prove itself on, while the
+    unseeded docs exercise the no-match path."""
+    from .ops.text import PiiRedactor
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def seed(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        dv = did.to_numpy(zero_copy_only=False)  # no pc.mod kernel exists
+        contact = pc.binary_join_element_wise(
+            batch["text"],
+            " Contact doc",
+            pc.cast(did, pa.string()),
+            "@example.com from 10.",
+            pa.array((dv % 256).astype("U"), pa.string()),
+            ".0.1 or +1415555",
+            pa.array((dv % 9000 + 1000).astype("U"), pa.string()),
+            "",
+        )
+        seeded = pc.if_else(pa.array(dv % 3 == 0), contact, batch["text"])
+        return batch.set_column(batch.schema.get_field_index("text"), "text", seeded)
+
+    return ds.map_batches(seed, batch_format="pyarrow").map_batches(
+        PiiRedactor(), batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone", "pii_found"]
+    )
+
+
+def _pii_redact_sql() -> str:
+    """Oracle for q_redact_pii, generated from ops.text.PII_PATTERNS so
+    the rule list is single-sourced: a chain of one CTE per rule, each
+    counting matches on the PREVIOUS rule's output then replacing —
+    exactly the redactor's sequential semantics."""
+    from .ops.text import PII_PATTERNS
+
+    seeded = (
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' Contact doc' "
+        "|| CAST(doc_id AS VARCHAR) || '@example.com from 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1 or +1415555' "
+        "|| CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE text END AS t0 "
+        "FROM documents"
+    )
+    ctes = [f"s0 AS ({seeded})"]
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, "
+            f"len(regexp_extract_all(t{i}, '{p}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{p}', '{tok}', 'g') AS t{i + 1} FROM s{i})"
+        )
+    n = len(PII_PATTERNS)
+    counts = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT doc_id, t{n} AS text_redacted, "
+        f"{counts}, ({total}) > 0 AS pii_found FROM s{n} ORDER BY doc_id"
+    )
+
+
+SQL_REDACT_PII = _pii_redact_sql()
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag every document that contains a
     held-out eval snippet verbatim (ops/decontam, substring mode — the
@@ -2883,6 +2993,7 @@ QUERIES = {
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_label_counts": q_embedding_label_counts,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "scd2_history": q_scd2_history,
     # rows-only checks (non-SQL-expressible):
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -2903,6 +3014,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "redact_pii": q_redact_pii,
     "doc_repetition": q_doc_repetition,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
@@ -2970,6 +3082,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,
     "decontaminate_docs": SQL_DECONTAMINATE,
+    "redact_pii": SQL_REDACT_PII,
     "doc_repetition": SQL_REPETITION,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,
@@ -2990,6 +3103,7 @@ def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     other scale factors compare against matching generated inputs."""
     return {
         "cdc_replay": cdc_replay_oracle_sql(sf=_sf_of(sf_dir)),
+        "scd2_history": scd2_oracle_sql(sf=_sf_of(sf_dir)),
         "geo_enrich": geo_oracle_sql(),
         "campaign_attribution": campaigns_oracle_sql(),
         "ua_parse": _ua_oracle_sql(),

@@ -1465,3 +1465,142 @@ def test_incremental_index_probe_empty_and_exclude(ray_session, tmp_path):
     # a doc always matches itself in the index unless excluded
     assert idx.probe_rows(band).count() == 1
     assert idx.probe_rows(band, exclude_ids=[1]).count() == 0
+
+
+def test_pii_redactor_duckdb_parity(ray_session):
+    """Char-for-char parity between the polars (Rust-regex) redaction
+    and DuckDB's RE2 regexp_replace over adversarial strings — the
+    cross-engine guarantee PII_PATTERNS is written against."""
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.text import PII_PATTERNS, PiiRedactor
+
+    samples = [
+        "contact a.b-c_d%x+1@sub.example.co.uk now",
+        "ip 10.0.255.1 and 999.999.999.999 and 1.2.3.4.5",
+        "call +14155550100 or +4915112345678.",
+        "no pii here",
+        "e@x.io,f@y.de 192.168.1.1+123456789012",
+        "",
+        None,
+        "a@b,cc still-redacts-nothing @ lone-at 1.2.3 short +1234 short",
+    ]
+    tbl = pa.table(
+        {"i": pa.array(range(len(samples)), pa.int64()),
+         "text": pa.array(samples, pa.string())}
+    )
+    got = (
+        ray.data.from_arrow(tbl)
+        .map_batches(PiiRedactor(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        t = s
+        for name, pat, tok in PII_PATTERNS:
+            n = con.sql(
+                "SELECT len(regexp_extract_all(?, ?))", params=[t, pat]
+            ).fetchone()[0]
+            t = con.sql(
+                "SELECT regexp_replace(?, ?, ?, 'g')", params=[t, pat, tok]
+            ).fetchone()[0]
+            gn = got[f"n_{name}"][i]
+            assert (n is None and pd.isna(gn)) or gn == n, (i, name, gn, n)
+        gt = got["text_redacted"][i]
+        assert (t is None and gt is None) or gt == t, (i, gt, t)
+    # null text: every output column stays null
+    ni = samples.index(None)
+    assert got["text_redacted"][ni] is None and pd.isna(got["pii_found"][ni])
+    # pii_found semantics on non-null rows
+    assert bool(got["pii_found"][0]) and not bool(got["pii_found"][3])
+
+
+def test_pii_redactor_custom_patterns_and_validation(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.text import PiiRedactor
+
+    with pytest.raises(ValueError):
+        PiiRedactor(patterns=())
+    tbl = pa.table({"body": pa.array(["id ABC-123 and DEF-999", "clean"])})
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            PiiRedactor(text_col="body", patterns=(("ticket", r"[A-Z]{3}-\d{3}", "<T>"),)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert list(out["text_redacted"]) == ["id <T> and <T>", "clean"]
+    assert list(out["n_ticket"]) == [2, 0]
+    assert list(out["pii_found"]) == [True, False]
+
+
+def test_scd2_history_semantics(ray_session):
+    """Delete closes the prior interval and emits no row; re-insert
+    opens a fresh one; composite keys never mix."""
+    import ray.data
+
+    from jitsu_ray.ops.window import scd2_history
+
+    log = pa.table(
+        {
+            "repo": ["r1", "r1", "r1", "r1", "r2", "r1"],
+            "path": ["a", "a", "a", "a", "a", "b"],
+            "op": ["insert", "update", "delete", "insert", "insert", "insert"],
+            "commit_seq": pa.array([1, 3, 5, 8, 2, 4], pa.int64()),
+            "commit": ["c1", "c3", "c5", "c8", "c2", "c4"],
+        }
+    )
+    out = (
+        scd2_history(
+            ray.data.from_arrow(log), ["repo", "path"], "commit_seq",
+            op_col="op", attr_cols=["commit"], num_shards=4,
+        )
+        .to_pandas()
+        .sort_values(["repo", "path", "valid_from_seq"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (r.repo, r.path, r.commit, r.valid_from_seq,
+         None if pd.isna(r.valid_to_seq) else int(r.valid_to_seq), r.is_current)
+        for r in out.itertuples()
+    ]
+    assert got == [
+        ("r1", "a", "c1", 1, 3, False),
+        ("r1", "a", "c3", 3, 5, False),   # closed by the delete at 5
+        ("r1", "a", "c8", 8, None, True),  # re-insert after delete
+        ("r1", "b", "c4", 4, None, True),
+        ("r2", "a", "c2", 2, None, True),
+    ]
+
+
+def test_scd2_history_batch_boundary_independent(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.window import scd2_history
+
+    n = 300
+    log = pa.table(
+        {
+            "k": [f"k{i % 7}" for i in range(n)],
+            "op": ["delete" if i % 11 == 0 else "update" for i in range(n)],
+            "seq": pa.array(range(1, n + 1), pa.int64()),
+            "v": pa.array(range(n), pa.int64()),
+        }
+    )
+    def run(nblocks):
+        return (
+            scd2_history(
+                ray.data.from_arrow(log).repartition(nblocks),
+                ["k"], "seq", op_col="op", attr_cols=["v"], num_shards=3,
+            )
+            .to_pandas()
+            .sort_values(["k", "valid_from_seq"])
+            .reset_index(drop=True)
+        )
+    a, b = run(1), run(13)
+    assert a.equals(b) and len(a) == n - len([i for i in range(n) if i % 11 == 0])
