@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "running_user_spend",
     "pivot_event_values",
     "funnel_views",
+    "redact_pii",
+    "scd2_history",
 ]
 
 

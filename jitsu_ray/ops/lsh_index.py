@@ -207,6 +207,11 @@ def incremental_near_dup(new_ds, index: MinHashIndex, corpus_lake,
     from .dedup import _shingle_hashes, _jaccard_filter, lsh_candidate_pairs
 
     k = index.meta["shingle_k"]
+    # ONE upstream execution: band rows and verify texts both read the
+    # pinned blocks, so a non-deterministic upstream (sampling, a
+    # re-read of mutating input) can't hand them inconsistent views —
+    # and the window pipeline doesn't run twice (round-4 review)
+    new_ds = new_ds.materialize()
     # one window's band rows: window-scale (docs x bands), driver-safe
     band_batches = list(
         index.band_rows(new_ds).iter_batches(batch_format="pyarrow")
@@ -221,7 +226,17 @@ def incremental_near_dup(new_ds, index: MinHashIndex, corpus_lake,
              "bucket": pa.array([], pa.int32())}
         )
     )
-    cross = index.probe_rows(new_band).materialize()
+    new_texts = {
+        r["doc_id"]: r["text"]
+        for b in new_ds.iter_batches(batch_format="pyarrow")
+        for r in b.select(["doc_id", "text"]).to_pylist()
+    }
+    # exclude the window's own ids from the indexed side: after a
+    # crash between add() and the caller's ledger commit, the retry
+    # finds the window already indexed and would otherwise emit
+    # self-pairs and reversed duplicates of every within-window pair
+    # (within-window candidates are the dedicated pass below)
+    cross = index.probe_rows(new_band, exclude_ids=new_texts.keys()).materialize()
     pairs = [cross.take_all()]
     if within_window:
         win = lsh_candidate_pairs(
@@ -232,11 +247,6 @@ def incremental_near_dup(new_ds, index: MinHashIndex, corpus_lake,
     cand = [(r["a"], r["b"]) for rows in pairs for r in rows]
     stats = {"candidates_cross": cross.count(), "candidates_window":
              len(cand) - cross.count()}
-    new_texts = {
-        r["doc_id"]: r["text"]
-        for b in new_ds.iter_batches(batch_format="pyarrow")
-        for r in b.select(["doc_id", "text"]).to_pylist()
-    }
     old_ids = sorted({b for _, b in cand} - set(new_texts))
     old_texts = {}
     if old_ids:

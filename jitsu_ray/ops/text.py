@@ -302,16 +302,27 @@ class Fingerprint:
 # text-level PII patterns, applied IN ORDER (each later pattern sees the
 # earlier replacements): the order matters — emails first so the ipv4
 # rule can't eat a dotted local-part, phone last so it can't split an
-# address. Every pattern is written in the common Rust-regex/RE2 subset
-# (no backrefs, no lookaround) so polars' replace_all and DuckDB's
-# regexp_replace produce byte-identical output — verified char-for-char
-# in tests/test_text.py over the adversarial cases (nested dots,
-# 999.999.* pseudo-IPs, adjacent matches).
+# address. Patterns are written in RE2 form (the DuckDB-oracle side):
+# no backrefs, no lookaround, EXPLICIT [0-9] classes (Rust \d is
+# Unicode, RE2's is ASCII — divergent on e.g. Arabic-Indic digits).
+# The one construct the engines read differently is \b (Rust: Unicode
+# word boundary; RE2: always ASCII) — _rust_regex wraps it in Rust's
+# ASCII-mode group so polars' replace_all and DuckDB's regexp_replace
+# produce byte-identical output on NON-ASCII text too; verified
+# char-for-char in tests/test_ops.py::test_pii_redactor_duckdb_parity
+# over adversarial cases (nested dots, 999.999.* pseudo-IPs, adjacent
+# matches, Unicode digits/letters at match boundaries).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+\d{9,15}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{9,15}", "<PHONE>"),
 )
+
+
+def _rust_regex(pat: str) -> str:
+    """RE2-form pattern -> Rust-regex form: force ASCII \\b (Rust's
+    default is the Unicode word boundary; RE2's is always ASCII)."""
+    return pat.replace(r"\b", r"(?-u:\b)")
 
 
 class PiiRedactor:
@@ -347,9 +358,10 @@ class PiiRedactor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(pa.table({"__t": batch[self.text_col]}))
         for name, pat, tok in self.patterns:
+            rp = _rust_regex(pat)
             df = df.with_columns(
-                pl.col("__t").str.count_matches(pat).cast(pl.Int64).alias(f"n_{name}"),
-                pl.col("__t").str.replace_all(pat, tok).alias("__t"),
+                pl.col("__t").str.count_matches(rp).cast(pl.Int64).alias(f"n_{name}"),
+                pl.col("__t").str.replace_all(rp, tok).alias("__t"),
             )
         total = pl.sum_horizontal(pl.col(f"n_{n}") for n, _, _ in self.patterns)
         # sum_horizontal skips nulls -> 0; null text must stay null

@@ -1443,6 +1443,14 @@ def test_incremental_near_dup_matches_bruteforce(ray_session, tmp_path):
     pairs3, _ = incremental_near_dup(ds_of(w3), idx, lake, threshold=0.7, add=False)
     got3 = {(r["a"], r["b"]) for r in pairs3.to_pylist()}
     assert (20, 0) in got3 and (20, 10) in got3
+    # crash-retry: re-running window 2 AFTER its add() landed (crash
+    # before the caller's ledger commit) must return the same pairs —
+    # no self-pairs, no reversed within-window duplicates from the
+    # window's own rows now sitting in the index
+    pairs_retry, _ = incremental_near_dup(
+        ds_of(w2), idx, lake, threshold=0.8, add=False
+    )
+    assert {(r["a"], r["b"]) for r in pairs_retry.to_pylist()} == got
 
 
 def test_incremental_index_probe_empty_and_exclude(ray_session, tmp_path):
@@ -1485,6 +1493,10 @@ def test_pii_redactor_duckdb_parity(ray_session):
         "",
         None,
         "a@b,cc still-redacts-nothing @ lone-at 1.2.3 short +1234 short",
+        # non-ASCII at match boundaries: Rust \d/\b are Unicode, RE2's
+        # ASCII — the RE2-form patterns + _rust_regex must agree anyway
+        "café1.2.3.4 et +١٢٣٤٥٦٧٨٩ fin",
+        "日本1.2.3.4語 and café@mail.fr",
     ]
     tbl = pa.table(
         {"i": pa.array(range(len(samples)), pa.int64()),
