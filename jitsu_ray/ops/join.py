@@ -339,6 +339,101 @@ def interval_join(
     )
 
 
+def temporal_join(
+    facts,
+    dim,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from_seq",
+    valid_to: str = "valid_to_seq",
+    num_buckets: int = 32,
+):
+    """Point-in-time join against an SCD2 version table (the
+    feature-store training-data primitive): each fact row picks the
+    dimension VERSION whose ``[valid_from, valid_to)`` interval contains
+    its ``ts_col`` — including the gap semantics a plain backward as-of
+    join gets WRONG: a fact landing after a delete closed the last
+    version (and before any re-insert) matches NOTHING, where as-of
+    would leak the deleted version into the training row (label
+    leakage). LEFT semantics: unmatched facts keep null dim columns.
+
+    Same ONE-shuffle shape as bucket_asof_join, generalized to
+    composite keys: both sides tagged and bucketed by the key hash, one
+    union groupby co-locates each bucket, per-bucket polars
+    ``join_asof`` on ``valid_from`` (SCD2 intervals are per-key
+    non-overlapping and sorted, so backward as-of finds the only
+    candidate) followed by a vectorized interval post-filter that nulls
+    every dim column where ``ts >= valid_to``. ``ts_col`` and
+    ``valid_from`` must share a comparable type (seqs or timestamps).
+    Partitioning assumption: one bucket's rows from both sides fit one
+    task — raise ``num_buckets`` for bigger inputs."""
+    import polars as pl
+
+    f_schema = facts.schema().base_schema
+    d_schema = dim.schema().base_schema
+    f_names = [f.name for f in f_schema]
+    d_names = [f.name for f in d_schema]
+    for c in (*key_cols, valid_from, valid_to):
+        if c not in d_names:
+            raise ValueError(f"dim side is missing column {c!r}")
+    overlap = (set(f_names) & set(d_names)) - set(key_cols)
+    if overlap:
+        raise ValueError(f"non-key column overlap in temporal join: {overlap}")
+    dim_out = [n for n in d_names if n not in key_cols]  # incl. validity bounds
+    union_fields = list(f_schema) + [f for f in d_schema if f.name not in f_names]
+    out_schema = pa.schema(list(f_schema) + [d_schema.field(n) for n in dim_out])
+
+    def tag(side: int):
+        def run(batch: pa.Table) -> pa.Table:
+            b = hash_mod_column(batch, key_cols, num_buckets)
+            cols = {}
+            for f in union_fields:
+                if f.name in batch.column_names:
+                    col = batch[f.name]
+                    cols[f.name] = (
+                        col.cast(f.type) if not col.type.equals(f.type) else col
+                    )
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            out = pa.table(cols).append_column("__bucket", b)
+            return out.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.int8())
+            )
+
+        return run
+
+    ft = facts.map_batches(tag(0), batch_format="pyarrow")
+    dt = dim.map_batches(tag(1), batch_format="pyarrow")
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group["__side"], 0)
+        fg = group.filter(mask).select(f_names)
+        dg = group.filter(pc.invert(mask)).select(d_names)
+        fdf = pl.from_arrow(fg).sort(ts_col)
+        ddf = pl.from_arrow(dg).sort(valid_from)
+        out = fdf.join_asof(
+            ddf,
+            left_on=ts_col,
+            right_on=valid_from,
+            by=list(key_cols),
+            strategy="backward",
+            check_sortedness=False,  # both sorted two lines up
+        )
+        # the asof step exposes the right-side ts under its own name
+        if valid_from not in out.columns:
+            out = out.rename({f"{valid_from}_right": valid_from})
+        # interval post-filter: a match whose version was CLOSED before
+        # the fact's ts (delete gap) is no match at all
+        stale = pl.col(valid_to).is_not_null() & (pl.col(ts_col) >= pl.col(valid_to))
+        out = out.with_columns(
+            [pl.when(stale).then(None).otherwise(pl.col(c)).alias(c) for c in dim_out]
+        )
+        return out.to_arrow().select(out_schema.names).cast(out_schema)
+
+    both = ft.union(dt)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def hash_shard_finalize(ds, key_cols: list[str], final_fn, num_shards: int = 32):
     """Shared finalize idiom for shuffle-heavy per-key reductions:
     append an int hash shard of ``key_cols``, groupby the SINGLE shard

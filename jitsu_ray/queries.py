@@ -1511,6 +1511,72 @@ def q_scd2_history(sf_dir: str):
     )
 
 
+def q_point_in_time_join(sf_dir: str):
+    """Point-in-time (feature-store) join (ops/join.temporal_join):
+    deterministic probe points (one seq past every 5th changelog event,
+    including probes landing in delete gaps) LEFT-join the SCD2 version
+    of (repo, path) valid at that seq. The gap semantics are the point:
+    a probe after a delete matches NOTHING — a plain as-of join would
+    leak the deleted version (label leakage in a training set)."""
+    from .ops.join import temporal_join
+    from .ops.window import scd2_history
+    from .testgen import ensure_changelog
+
+    sf = _sf_of(sf_dir)
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    dim = scd2_history(
+        _read_sized(log_dir, columns=["repo", "path", "commit_seq", "op", "commit"]),
+        ["repo", "path"],
+        "commit_seq",
+        op_col="op",
+        attr_cols=["commit"],
+    ).drop_columns(["is_current"])  # derivable from valid_to_seq; keep
+    # the joined output minimal (and oracle-matched)
+
+    def probes(batch: pa.Table) -> pa.Table:
+        seq = batch["commit_seq"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(seq % 5 == 0))
+        probe = pc.add(keep["commit_seq"], 1)
+        return keep.append_column("probe_seq", probe).drop_columns(["commit_seq"])
+
+    facts = _read_sized(log_dir, columns=["repo", "path", "commit_seq"]).map_batches(
+        probes, batch_format="pyarrow"
+    )
+    return temporal_join(facts, dim, ["repo", "path"], "probe_seq")
+
+
+def point_in_time_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for q_point_in_time_join: explicit interval LEFT JOIN
+    over the lead()-derived version table (dynamic — embeds the cached
+    changelog path)."""
+    from .testgen import ensure_changelog
+
+    n_events = max(4000, int(2_000_000 * sf))
+    n_repos = max(10, int(500 * sf))
+    log_dir = ensure_changelog(os.path.join(CACHE_DIR, "changelog"), n_events, n_repos)
+    return f"""
+WITH h AS (
+  SELECT repo, path, commit, op, commit_seq AS valid_from_seq,
+         lead(commit_seq) OVER (PARTITION BY repo, path ORDER BY commit_seq)
+           AS valid_to_seq
+  FROM '{log_dir}/*.parquet'
+),
+dim AS (SELECT * FROM h WHERE op <> 'delete'),
+f AS (
+  SELECT repo, path, commit_seq + 1 AS probe_seq
+  FROM '{log_dir}/*.parquet' WHERE commit_seq % 5 = 0
+)
+SELECT f.repo, f.path, f.probe_seq,
+       d.commit, d.valid_from_seq, d.valid_to_seq
+FROM f LEFT JOIN dim d
+  ON d.repo = f.repo AND d.path = f.path
+ AND f.probe_seq >= d.valid_from_seq
+ AND (d.valid_to_seq IS NULL OR f.probe_seq < d.valid_to_seq)
+"""
+
+
 def scd2_oracle_sql(sf: float = 0.01) -> str:
     """Oracle for q_scd2_history: plain SQL lead() over the same cached
     changelog parquet (dynamic — the path embeds the sf-scaled params)."""
@@ -2994,6 +3060,7 @@ QUERIES = {
     "embedding_label_counts": q_embedding_label_counts,
     "knn_cosine_topk": q_knn_cosine_topk,
     "scd2_history": q_scd2_history,
+    "point_in_time_join": q_point_in_time_join,
     # rows-only checks (non-SQL-expressible):
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -3104,6 +3171,7 @@ def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "cdc_replay": cdc_replay_oracle_sql(sf=_sf_of(sf_dir)),
         "scd2_history": scd2_oracle_sql(sf=_sf_of(sf_dir)),
+        "point_in_time_join": point_in_time_oracle_sql(sf=_sf_of(sf_dir)),
         "geo_enrich": geo_oracle_sql(),
         "campaign_attribution": campaigns_oracle_sql(),
         "ua_parse": _ua_oracle_sql(),

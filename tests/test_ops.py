@@ -1616,3 +1616,54 @@ def test_scd2_history_batch_boundary_independent(ray_session):
         )
     a, b = run(1), run(13)
     assert a.equals(b) and len(a) == n - len([i for i in range(n) if i % 11 == 0])
+
+
+def test_temporal_join_gap_semantics(ray_session):
+    """Probes in a delete gap and before the first version match
+    NOTHING; probes inside an interval get exactly that version."""
+    import ray.data
+
+    from jitsu_ray.ops.join import temporal_join
+
+    dim = pa.table(
+        {
+            "k": ["a", "a", "a", "b"],
+            "p": ["x", "x", "x", "y"],
+            "attr": ["v1", "v2", "v3", "w1"],
+            "valid_from_seq": pa.array([1, 5, 20, 2], pa.int64()),
+            # gap [10, 20): version v2 was deleted at 10, v3 re-inserted at 20
+            "valid_to_seq": pa.array([5, 10, None, None], pa.int64()),
+        }
+    )
+    facts = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "a", "b", "c"],
+            "p": ["x", "x", "x", "x", "x", "y", "z"],
+            "seq": pa.array([0, 3, 7, 12, 25, 9, 4], pa.int64()),
+        }
+    )
+    out = (
+        temporal_join(
+            ray.data.from_arrow(facts), ray.data.from_arrow(dim), ["k", "p"], "seq",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "p", "seq"])
+        .reset_index(drop=True)
+    )
+    got = [(r.k, r.seq, None if pd.isna(r.attr) else r.attr) for r in out.itertuples()]
+    assert got == [
+        ("a", 0, None),   # before first version
+        ("a", 3, "v1"),
+        ("a", 7, "v2"),
+        ("a", 12, None),  # delete gap — as-of alone would leak v2
+        ("a", 25, "v3"),
+        ("b", 9, "w1"),
+        ("c", 4, None),   # key never existed
+    ]
+    # overlap guard
+    with pytest.raises(ValueError):
+        temporal_join(
+            ray.data.from_arrow(facts.append_column("attr", facts["p"])),
+            ray.data.from_arrow(dim), ["k", "p"], "seq",
+        )
