@@ -1511,6 +1511,52 @@ def q_scd2_history(sf_dir: str):
     )
 
 
+def q_validate_events(sf_dir: str):
+    """Data-contract validation over the events stream
+    (ops/quality.validate_constraints — the dbt-test family as
+    distributed jobs): event_id uniqueness (holds), user_id uniqueness
+    (violated — the interesting non-zero row), not_null, an
+    accepted_values enum that excludes 'error' events, and the
+    user_id -> customer.c_custkey relationship (holds). Returns the
+    small violations report the ingest driver would gate a publish
+    on."""
+    import pyarrow.parquet as _pq
+
+    from .ops.quality import validate_constraints
+
+    keys = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])["c_custkey"]
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
+    return validate_constraints(
+        ds,
+        unique=("event_id", "user_id"),
+        not_null=("user_id",),
+        accepted_values={"event_type": ["view", "click", "purchase", "signup"]},
+        fk={"user_id": keys},
+    )
+
+
+SQL_VALIDATE = """
+SELECT * FROM (
+  SELECT 'accepted_values' AS "constraint", 'event_type' AS "column",
+         count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+           ('view','click','purchase','signup')) AS violations FROM events
+  UNION ALL
+  SELECT 'fk', 'user_id',
+         count(*) FILTER (user_id IS NOT NULL AND user_id NOT IN
+           (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+    FROM events
+  UNION ALL
+  SELECT 'not_null', 'user_id', count(*) FILTER (user_id IS NULL) FROM events
+  UNION ALL
+  SELECT 'unique', 'event_id', count(event_id) - count(DISTINCT event_id)
+    FROM events
+  UNION ALL
+  SELECT 'unique', 'user_id', count(user_id) - count(DISTINCT user_id)
+    FROM events
+) ORDER BY "constraint", "column"
+"""
+
+
 def q_point_in_time_join(sf_dir: str):
     """Point-in-time (feature-store) join (ops/join.temporal_join):
     deterministic probe points (one seq past every 5th changelog event,
@@ -3061,6 +3107,7 @@ QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "scd2_history": q_scd2_history,
     "point_in_time_join": q_point_in_time_join,
+    "validate_events": q_validate_events,
     # rows-only checks (non-SQL-expressible):
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -3150,6 +3197,7 @@ ORACLES = {
     "dedup_keep_docs": SQL_DEDUP_KEEP,
     "decontaminate_docs": SQL_DECONTAMINATE,
     "redact_pii": SQL_REDACT_PII,
+    "validate_events": SQL_VALIDATE,
     "doc_repetition": SQL_REPETITION,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,

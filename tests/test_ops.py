@@ -1667,3 +1667,47 @@ def test_temporal_join_gap_semantics(ray_session):
             ray.data.from_arrow(facts.append_column("attr", facts["p"])),
             ray.data.from_arrow(dim), ["k", "p"], "seq",
         )
+
+
+def test_validate_constraints_families(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.quality import validate_constraints
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 2, 3, None], pa.int64()),
+            "cat": pa.array(["a", "b", "zz", None, "a"]),
+            "ref": pa.array(["k1", "k9", None, "k2", "k1"]),
+        }
+    )
+    out = validate_constraints(
+        ray.data.from_arrow(tbl).repartition(3),
+        unique=("id",),
+        not_null=("id", "cat"),
+        accepted_values={"cat": ["a", "b"]},
+        # string keys exercise the non-Bloom fallback; null parent key ignored
+        fk={"ref": pa.array(["k1", "k2", None])},
+    ).to_pydict()
+    got = dict(
+        zip(zip(out["constraint"], out["column"]), out["violations"])
+    )
+    assert got == {
+        ("accepted_values", "cat"): 1,  # 'zz'; null cat doesn't violate
+        ("fk", "ref"): 1,               # 'k9'; null child ignored
+        ("not_null", "cat"): 1,
+        ("not_null", "id"): 1,
+        ("unique", "id"): 1,            # 4 non-null - 3 distinct
+    }
+    # int fk keys ride the Bloom-prefiltered path
+    out2 = validate_constraints(
+        ray.data.from_arrow(tbl),
+        fk={"id": pa.array([1, 2], pa.int64())},
+    ).to_pydict()
+    assert out2["violations"] == [1]  # id=3 orphaned; null id ignored
+    # a clean contract is all zeros
+    clean = validate_constraints(
+        ray.data.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64())})),
+        unique=("id",), not_null=("id",),
+    ).to_pydict()
+    assert clean["violations"] == [0, 0]
