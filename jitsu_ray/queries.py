@@ -1557,6 +1557,64 @@ SELECT * FROM (
 """
 
 
+def q_profile_events(sf_dir: str):
+    """Per-column profile of the events table
+    (ops/profile.profile_table): rows / nulls / exact distinct / exact
+    most-frequent value (smallest-value tie-break, string-cast; float
+    columns report null top — cross-engine float formatting is not
+    portable). The publish-gate report a data platform runs next to
+    validate_events."""
+    from .ops.profile import profile_table
+
+    ds = _read_sized(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    return profile_table(ds)
+
+
+SQL_PROFILE = """
+WITH prof AS (
+  SELECT 'event_id' AS "column", count(*) AS n_rows,
+         count(*) - count(event_id) AS n_null,
+         count(DISTINCT event_id) AS n_distinct,
+         (SELECT CAST(event_id AS VARCHAR) FROM events WHERE event_id IS NOT NULL
+            GROUP BY event_id ORDER BY count(*) DESC, event_id ASC LIMIT 1) AS top_value,
+         (SELECT count(*) FROM events WHERE event_id IS NOT NULL
+            GROUP BY event_id ORDER BY count(*) DESC, event_id ASC LIMIT 1) AS top_count
+  FROM events
+  UNION ALL
+  SELECT 'event_type', count(*), count(*) - count(event_type),
+         count(DISTINCT event_type),
+         (SELECT event_type FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 1),
+         (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 1)
+  FROM events
+  UNION ALL
+  SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+         (SELECT CAST(ts AS VARCHAR) FROM events WHERE ts IS NOT NULL
+            GROUP BY ts ORDER BY count(*) DESC, ts ASC LIMIT 1),
+         (SELECT count(*) FROM events WHERE ts IS NOT NULL
+            GROUP BY ts ORDER BY count(*) DESC, ts ASC LIMIT 1)
+  FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), count(*) - count(user_id),
+         count(DISTINCT user_id),
+         (SELECT CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id ORDER BY count(*) DESC, user_id ASC LIMIT 1),
+         (SELECT count(*) FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id ORDER BY count(*) DESC, user_id ASC LIMIT 1)
+  FROM events
+  UNION ALL
+  SELECT 'value', count(*), count(*) - count(value),
+         count(DISTINCT value), NULL, NULL
+  FROM events
+)
+SELECT * FROM prof ORDER BY "column"
+"""
+
+
 def q_point_in_time_join(sf_dir: str):
     """Point-in-time (feature-store) join (ops/join.temporal_join):
     deterministic probe points (one seq past every 5th changelog event,
@@ -3108,6 +3166,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "point_in_time_join": q_point_in_time_join,
     "validate_events": q_validate_events,
+    "profile_events": q_profile_events,
     # rows-only checks (non-SQL-expressible):
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -3198,6 +3257,7 @@ ORACLES = {
     "decontaminate_docs": SQL_DECONTAMINATE,
     "redact_pii": SQL_REDACT_PII,
     "validate_events": SQL_VALIDATE,
+    "profile_events": SQL_PROFILE,
     "doc_repetition": SQL_REPETITION,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,

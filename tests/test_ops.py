@@ -1711,3 +1711,33 @@ def test_validate_constraints_families(ray_session):
         unique=("id",), not_null=("id",),
     ).to_pydict()
     assert clean["violations"] == [0, 0]
+
+
+def test_profile_table_semantics(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.profile import profile_table
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["b", "a", "b", "a", None], pa.string()),
+            "f": pa.array([1.5, None, 2.5, 1.5, 1.5], pa.float64()),
+            "i": pa.array([7, 7, 7, 2, 2], pa.int64()),
+        }
+    )
+    out = profile_table(ray.data.from_arrow(tbl).repartition(3)).to_pydict()
+    prof = {
+        c: (r, n, d, tv, tc)
+        for c, r, n, d, tv, tc in zip(
+            out["column"], out["n_rows"], out["n_null"], out["n_distinct"],
+            out["top_value"], out["top_count"],
+        )
+    }
+    # tie between 'a' and 'b' (2 each) breaks to the SMALLEST value
+    assert prof["k"] == (5, 1, 2, "a", 2)
+    assert prof["i"] == (5, 0, 2, "7", 3)
+    # float column: distinct exact, top suppressed
+    assert prof["f"] == (5, 1, 2, None, None)
+    # column subset + deterministic output order
+    sub = profile_table(ray.data.from_arrow(tbl), columns=["i"]).to_pydict()
+    assert sub["column"] == ["i"]
