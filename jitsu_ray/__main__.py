@@ -97,6 +97,9 @@ def main(argv=None):
     st.add_argument("--window", type=int, default=1000)
     st.add_argument("--partitions", type=int, default=64)
     st.add_argument("--spool", default=None)
+    st.add_argument("--compact-every", type=int, default=None,
+                    help="auto-compact every N committed windows "
+                         "(spool-aware tombstone watermark)")
 
     c = sub.add_parser("compact", help="fold deltas into base files")
     c.add_argument("--lake", required=True)
@@ -150,7 +153,8 @@ def main(argv=None):
 
         lake = LakeTable.create(args.lake, ["repo", "path"], args.partitions)
         rep = Replayer(args.log, lake, window_size=args.window)
-        m = rep.run_streaming(spool_dir=args.spool)
+        m = rep.run_streaming(spool_dir=args.spool,
+                              compact_every=args.compact_every)
         # keep the {lo, hi, dir} records: replay_spooled needs them for
         # force-apply recovery at the ORIGINAL window bounds. Persist
         # them next to the spooled parquet too (merged with earlier

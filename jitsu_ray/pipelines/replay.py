@@ -20,6 +20,7 @@ merge is idempotent and order-independent.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -229,6 +230,8 @@ class Replayer:
         backoff_sec: float = 0.05,
         classify=None,
         spool_dir: str | None = None,
+        compact_every: int | None = None,
+        compact_min_files: int = 8,
     ) -> dict:
         """Low-latency streaming mode (§3.2): small windows (construct the
         Replayer with ``window_size~1000``), per-window commit latency
@@ -242,6 +245,19 @@ class Replayer:
         ``spool_dir`` as parquet and the stream advances. Spooled events
         are re-applied later by ``replay_spooled`` — correct because LWW
         merge is order-independent and tombstones are kept.
+
+        ``compact_every``: auto-compaction — every N committed windows,
+        fold partitions holding >= ``compact_min_files`` files into one
+        base (lake.compact), so a long-running 1k-event stream's file
+        count (and read/probe cost) stays bounded instead of growing one
+        delta per partition per window. The tombstone watermark passed
+        to compact is SPOOL-AWARE: pending spooled windows will later
+        force-apply events at their original low seqs, so tombstones are
+        only dropped up to min(pending spool lo) — otherwise a compacted
+        -away delete could be resurrected by the recovery replay. The
+        compaction is its own atomic ledger row; as-of reads older than
+        it raise FileNotFoundError once replaced files are unlinked (the
+        documented time-travel-until-vacuum contract).
 
         Returns run metrics incl. per-window commit latency p50/p95/max
         (seconds) and retried/spooled counts."""
@@ -258,6 +274,7 @@ class Replayer:
         lat: list[float] = []
         retried = 0
         spooled: list[dict] = []
+        compactions = 0
         t0 = time.perf_counter()
         while lo < max_seq:
             hi = min(lo + self.window_size, max_seq)
@@ -267,6 +284,12 @@ class Replayer:
                 try:
                     self.lake.apply_window(self._stream_window(lo, hi), lo, hi)
                     lat.append(time.perf_counter() - t_w)
+                    if compact_every and len(lat) % compact_every == 0:
+                        wm = self._safe_tombstone_watermark(hi, spooled, spool_dir)
+                        entry = self.lake.compact(
+                            min_files=compact_min_files, tombstone_watermark=wm
+                        )
+                        compactions += bool(entry.get("parts"))
                     break
                 except Exception as e:  # noqa: BLE001 — sink boundary
                     attempts += 1
@@ -317,7 +340,28 @@ class Replayer:
             "latency_max_sec": round(max(srt), 4) if srt else 0.0,
             "retried": retried,
             "spooled": spooled,
+            "compactions": compactions,
         }
+
+    @staticmethod
+    def _safe_tombstone_watermark(committed_hi: int, spooled: list[dict],
+                                  spool_dir: str | None) -> int:
+        """Highest seq below which tombstones may be physically dropped:
+        the committed watermark, LOWERED to the smallest pending spooled
+        window's lo — that window's force-apply will deliver events with
+        seqs in (lo, hi], all > lo, so tombstones <= lo can never be
+        out-argmaxed by them. Pending spools are this run's list PLUS
+        any window-* dirs already on disk (a restarted stream must not
+        vacuum tombstones an EARLIER run's spool still needs)."""
+        pend = [int(s["lo"]) for s in spooled]
+        if spool_dir and os.path.isdir(spool_dir):
+            for name in os.listdir(spool_dir):
+                if name.startswith("window-") and ".tmp." not in name:
+                    try:
+                        pend.append(int(name.split("-")[1]))
+                    except (IndexError, ValueError):
+                        pend.append(0)  # unparseable spool: never vacuum past it
+        return min(pend, default=committed_hi)
 
     def replay_spooled(self, spooled: list[dict]) -> int:
         """Re-apply spooled windows once the sink has recovered — at

@@ -378,3 +378,81 @@ def test_bootstrap_refuses_partially_tailed_lake(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="resurrect"):
         bootstrap_snapshot(lake, ray.data.from_arrow(snap), as_of_seq=5)
+
+
+def test_streaming_auto_compaction_converges(ray_session, tmp_path):
+    # compact_every folds deltas mid-stream; final state is unchanged
+    # and the live file count stays bounded
+    tbl = gen_changelog(n_events=4000, n_repos=15, seed=23)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=500)
+    m = rep.run_streaming(backoff_sec=0.01, compact_every=3, compact_min_files=2)
+    assert m["compactions"] >= 1
+
+    lake2 = LakeTable.create(str(tmp_path / "lake2"), ["repo", "path"], 4)
+    Replayer(log, lake2, window_size=500).run_streaming(backoff_sec=0.01)
+
+    got = state_fingerprint(lake.read().take_all())
+    assert got == state_fingerprint(lake2.read().take_all())
+    n_files = sum(len(fs) for fs in lake.ledger.live_files().values())
+    n_files2 = sum(len(fs) for fs in lake2.ledger.live_files().values())
+    assert n_files < n_files2
+
+
+def test_streaming_compaction_spool_safe(ray_session, tmp_path):
+    # a pending spooled window must LOWER the compaction tombstone
+    # watermark: the spool holds a low-seq update for a key deleted at a
+    # higher seq — if compaction vacuumed that tombstone, the recovery
+    # replay would resurrect the deleted key
+    import pyarrow as pa
+
+    from jitsu_ray.sinks.retry import PermanentSinkError
+
+    n = 3000
+    seqs = list(range(1, n + 1))
+    ops = ["insert"] * n
+    repos = [f"r{i % 7}" for i in range(n)]
+    paths = [f"p{i}" for i in range(n)]
+    # special key: insert @500, update @1500 (in the window that will
+    # spool), delete @2500 (committed after the spool)
+    for s, op in ((500, "insert"), (1500, "update"), (2500, "delete")):
+        repos[s - 1], paths[s - 1], ops[s - 1] = "rX", "special", op
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array(seqs, pa.int64()),
+            "op": pa.array(ops),
+            "repo": pa.array(repos),
+            "path": pa.array(paths),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array([f"body {i}" for i in range(n)], pa.large_string()),
+        }
+    )
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class BrokenOnce(LakeTable):
+        armed = True
+
+        def apply_window(self, ds, lo, hi, **kw):
+            if BrokenOnce.armed and lo == 1000:
+                BrokenOnce.armed = False
+                raise PermanentSinkError("bad destination")
+            return super().apply_window(ds, lo, hi, **kw)
+
+    lake = BrokenOnce.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=1000)
+    m = rep.run_streaming(
+        backoff_sec=0.01,
+        spool_dir=str(tmp_path / "spool"),
+        compact_every=1,
+        compact_min_files=2,
+    )
+    assert len(m["spooled"]) == 1 and m["compactions"] >= 1
+    assert rep.replay_spooled(m["spooled"]) == 1
+    keys = {(r["repo"], r["path"]) for r in lake.read().take_all()}
+    # the delete @2500 must still win over the recovered update @1500
+    assert ("rX", "special") not in keys
