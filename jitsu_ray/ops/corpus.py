@@ -396,3 +396,60 @@ def group_distinct_auto(
     from .sketch import sketch_group_distinct
 
     return sketch_group_distinct(ds, group_col, value_col, p=p)
+
+
+def pack_sequences(ds, id_col: str, size_col: str, budget: int,
+                   num_shards: int = 32):
+    """Greedy contiguous sequence packing — the context-window fill step
+    between chunking and tokenization (docs are concatenated into packs
+    of at most ``budget`` size units; a doc that would overflow starts a
+    new pack; a doc larger than the budget gets its own pack).
+
+    Packing is inherently sequential, so the parallel unit is a SHARD:
+    docs are split by md5(id) % num_shards (the hash_sample family —
+    SQL-auditable, stable across runs and cluster sizes), each shard
+    packs its own docs in id order, and pack identity is (shard,
+    pack_id). One groupby exchange; the per-shard fill loop runs over
+    numpy int64 arrays (O(shard rows), parallel across shards — the
+    sequential scan is the algorithm, not an accident). Exact SQL twin:
+    a recursive CTE walking each shard in row order (SQL_PACK).
+
+    Output: (id, size, shard, pack_id), sizes <= 0 are carried but never
+    advance the fill. Deterministic at any batch/block layout."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def shard_col(batch: pa.Table) -> pa.Table:
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        sh = (hv % np.uint64(num_shards)).astype(np.int64)
+        keep = batch.select([id_col, size_col]).append_column(
+            "shard", pa.array(sh, pa.int64())
+        )
+        return keep.filter(pa.array(~null_mask))  # null ids are unpackable
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(idx)
+        sizes = pc.fill_null(
+            pc.cast(g[size_col], pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        sizes = np.maximum(sizes, 0)  # null/negative sizes never advance fill
+        packs = np.zeros(len(sizes), dtype=np.int64)
+        fill = 0
+        pack = 0
+        for i, s in enumerate(sizes):
+            if fill > 0 and fill + s > budget:
+                pack += 1
+                fill = 0
+            packs[i] = pack
+            fill += s
+        return g.append_column("pack_id", pa.array(packs, pa.int64()))
+
+    return (
+        ds.map_batches(shard_col, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pyarrow")
+    )

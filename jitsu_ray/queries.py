@@ -1511,6 +1511,44 @@ def q_scd2_history(sf_dir: str):
     )
 
 
+def q_pack_docs(sf_dir: str):
+    """Greedy sequence packing (ops/corpus.pack_sequences): documents
+    fill (shard, pack) bins of <= 2000 chars in doc_id order within
+    md5-hash shards — the context-window packing step before
+    tokenization. Oracle: a recursive CTE walking each shard in row
+    order with the identical fill rule."""
+    from .ops.corpus import pack_sequences
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, "doc_id", "n_chars", budget=2000, num_shards=8)
+
+
+SQL_PACK = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, n_chars,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS shard
+  FROM documents WHERE doc_id IS NOT NULL
+),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s
+),
+p AS (
+  SELECT shard, rn, doc_id, n_chars, CAST(0 AS BIGINT) AS pack_id,
+         greatest(n_chars, 0) AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_chars,
+         CASE WHEN p.fill > 0 AND p.fill + greatest(o.n_chars, 0) > 2000
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill > 0 AND p.fill + greatest(o.n_chars, 0) > 2000
+              THEN greatest(o.n_chars, 0)
+              ELSE p.fill + greatest(o.n_chars, 0) END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, n_chars, shard, pack_id FROM p ORDER BY shard, doc_id
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Data-contract validation over the events stream
     (ops/quality.validate_constraints — the dbt-test family as
@@ -3167,6 +3205,7 @@ QUERIES = {
     "point_in_time_join": q_point_in_time_join,
     "validate_events": q_validate_events,
     "profile_events": q_profile_events,
+    "pack_docs": q_pack_docs,
     # rows-only checks (non-SQL-expressible):
     "cdc_replay": q_cdc_replay,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -3258,6 +3297,7 @@ ORACLES = {
     "redact_pii": SQL_REDACT_PII,
     "validate_events": SQL_VALIDATE,
     "profile_events": SQL_PROFILE,
+    "pack_docs": SQL_PACK,
     "doc_repetition": SQL_REPETITION,
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,

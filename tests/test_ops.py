@@ -1741,3 +1741,39 @@ def test_profile_table_semantics(ray_session):
     # column subset + deterministic output order
     sub = profile_table(ray.data.from_arrow(tbl), columns=["i"]).to_pydict()
     assert sub["column"] == ["i"]
+
+
+def test_pack_sequences_semantics(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import pack_sequences
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(1, 9), pa.int64()),
+            "n": pa.array([40, 40, 40, 150, 10, 60, None, -5], pa.int64()),
+        }
+    )
+    out = (
+        pack_sequences(ray.data.from_arrow(tbl), "id", "n", budget=100, num_shards=1)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # one shard, id order: 40+40 | 40 (150 would overflow? no: 40+150>100
+    # -> new pack) | 150 alone (oversized: own pack) | 10+60, null/neg
+    # sizes never advance the fill
+    assert list(out["pack_id"]) == [0, 0, 1, 2, 3, 3, 3, 3]
+    # deterministic at any block layout
+    out2 = (
+        pack_sequences(
+            ray.data.from_arrow(tbl).repartition(5), "id", "n", budget=100,
+            num_shards=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(tbl), "id", "n", budget=0)
