@@ -61,14 +61,14 @@ def semi_anti_filter(ds, keys: pa.Array, col: str, anti: bool = False):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
-def _tag_stage(side: int, key: str, union_fields, num_buckets: int):
+def _tag_stage(side: int, key: str | list[str], union_fields, num_buckets: int):
     """Shared tagging half of the bucket joins: pad a batch to the union
-    schema, add __bucket (key hash) and __side columns."""
+    schema, add __bucket (hash of the key column(s) — value-based, so
+    the two sides may use different key NAMES) and __side columns."""
+    key_cols = [key] if isinstance(key, str) else list(key)
 
     def run(batch: pa.Table) -> pa.Table:
-        b = hash_mod_column(
-            batch.select([key]).rename_columns(["__k"]), ["__k"], num_buckets
-        )
+        b = hash_mod_column(batch, key_cols, num_buckets)
         cols = {}
         for f in union_fields:
             if f.name in batch.column_names:
@@ -383,27 +383,12 @@ def temporal_join(
     union_fields = list(f_schema) + [f for f in d_schema if f.name not in f_names]
     out_schema = pa.schema(list(f_schema) + [d_schema.field(n) for n in dim_out])
 
-    def tag(side: int):
-        def run(batch: pa.Table) -> pa.Table:
-            b = hash_mod_column(batch, key_cols, num_buckets)
-            cols = {}
-            for f in union_fields:
-                if f.name in batch.column_names:
-                    col = batch[f.name]
-                    cols[f.name] = (
-                        col.cast(f.type) if not col.type.equals(f.type) else col
-                    )
-                else:
-                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
-            out = pa.table(cols).append_column("__bucket", b)
-            return out.append_column(
-                "__side", pa.array([side] * batch.num_rows, pa.int8())
-            )
-
-        return run
-
-    ft = facts.map_batches(tag(0), batch_format="pyarrow")
-    dt = dim.map_batches(tag(1), batch_format="pyarrow")
+    ft = facts.map_batches(
+        _tag_stage(0, key_cols, union_fields, num_buckets), batch_format="pyarrow"
+    )
+    dt = dim.map_batches(
+        _tag_stage(1, key_cols, union_fields, num_buckets), batch_format="pyarrow"
+    )
 
     def join_bucket(group: pa.Table) -> pa.Table:
         mask = pc.equal(group["__side"], 0)

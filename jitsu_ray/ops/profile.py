@@ -83,8 +83,20 @@ def profile_table(ds, columns: list[str] | None = None,
         )
     }
 
-    out = []
-    for c in sorted(columns):
+    def _fmt_top(v, typ) -> str:
+        """CAST(x AS VARCHAR) parity with DuckDB: Python str(datetime)
+        renders trailing-zero microseconds ('...56.500000') where DuckDB
+        trims to the shortest fraction ('...56.5', or none when zero) —
+        trim the fractional part the same way for temporal values.
+        (Naive timestamps only, which is all parquet round-trips here.)"""
+        s = str(v)
+        if (pa.types.is_timestamp(typ) or pa.types.is_time(typ)) and "." in s:
+            head, _, frac = s.partition(".")
+            frac = frac.rstrip("0")
+            s = head + ("." + frac if frac else "")
+        return s
+
+    def profile_one(c: str):
         def value_counts(t: pa.Table, _c=c) -> pa.Table:
             d = (
                 pl.from_arrow(t.select([_c]))
@@ -131,10 +143,20 @@ def profile_table(ds, columns: list[str] | None = None,
             best = pl.from_arrow(cands).sort(
                 [pl.col("__n"), pl.col(c)], descending=[True, False]
             ).head(1)
-            top_value = str(best[c][0])
+            top_value = _fmt_top(best[c][0], schema.field(c).type)
             top_count = int(best["__n"][0])
         n_rows, n_null = counts.get(c, (0, 0))  # zero-block input
-        out.append((c, n_rows, n_null, n_distinct, top_value, top_count))
+        return (c, n_rows, n_null, n_distinct, top_value, top_count)
+
+    # per-column pipelines are independent full scans — run them on a
+    # small driver thread pool so wall-clock approaches the max of the
+    # scans, not their sum (each thread blocks on its own materialize;
+    # Ray Data executions from separate driver threads run concurrently)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cols_sorted = sorted(columns)
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(cols_sorted)))) as ex:
+        out = list(ex.map(profile_one, cols_sorted))
 
     return pa.table(
         {

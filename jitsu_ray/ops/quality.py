@@ -53,9 +53,16 @@ def validate_constraints(
     fk = fk or {}
     rows: list[tuple[str, str, int]] = []
 
-    batch_specs = [("not_null", c) for c in not_null] + [
-        ("accepted_values", c) for c in accepted_values
-    ]
+    # the unique constraints' non-null counts ride the SAME fused pass as
+    # not_null / accepted_values (an extra "__nonnull" spec each) instead
+    # of a dedicated count-only scan per column — one scan serves all
+    # batch-countable constraints
+    batch_specs = (
+        [("not_null", c) for c in not_null]
+        + [("accepted_values", c) for c in accepted_values]
+        + [("__nonnull", c) for c in unique]
+    )
+    nonnull_counts: dict[str, int] = {}
     if batch_specs:
         av = {c: pa.array(sorted(vs)) for c, vs in accepted_values.items()}
 
@@ -65,6 +72,8 @@ def validate_constraints(
                 col = batch[c]
                 if kind == "not_null":
                     v = col.null_count
+                elif kind == "__nonnull":
+                    v = len(col) - col.null_count
                 else:
                     nn = col.drop_null()
                     hits = pc.sum(
@@ -85,7 +94,11 @@ def validate_constraints(
             .aggregate(Sum("violations", alias_name="violations"))
             .take_all()
         )
-        rows += [(r["constraint"], r["column"], int(r["violations"])) for r in folded]
+        for r in folded:
+            if r["constraint"] == "__nonnull":
+                nonnull_counts[r["column"]] = int(r["violations"])
+            else:
+                rows.append((r["constraint"], r["column"], int(r["violations"])))
 
     for c in unique:
         from .join import hash_shard_finalize
@@ -99,11 +112,7 @@ def validate_constraints(
             return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
 
         n_distinct = hash_shard_finalize(vals, [c], shard_unique).count()
-        n_nonnull = ds.select_columns([c]).map_batches(
-            lambda t: pa.table({"n": pa.array([t.drop_null().num_rows], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("n") or 0
-        rows.append(("unique", c, int(n_nonnull - n_distinct)))
+        rows.append(("unique", c, int(nonnull_counts.get(c, 0) - n_distinct)))
 
     for c, keys in fk.items():
         keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys

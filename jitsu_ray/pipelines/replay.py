@@ -38,7 +38,6 @@ EnrichFn = Callable[[pa.Table], pa.Table]
 def changelog_max_seq(log_path: str) -> int:
     """Max commit_seq from parquet footer stats — no data scan."""
     import glob
-    import os
 
     files = (
         sorted(glob.glob(os.path.join(log_path, "*.parquet")))
@@ -79,7 +78,6 @@ class Replayer:
         happen to own its files (measured: effective read parallelism 8
         of 32 on a 100-file log)."""
         import glob
-        import os
 
         files = (
             sorted(glob.glob(os.path.join(self.changelog_path, "*.parquet")))
@@ -214,7 +212,6 @@ class Replayer:
         own pid (two streams in one process must not sweep each other —
         a same-window retry rmtree's its exact tmp path itself)."""
         import glob as _glob
-        import os
         import shutil as _shutil
 
         from ..util import token_owner_dead
@@ -261,7 +258,6 @@ class Replayer:
 
         Returns run metrics incl. per-window commit latency p50/p95/max
         (seconds) and retried/spooled counts."""
-        import os
         import shutil
 
         from ..sinks.retry import default_classify
@@ -275,21 +271,18 @@ class Replayer:
         retried = 0
         spooled: list[dict] = []
         compactions = 0
+        compact_errors = 0
         t0 = time.perf_counter()
         while lo < max_seq:
             hi = min(lo + self.window_size, max_seq)
             t_w = time.perf_counter()
             attempts = 0
+            committed = False
             while True:
                 try:
                     self.lake.apply_window(self._stream_window(lo, hi), lo, hi)
                     lat.append(time.perf_counter() - t_w)
-                    if compact_every and len(lat) % compact_every == 0:
-                        wm = self._safe_tombstone_watermark(hi, spooled, spool_dir)
-                        entry = self.lake.compact(
-                            min_files=compact_min_files, tombstone_watermark=wm
-                        )
-                        compactions += bool(entry.get("parts"))
+                    committed = True
                     break
                 except Exception as e:  # noqa: BLE001 — sink boundary
                     attempts += 1
@@ -322,6 +315,22 @@ class Replayer:
                         {"lo": lo, "hi": hi, "dir": sub, "error": f"{type(e).__name__}: {e}"}
                     )
                     break
+            # compaction runs OUTSIDE the sink-retry loop: the window is
+            # already committed, so a compaction failure must not be
+            # retried as a window apply (that would double-count latency
+            # samples / metrics and, with a spool_dir, could spool an
+            # already-committed window). Compaction is best-effort lake
+            # maintenance — on failure the same partitions still exceed
+            # min_files, so the next trigger simply retries the fold.
+            if committed and compact_every and len(lat) % compact_every == 0:
+                try:
+                    wm = self._safe_tombstone_watermark(hi, spooled, spool_dir)
+                    entry = self.lake.compact(
+                        min_files=compact_min_files, tombstone_watermark=wm
+                    )
+                    compactions += bool(entry.get("parts"))
+                except Exception:  # noqa: BLE001 — maintenance boundary
+                    compact_errors += 1
             lo = hi
         wall = time.perf_counter() - t0
         events = max_seq - start_hi
@@ -341,6 +350,7 @@ class Replayer:
             "retried": retried,
             "spooled": spooled,
             "compactions": compactions,
+            "compact_errors": compact_errors,
         }
 
     @staticmethod
@@ -371,12 +381,45 @@ class Replayer:
         the changelog, silently skipping a future real event with that
         seq). LWW order-independence makes the late apply exact; the
         deterministic window tag makes a re-crashed recovery idempotent.
-        Returns windows re-applied."""
+        A recovered window's spool dir is REMOVED after its force-apply
+        commits: a leftover dir would count as pending in
+        ``_safe_tombstone_watermark`` forever, permanently pinning the
+        tombstone vacuum. Removal after commit is crash-safe — a crash
+        between apply and rmtree leaves the dir, and the next recovery
+        re-applies idempotently (force + deterministic window tag) then
+        removes it; a record whose dir is ALREADY gone was recovered by
+        an earlier run (records are only written after the dir rename)
+        and is skipped, so re-running with a stale spooled.json is safe.
+        Recovered dirs are also pruned from their spool dir's
+        ``spooled.json`` (atomic rewrite). Returns windows re-applied."""
+        import json
+        import shutil
+        import tempfile
+
         n = 0
+        recovered: dict[str, set[str]] = {}  # spool parent -> recovered dirs
         for item in spooled:
+            if not os.path.isdir(item["dir"]):
+                continue  # already recovered by an earlier run
             ds = read_parquet_clean(item["dir"])
             self.lake.apply_window(ds, item["lo"], item["hi"], force=True)
+            shutil.rmtree(item["dir"], ignore_errors=True)
+            recovered.setdefault(os.path.dirname(item["dir"]), set()).add(item["dir"])
             n += 1
+        for parent, dirs in recovered.items():
+            sp_path = os.path.join(parent, "spooled.json")
+            if not os.path.isfile(sp_path):
+                continue
+            try:
+                with open(sp_path) as f:
+                    recs = json.load(f)
+            except (OSError, ValueError):
+                continue  # unreadable manifest: leave it; dirs are gone anyway
+            keep = [r for r in recs if r.get("dir") not in dirs]
+            fd, tmp = tempfile.mkstemp(dir=parent, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(keep, f)
+            os.replace(tmp, sp_path)
         return n
 
 
