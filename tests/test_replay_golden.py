@@ -159,6 +159,76 @@ def test_streaming_mode_spool_and_replay(ray_session, tmp_path):
     exp = state_fingerprint(oracle_final_state(tbl).to_pylist())
     assert got == exp
 
+    # round-4 review: recovery must REMOVE the spool dir (a leftover dir
+    # pins the tombstone watermark at its lo forever) and a re-run with
+    # the now-stale records must be a safe no-op, not a FileNotFoundError
+    import os as _os
+
+    assert not _os.path.isdir(m["spooled"][0]["dir"])
+    assert rep.replay_spooled(m["spooled"]) == 0
+    wm = Replayer._safe_tombstone_watermark(4000, [], str(tmp_path / "spool"))
+    assert wm == 4000  # no pending dirs left -> watermark unpinned
+
+
+def test_replay_spooled_prunes_manifest(ray_session, tmp_path):
+    # round-4 review: recovery prunes recovered records from spooled.json
+    # so a later recovery run doesn't chase dirs that no longer exist
+    import json as _json
+
+    from jitsu_ray.__main__ import merge_spooled_records
+    from jitsu_ray.sinks.retry import PermanentSinkError
+
+    tbl = gen_changelog(n_events=3000, n_repos=10, seed=31)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class Broken(LakeTable):
+        armed = True
+
+        def apply_window(self, ds, lo, hi, **kw):
+            if Broken.armed and lo == 1000:
+                Broken.armed = False
+                raise PermanentSinkError("bad destination")
+            return super().apply_window(ds, lo, hi, **kw)
+
+    lake = Broken.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=1000)
+    spool = str(tmp_path / "spool")
+    m = rep.run_streaming(backoff_sec=0.01, spool_dir=spool)
+    merged = merge_spooled_records(spool, m["spooled"])
+    # add a second, still-unrecovered record: pruning must keep it
+    ghost = {"lo": 9000, "hi": 10000, "dir": str(tmp_path / "spool" / "window-ghost")}
+    merge_spooled_records(spool, [ghost])
+    assert rep.replay_spooled(merged) == 1
+    with open(tmp_path / "spool" / "spooled.json") as f:
+        left = _json.load(f)
+    assert left == [ghost]
+
+
+def test_streaming_compact_failure_does_not_respool(ray_session, tmp_path):
+    # round-4 review: a compaction failure AFTER a window committed must
+    # not be retried/spooled as a window apply — the stream keeps going,
+    # state converges, and the failure is only counted
+    tbl = gen_changelog(n_events=4000, n_repos=15, seed=32)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    class CompactBroken(LakeTable):
+        def compact(self, *a, **kw):
+            raise OSError("stub compaction outage")
+
+    lake = CompactBroken.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    rep = Replayer(log, lake, window_size=1000)
+    m = rep.run_streaming(
+        backoff_sec=0.01, spool_dir=str(tmp_path / "spool"), compact_every=2
+    )
+    assert m["windows"] == 4 and not m["spooled"] and m["retried"] == 0
+    assert m["compactions"] == 0 and m["compact_errors"] == 2
+
+    got = state_fingerprint(lake.read().take_all())
+    exp = state_fingerprint(oracle_final_state(tbl).to_pylist())
+    assert got == exp
+
 
 def test_merge_spooled_records_survives_restart(tmp_path):
     # round-4 review: a restarted stream's spooled.json must MERGE with
