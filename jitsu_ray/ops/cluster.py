@@ -1,0 +1,215 @@
+"""Distributed k-means clustering over an embedding column — the
+semantic-grouping primitive a training-data pipeline uses for
+diversity-aware sampling, semantic dedup bucketing, and per-topic
+corpus audits (the "cluster the corpus, then balance / inspect per
+cluster" step of the standard LLM data recipes).
+
+Lloyd's algorithm with a FIXED iteration count and a DETERMINISTIC
+hash-order init, so the whole fit is reproducible and has an exact
+chained-CTE SQL oracle twin (no RNG, no convergence-dependent stop):
+
+- init: the k points whose ``(md5_lower64(str(id)), id)`` sorts
+  smallest become centroids 0..k-1 (SQL: ``ORDER BY
+  md5_number_lower(CAST(id AS VARCHAR)), id LIMIT k``).
+- iterate ``iters`` times: assign every point to its nearest centroid
+  (squared L2; ties break to the smallest cluster id), then recompute
+  each centroid as the elementwise mean of its members (an empty
+  cluster keeps its previous centroid).
+- output: the final assignment pass under the fitted centroids.
+
+Distributed shape (the 100-TB design):
+- centroids are a tiny (k x d) float64 array broadcast via ``ray.put``
+  once per iteration; every pass is ONE linear ``map_batches`` scan —
+  no shuffle anywhere.
+- the update pass emits PER-BATCH PARTIAL SUMS (k rows: cluster id,
+  member count, elementwise vector sum), so the driver folds
+  k x #batches tiny rows per iteration — O(k*d) driver state, never
+  points. This is the classic mergeable-statistic combiner shape
+  (same discipline as ops/sketch).
+- per-batch math is one fused numpy kernel: ||v||^2 - 2 v @ C^T +
+  ||c||^2 argmin over the batch matrix, float64 throughout so the SQL
+  twin (DOUBLE arithmetic) agrees to summation order (~1e-16), far
+  below any plausible centroid-boundary gap.
+
+Reference anchor: the reference has no clustering surface; this is an
+LLM-data-suite operator (brief: "Deduplication ... embedding-cosine
+near-dup" / diversity tooling) built on the same broadcast + combiner
+idioms as ops/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..util import md5_lower64
+
+
+def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column (zero-copy flat
+    buffer reshape when the list column is regular)."""
+    col = batch[vec_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per row (squared L2, first-min tie-break
+    = smallest cluster id, matching the oracle's ORDER BY dist, cluster)."""
+    # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; the ||v||^2 term is
+    # constant per row and can be dropped from the argmin
+    d2 = -2.0 * (vecs @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_assign(
+    ds,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+):
+    """Fit deterministic k-means on ``ds[vec_col]`` and return a Dataset
+    of ``(id_col, cluster int64)`` — one row per input row, the final
+    assignment under the fitted centroids. See module docstring for the
+    algorithm contract the SQL oracle mirrors."""
+    # ---- init: k hash-smallest points (tiny partial top-k per batch,
+    # driver folds <= k * #batches candidate rows)
+    def init_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hs = np.fromiter(
+            (md5_lower64(str(v)) for v in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.lexsort((np.asarray(ids), hs))[:k]
+        vecs = _batch_vectors(batch, vec_col)[order] if len(order) else []
+        return pa.table(
+            {
+                "h": pa.array(hs[order], pa.uint64()),
+                "id": batch[id_col].take(pa.array(order, pa.int64())),
+                "vec": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(init_candidates, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (r["h"], r["id"]))
+    if not cand:
+        raise ValueError("kmeans_assign: empty input")
+    cents = np.array([r["vec"] for r in cand[:k]], dtype=np.float64)
+    k = len(cents)  # fewer points than k: every point is a centroid
+
+    # ---- Lloyd iterations: broadcast centroids, fold per-batch sums
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            from ..util import once_per_process
+
+            cents_b = once_per_process("kmeans_cents", _ref)
+            vecs = _batch_vectors(batch, vec_col)
+            if not len(vecs):
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            a = _assign(vecs, cents_b)
+            counts = np.bincount(a, minlength=_k)
+            sums = np.zeros_like(cents_b)
+            np.add.at(sums, a, vecs)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz, pa.int64()),
+                    "n": pa.array(counts[nz], pa.int64()),
+                    "s": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]  # empty cluster keeps old
+
+    # ---- final assignment under the fitted centroids
+    ref = ray.put(cents)
+
+    def assign_out(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
+
+        cents_b = once_per_process("kmeans_assign", _ref)
+        vecs = _batch_vectors(batch, vec_col)
+        a = (
+            _assign(vecs, cents_b)
+            if len(vecs)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {id_col: batch[id_col], "cluster": pa.array(a, pa.int64())}
+        )
+
+    return ds.map_batches(assign_out, batch_format="pyarrow")
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> str:
+    """Chained-CTE DuckDB twin of ``kmeans_assign``: same hash init,
+    same fixed Lloyd iterations in DOUBLE arithmetic, same tie-breaks —
+    returns (id_col, cluster) for every row."""
+    ctes = [
+        f"e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
+        f"""c0 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5_number_lower(CAST({id_col} AS VARCHAR)), {id_col}
+         ) - 1 AS cluster, v AS c
+  FROM e
+  ORDER BY md5_number_lower(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k})""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT {id_col}, cluster FROM (
+    SELECT e.{id_col}, i.cluster,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY list_distance(e.v, i.c), i.cluster) AS rn
+    FROM e, c{t} i) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+  SELECT i.cluster, COALESCE(m.c, i.c) AS c
+  FROM c{t} i LEFT JOIN (
+    SELECT cluster, list(mv ORDER BY idx) AS c FROM (
+      SELECT cluster, idx, avg(val) AS mv FROM (
+        SELECT a.cluster, generate_subscripts(e.v, 1) AS idx,
+               unnest(e.v) AS val
+        FROM a{t} a JOIN e USING ({id_col})
+      ) GROUP BY cluster, idx
+    ) GROUP BY cluster
+  ) m USING (cluster))"""
+        )
+    ctes.append(
+        f"""out AS (
+  SELECT {id_col}, cluster FROM (
+    SELECT e.{id_col}, i.cluster,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY list_distance(e.v, i.c), i.cluster) AS rn
+    FROM e, c{iters} i) WHERE rn = 1)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT {id_col}, cluster FROM out"
+    )

@@ -1108,6 +1108,26 @@ WHERE rn <= 5
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic distributed k-means over the embeddings table
+    (ops/cluster.kmeans_assign): md5-hash-order init, 2 fixed Lloyd
+    iterations, final per-point assignment. No shuffle — centroids are
+    a broadcast (k x d) array and each iteration is one linear
+    map_batches pass emitting k-row partial sums. The oracle replays
+    the identical fixed schedule as chained CTEs in DOUBLE arithmetic,
+    so assignments match exactly (boundary gaps are orders of magnitude
+    above the ~1e-16 summation-order noise)."""
+    from .ops.cluster import kmeans_assign
+
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, "vec_id", "embedding", k=10, iters=2)
+
+
+from .ops.cluster import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402
+
+SQL_KMEANS = _kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=10, iters=2)
+
+
 def q_geo_enrich(sf_dir: str):
     """T1 geo-IP dictionary enricher: deterministic per-user IP (md5
     twin of the SQL derivation) -> binary-search range lookup against
@@ -3236,6 +3256,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLES = {
@@ -3307,6 +3328,7 @@ ORACLES = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
+    "kmeans_clusters": SQL_KMEANS,
 }
 
 

@@ -1777,3 +1777,64 @@ def test_pack_sequences_semantics(ray_session):
     assert out.equals(out2)
     with pytest.raises(ValueError):
         pack_sequences(ray.data.from_arrow(tbl), "id", "n", budget=0)
+
+
+# ---- k-means clustering (ops/cluster) --------------------------------------
+
+
+def _blob_table(n_per=40, k_blobs=3, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k_blobs, d)) * 5.0
+    pts = np.repeat(centers, n_per, axis=0) + rng.normal(size=(k_blobs * n_per, d)) * 0.05
+    ids = [f"d{i:04d}" for i in range(len(pts))]
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "vec": pa.array(
+                [list(map(float, p)) for p in pts.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_kmeans_matches_sql_oracle(ray_session):
+    # the operator's contract IS the fixed deterministic schedule the
+    # chained-CTE oracle replays — k=4 over 3 blobs exercises the
+    # empty-cluster keep-old-centroid path on both sides
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.cluster import kmeans_assign, kmeans_oracle_sql
+
+    tbl = _blob_table()
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(
+        (r["id"], r["cluster"])
+        for r in kmeans_assign(ds, "id", "vec", k=4, iters=2).take_all()
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        (r[0], r[1])
+        for r in con.sql(kmeans_oracle_sql("t", "id", "vec", k=4, iters=2)).fetchall()
+    )
+    assert got == exp and len(got) == tbl.num_rows
+    assert len({c for _, c in got}) <= 4
+
+
+def test_kmeans_deterministic_and_small_input(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.cluster import kmeans_assign
+
+    tbl = _blob_table()
+    ds = ray.data.from_arrow(tbl)
+    a = sorted((r["id"], r["cluster"]) for r in kmeans_assign(ds, "id", "vec", k=5, iters=3).take_all())
+    b = sorted((r["id"], r["cluster"]) for r in kmeans_assign(ds, "id", "vec", k=5, iters=3).take_all())
+    assert a == b  # hash init + fixed schedule: bit-identical reruns
+
+    # fewer points than k: every point becomes (and stays) a centroid
+    small = ray.data.from_arrow(tbl.slice(0, 3))
+    out = kmeans_assign(small, "id", "vec", k=10, iters=2).take_all()
+    assert len(out) == 3 and len({r["cluster"] for r in out}) == 3
