@@ -108,7 +108,10 @@ def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]
             .group_by(group_col, maintain_order=True)
             .head(k)
         )
-        return out.to_arrow().cast(batch.schema)
+        # polars group_by().head() moves the group column FIRST; restore
+        # the input order or the schema cast fails whenever group_col
+        # isn't already the leading column
+        return out.select(batch.column_names).to_arrow().cast(batch.schema)
 
     def final(group: pa.Table) -> pa.Table:
         return partial(group)

@@ -1128,6 +1128,42 @@ from .ops.cluster import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402
 SQL_KMEANS = _kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=10, iters=2)
 
 
+def q_cluster_balanced_sample(sf_dir: str):
+    """Diversity-aware corpus sampling — the step LLM data recipes run
+    AFTER clustering: cap every semantic cluster at the same budget (30
+    ids here, picked in deterministic md5 order) so skewed topics can't
+    dominate the sample. Composition of two proven stages: kmeans_assign
+    (broadcast centroids, partial-sum combiner, zero shuffle) feeding
+    top_k_per_group (per-batch partial top-k before the one group
+    exchange — <= k rows per (cluster, batch) move)."""
+    from .ops.cluster import kmeans_assign
+    from .ops.corpus import _md5_lower64_column, top_k_per_group
+
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    assigns = kmeans_assign(ds, "vec_id", "embedding", k=10, iters=2)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hv, _ = _md5_lower64_column(batch["vec_id"])
+        return batch.append_column("__h", pa.array(hv, pa.uint64()))
+
+    capped = top_k_per_group(
+        assigns.map_batches(add_hash, batch_format="pyarrow"),
+        "cluster",
+        30,
+        [("__h", False), ("vec_id", False)],
+    )
+    return capped.select_columns(["vec_id", "cluster"])
+
+
+SQL_CLUSTER_SAMPLE = f"""
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM ({SQL_KMEANS}) a) WHERE rn <= 30
+"""
+
+
 def q_geo_enrich(sf_dir: str):
     """T1 geo-IP dictionary enricher: deterministic per-user IP (md5
     twin of the SQL derivation) -> binary-search range lookup against
@@ -3257,6 +3293,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -3329,6 +3366,7 @@ ORACLES = {
     "top_docs_per_lang": SQL_TOP_PER_LANG,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "kmeans_clusters": SQL_KMEANS,
+    "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
 }
 
 
