@@ -1164,6 +1164,28 @@ SELECT vec_id, cluster FROM (
 """
 
 
+def q_normalize_docs(sf_dir: str):
+    """Unicode pre-shingling normalization (ops/text.normalize_text):
+    NFC + whitespace-run collapse + trim over documents.text, one fused
+    pyarrow kernel pass. lowercase=False here because SQL lower() is the
+    SIMPLE case mapping while Arrow/Python lower is the FULL mapping
+    (divergent on e.g. U+0130) — the lowercase path is pinned by pytest
+    against Python semantics instead of relying on ASCII-only data."""
+    from .ops.text import normalize_text
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return normalize_text(ds, "text", lowercase=False).select_columns(
+        ["doc_id", "norm_text"]
+    )
+
+
+SQL_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(text), '[ \t\n\f\r\v]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_geo_enrich(sf_dir: str):
     """T1 geo-IP dictionary enricher: deterministic per-user IP (md5
     twin of the SQL derivation) -> binary-search range lookup against
@@ -3294,6 +3316,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "normalize_docs": q_normalize_docs,
 }
 
 ORACLES = {
@@ -3367,6 +3390,7 @@ ORACLES = {
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "kmeans_clusters": SQL_KMEANS,
     "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
+    "normalize_docs": SQL_NORMALIZE,
 }
 
 

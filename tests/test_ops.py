@@ -1838,3 +1838,33 @@ def test_kmeans_deterministic_and_small_input(ray_session):
     small = ray.data.from_arrow(tbl.slice(0, 3))
     out = kmeans_assign(small, "id", "vec", k=10, iters=2).take_all()
     assert len(out) == 3 and len({r["cluster"] for r in out}) == 3
+
+
+def test_normalize_text_full_mapping_and_nulls(ray_session):
+    # the lowercase path (full Unicode case mapping) + null passthrough,
+    # pinned against Python str semantics — the SQL oracle covers only
+    # the lowercase=False form (SQL lower() is the SIMPLE mapping)
+    import unicodedata
+
+    import ray.data
+
+    from jitsu_ray.ops.text import normalize_text
+
+    vals = ["  Héllo\t\tWORLD\n", "Café  x", None, "İstanbul", "a  b\r\nc"]
+    tbl = pa.table({"i": pa.array(range(5), pa.int64()), "text": pa.array(vals)})
+    out = {
+        r["i"]: r["norm_text"]
+        for r in normalize_text(ray.data.from_arrow(tbl), "text").take_all()
+    }
+
+    def py_norm(s):
+        if s is None:
+            return None
+        import re
+
+        s = unicodedata.normalize("NFC", s).lower()
+        return re.sub(r"[ \t\n\f\r\x0b]+", " ", s).strip(" ")
+
+    assert out == {i: py_norm(v) for i, v in enumerate(vals)}
+    assert out[1] == "café x"          # combining acute composed by NFC
+    assert out[3] == "i̇stanbul"  # FULL mapping: İ -> i + U+0307
