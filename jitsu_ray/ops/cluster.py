@@ -43,16 +43,34 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..util import md5_lower64
 
 
 def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
     """(n, d) float64 matrix from a list<float> column (zero-copy flat
-    buffer reshape when the list column is regular)."""
+    buffer reshape when the list column is regular). Rejects null or
+    ragged rows explicitly: ``flatten()`` silently DROPS null slots, so
+    without the check a divisible element count would reshape into a
+    misaligned matrix (every vector garbage, assignments silently wrong)
+    and a non-divisible one would die in an opaque reshape error."""
+    import pyarrow.compute as pc
+
     col = batch[vec_col].combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if n == 0:
+        return np.empty((0, 0))
+    if col.null_count:
+        raise ValueError(
+            f"kmeans: column {vec_col!r} contains null vectors"
+        )
+    lens = pc.list_value_length(col)
+    lo, hi = pc.min_max(lens).values()
+    if lo.as_py() != hi.as_py():
+        raise ValueError(
+            f"kmeans: column {vec_col!r} has ragged vector lengths "
+            f"({lo}..{hi}); fixed-dimension embeddings required"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
 
 
 def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -74,20 +92,36 @@ def kmeans_assign(
     """Fit deterministic k-means on ``ds[vec_col]`` and return a Dataset
     of ``(id_col, cluster int64)`` — one row per input row, the final
     assignment under the fitted centroids. See module docstring for the
-    algorithm contract the SQL oracle mirrors."""
+    algorithm contract the SQL oracle mirrors.
+
+    PRECONDITION for oracle parity: ``id_col`` must be UNIQUE and
+    NON-NULL. The SQL twin's per-point ``row_number() PARTITION BY id``
+    collapses duplicate (and all-null) ids into one output row and fans
+    the kept assignment across duplicates in the mean CTE, while this
+    side emits one row per input row — so duplicate ids diverge
+    silently. Null-id rows here are excluded from init candidacy (the
+    oracle's NULLS LAST ordering agrees whenever >= k non-null ids
+    exist) but would still collapse in the oracle's output; keep ids
+    unique and non-null, as every shipped caller does."""
     # ---- init: k hash-smallest points (tiny partial top-k per batch,
     # driver folds <= k * #batches candidate rows)
+    from .corpus import _md5_lower64_column
+
     def init_candidates(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = np.fromiter(
-            (md5_lower64(str(v)) for v in ids), dtype=np.uint64, count=len(ids)
+        hs, null_mask = _md5_lower64_column(batch[id_col])
+        keep = np.flatnonzero(~null_mask)
+        ids = batch[id_col].take(pa.array(keep, pa.int64()))
+        hs = hs[keep]
+        order = np.lexsort((np.asarray(ids.to_pylist()), hs))[:k]
+        vecs = (
+            _batch_vectors(batch, vec_col)[keep][order]
+            if len(order)
+            else []
         )
-        order = np.lexsort((np.asarray(ids), hs))[:k]
-        vecs = _batch_vectors(batch, vec_col)[order] if len(order) else []
         return pa.table(
             {
                 "h": pa.array(hs[order], pa.uint64()),
-                "id": batch[id_col].take(pa.array(order, pa.int64())),
+                "id": ids.take(pa.array(order, pa.int64())),
                 "vec": pa.array(list(vecs), pa.list_(pa.float64())),
             }
         )
@@ -118,8 +152,16 @@ def kmeans_assign(
                 )
             a = _assign(vecs, cents_b)
             counts = np.bincount(a, minlength=_k)
-            sums = np.zeros_like(cents_b)
-            np.add.at(sums, a, vecs)
+            # per-dimension bincount(weights=...) — the buffered C fold;
+            # np.add.at is the unbuffered scatter slow path (~10x) on
+            # this per-batch-per-iteration hot loop
+            sums = np.stack(
+                [
+                    np.bincount(a, weights=vecs[:, j], minlength=_k)
+                    for j in range(vecs.shape[1])
+                ],
+                axis=1,
+            )
             nz = np.flatnonzero(counts)
             return pa.table(
                 {

@@ -1800,8 +1800,9 @@ def _blob_table(n_per=40, k_blobs=3, d=8, seed=7):
 
 def test_kmeans_matches_sql_oracle(ray_session):
     # the operator's contract IS the fixed deterministic schedule the
-    # chained-CTE oracle replays — k=4 over 3 blobs exercises the
-    # empty-cluster keep-old-centroid path on both sides
+    # chained-CTE oracle replays (k=4 over 3 well-separated blobs; every
+    # cluster keeps members here — the empty-cluster branch is covered
+    # by test_kmeans_empty_cluster_keeps_centroid below)
     import duckdb
     import ray.data
 
@@ -1868,3 +1869,62 @@ def test_normalize_text_full_mapping_and_nulls(ray_session):
     assert out == {i: py_norm(v) for i, v in enumerate(vals)}
     assert out[1] == "café x"          # combining acute composed by NFC
     assert out[3] == "i̇stanbul"  # FULL mapping: İ -> i + U+0307
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    # only 2 distinct point locations but k=3: ties break to the
+    # smallest cluster id, so at least one centroid gets ZERO members in
+    # iteration 1 — the keep-old-centroid branch (and the oracle's LEFT
+    # JOIN COALESCE twin) provably fires, and the two sides must still
+    # agree point-for-point
+    import duckdb
+    import ray.data
+
+    from jitsu_ray.ops.cluster import kmeans_assign, kmeans_oracle_sql
+
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 9.0, 0.0, 0.0]
+    tbl = pa.table(
+        {
+            "id": pa.array([f"d{i:04d}" for i in range(12)]),
+            "vec": pa.array(
+                [a] * 6 + [b] * 6, pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = kmeans_assign(ds, "id", "vec", k=3, iters=2).take_all()
+    got = sorted((r["id"], r["cluster"]) for r in rows)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        (r[0], r[1])
+        for r in con.sql(kmeans_oracle_sql("t", "id", "vec", k=3, iters=2)).fetchall()
+    )
+    assert got == exp and len(got) == 12
+    # fewer distinct clusters than k proves an empty cluster existed
+    assert len({c for _, c in got}) < 3
+
+
+def test_kmeans_rejects_null_and_ragged_vectors(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from jitsu_ray.ops.cluster import kmeans_assign
+
+    bad_null = pa.table(
+        {
+            "id": pa.array(["a", "b"]),
+            "vec": pa.array([[1.0, 2.0], None], pa.list_(pa.float32())),
+        }
+    )
+    with _pytest.raises(Exception, match="null vectors"):
+        kmeans_assign(ray.data.from_arrow(bad_null), "id", "vec", k=2).take_all()
+
+    ragged = pa.table(
+        {
+            "id": pa.array(["a", "b"]),
+            "vec": pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())),
+        }
+    )
+    with _pytest.raises(Exception, match="ragged"):
+        kmeans_assign(ray.data.from_arrow(ragged), "id", "vec", k=2).take_all()
