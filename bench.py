@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "funnel_views",
     "redact_pii",
     "scd2_history",
+    "kmeans_clusters",
+    "normalize_docs",
 ]
 
 
