@@ -406,12 +406,13 @@ def normalize_text(ds, text_col: str, out_col: str = "norm_text",
     ``lower()`` typically applies the SIMPLE mapping ('İ' -> 'i'), so
     only the lowercase=False form has a char-for-char SQL oracle twin
     (DuckDB ``trim(regexp_replace(nfc_normalize(x), '[ \\t\\n\\f\\r\\v]+',
-    ' ', 'g'))``) — which is why the oracle-checked query pins
+    ' ', 'g'), ' ')`` — the EXPLICIT space charset: bare ``trim()`` is
+    Unicode-aware and also strips NBSP/U+3000, where polars
+    ``strip_chars(" ")`` strips ASCII space only) — which is why the
+    oracle-checked query pins
     lowercase=False and the full-mapping path is pinned by pytest."""
-    import polars as _pl
-
     def run(batch: pa.Table) -> pa.Table:
-        s = _pl.from_arrow(batch[text_col].combine_chunks())
+        s = pl.from_arrow(batch[text_col].combine_chunks())
         s = s.str.normalize("NFC")
         if lowercase:
             s = s.str.to_lowercase()

@@ -1181,7 +1181,7 @@ def q_normalize_docs(sf_dir: str):
 
 SQL_NORMALIZE = r"""
 SELECT doc_id,
-       trim(regexp_replace(nfc_normalize(text), '[ \t\n\f\r\v]+', ' ', 'g')) AS norm_text
+       trim(regexp_replace(nfc_normalize(text), '[ \t\n\f\r\v]+', ' ', 'g'), ' ') AS norm_text
 FROM documents
 """
 
