@@ -112,9 +112,20 @@ def kmeans_assign(
         keep = np.flatnonzero(~null_mask)
         ids = batch[id_col].take(pa.array(keep, pa.int64()))
         hs = hs[keep]
+        # narrow to the k smallest hashes FIRST (plus exact boundary
+        # ties of equal hash, where the id tie-break matters), so the
+        # Python-object id materialization for the lexsort touches ~k
+        # rows, not the whole batch
+        if len(hs) > k:
+            kth = np.partition(hs, k - 1)[k - 1]
+            small = np.flatnonzero(hs <= kth)
+        else:
+            small = np.arange(len(hs))
+        ids = ids.take(pa.array(small, pa.int64()))
+        hs = hs[small]
         order = np.lexsort((np.asarray(ids.to_pylist()), hs))[:k]
         vecs = (
-            _batch_vectors(batch, vec_col)[keep][order]
+            _batch_vectors(batch, vec_col)[keep][small][order]
             if len(order)
             else []
         )
