@@ -22,10 +22,12 @@ Distributed shape (the 100-TB design):
   once per iteration; every pass is ONE linear ``map_batches`` scan —
   no shuffle anywhere.
 - the update pass emits PER-BATCH PARTIAL SUMS (k rows: cluster id,
-  member count, elementwise vector sum), so the driver folds
-  k x #batches tiny rows per iteration — O(k*d) driver state, never
-  points. This is the classic mergeable-statistic combiner shape
-  (same discipline as ops/sketch).
+  member count, elementwise vector sum), folded by zero-cpu TREE
+  REDUCE tasks (fan-in 32) — the driver touches only the <=k-row root,
+  never the k x #batches partial stream (which at 100 TB would be
+  ~10^7 rows of driver fan-in). O(k*d) driver state, never points.
+  This is the classic mergeable-statistic combiner shape (same
+  discipline as ops/sketch and dedup's label tree reduce).
 - per-batch math is one fused numpy kernel: ||v||^2 - 2 v @ C^T +
   ||c||^2 argmin over the batch matrix, float64 throughout so the SQL
   twin (DOUBLE arithmetic) agrees to summation order (~1e-16), far
@@ -71,6 +73,69 @@ def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
         )
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("cluster", pa.int64()),
+        ("n", pa.int64()),
+        ("s", pa.list_(pa.float64())),
+    ]
+)
+
+
+@ray.remote(num_cpus=0)
+def _sum_merge(*tables: pa.Table) -> pa.Table:
+    """One tree-reduce node: fold up to fan-in partial-sum tables into
+    one <=k-row table (per cluster: total count, elementwise vector
+    sum). Zero-cpu so the fold never competes with the assignment map
+    tasks for CPU slots (same discipline as dedup's _min_label_merge)."""
+    acc: dict[int, list] = {}
+    for t in tables:
+        if not t.num_rows:
+            continue
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        sv = (
+            t["s"]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(t.num_rows, -1)
+        )
+        for c, n, v in zip(cl, ns, sv):  # <=k rows per table
+            e = acc.get(int(c))
+            if e is None:
+                acc[int(c)] = [int(n), v.astype(np.float64, copy=True)]
+            else:
+                e[0] += int(n)
+                e[1] += v
+    ks = sorted(acc)
+    return pa.table(
+        {
+            "cluster": pa.array(ks, pa.int64()),
+            "n": pa.array([acc[c][0] for c in ks], pa.int64()),
+            "s": pa.array([list(acc[c][1]) for c in ks], pa.list_(pa.float64())),
+        },
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def _tree_fold_partials(refs: list, fan_in: int = 32) -> pa.Table:
+    """Tree-reduce block refs of partial sums down to one <=k-row table.
+    The driver touches only the root — at 100 TB the partials dataset is
+    k x #batches rows, which a take_all would pull driver-side."""
+    if not refs:
+        return _PARTIAL_SCHEMA.empty_table()
+    # always end with a merge call: even a single leaf block can hold
+    # duplicate cluster rows (one task's block concatenates several
+    # batches' k-row partials)
+    while len(refs) > fan_in:
+        refs = [
+            _sum_merge.remote(*refs[i : i + fan_in])
+            for i in range(0, len(refs), fan_in)
+        ]
+    return ray.get(_sum_merge.remote(*refs))
 
 
 def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -182,10 +247,12 @@ def kmeans_assign(
                 }
             )
 
-        parts = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        root = _tree_fold_partials(
+            ds.map_batches(partial_sums, batch_format="pyarrow").to_arrow_refs()
+        )
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros_like(cents)
-        for r in parts:
+        for r in root.to_pylist():  # <=k rows — the tree-reduce root
             counts[r["cluster"]] += r["n"]
             sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
         nz = counts > 0
