@@ -189,9 +189,17 @@ def kmeans_assign(
         ids = ids.take(pa.array(small, pa.int64()))
         hs = hs[small]
         order = np.lexsort((np.asarray(ids.to_pylist()), hs))[:k]
+        # gather the <=k selected rows BEFORE the float64 conversion —
+        # converting the full batch matrix here would transiently hold
+        # 2x the vector bytes per init task for rows it throws away
+        # (null/ragged validation of the full column still happens every
+        # iteration in partial_sums)
+        sel = keep[small][order]
         vecs = (
-            _batch_vectors(batch, vec_col)[keep][small][order]
-            if len(order)
+            _batch_vectors(
+                batch.select([vec_col]).take(pa.array(sel, pa.int64())), vec_col
+            )
+            if len(sel)
             else []
         )
         return pa.table(
