@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "scd2_history",
     "kmeans_clusters",
     "normalize_docs",
+    "entity_resolution",
 ]
 
 

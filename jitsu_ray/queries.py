@@ -2911,6 +2911,46 @@ FROM words GROUP BY w ORDER BY n DESC, w LIMIT 20
 """
 
 
+def q_entity_resolution(sf_dir: str):
+    """Fuzzy entity resolution over part names (ops/linkage
+    record_linkage — blocking on the last name token, batched-DP
+    Levenshtein <= 2 inside each block, transitive closure, entity =
+    min p_partkey of the merged entity). All pairwise work runs on the
+    DISTINCT-name table (64 names at any sf), never on rows; the rows
+    are labeled by one broadcast index_in gather. Oracle: DuckDB
+    levenshtein() blocked self-join + recursive-CTE closure."""
+    from .ops.linkage import record_linkage
+
+    ds = _read_sized(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    return record_linkage(
+        ds, "p_partkey", "p_name", block_pattern=r"([^ ]+)$", max_dist=2
+    ).sort("p_partkey")
+
+
+SQL_ENTITY_RESOLUTION = r"""
+WITH RECURSIVE n AS (
+  SELECT p_name AS name, min(p_partkey) AS mid,
+         regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+  FROM part GROUP BY p_name
+),
+e AS (
+  SELECT x.mid AS a, y.mid AS b
+  FROM n x JOIN n y ON x.blk = y.blk AND x.mid < y.mid
+  WHERE levenshtein(x.name, y.name) <= 2
+),
+edges AS (SELECT a AS x, b AS y FROM e UNION SELECT b, a FROM e),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+),
+lab AS (SELECT x AS mid, least(x, min(y)) AS entity FROM reach GROUP BY x)
+SELECT p.p_partkey, coalesce(l.entity, n.mid) AS entity_id
+FROM part p JOIN n ON p.p_name = n.name LEFT JOIN lab l ON n.mid = l.mid
+ORDER BY p.p_partkey
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -3310,6 +3350,7 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
+    "entity_resolution": q_entity_resolution,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -3384,6 +3425,7 @@ ORACLES = {
     "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

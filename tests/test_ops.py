@@ -1928,3 +1928,89 @@ def test_kmeans_rejects_null_and_ragged_vectors(ray_session):
     )
     with _pytest.raises(Exception, match="ragged"):
         kmeans_assign(ray.data.from_arrow(ragged), "id", "vec", k=2).take_all()
+
+
+def test_levenshtein_pairs_matches_duckdb():
+    import random
+
+    import duckdb
+
+    from jitsu_ray.ops.linkage import levenshtein_pairs
+
+    rnd = random.Random(7)
+    alpha = "abcde é中"  # incl. multibyte codepoints
+    names = [""] + [
+        "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 12)))
+        for _ in range(40)
+    ]
+    ai, bi = np.triu_indices(len(names), k=1)
+
+    # byte level == DuckDB's levenshtein() (UTF-8 bytes — measured trap)
+    got = levenshtein_pairs(names, ai, bi, level="byte")
+    con = duckdb.connect()
+    con.register(
+        "p",
+        pa.table({"a": [names[i] for i in ai], "b": [names[j] for j in bi]}),
+    )
+    exp = np.array(
+        con.sql("SELECT levenshtein(a, b) FROM p").fetchall()
+    ).ravel()
+    assert (got == exp).all()
+
+    # codepoint level == the textbook DP over characters
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    got_cp = levenshtein_pairs(names, ai, bi, level="codepoint")
+    exp_cp = np.array([ref(names[i], names[j]) for i, j in zip(ai, bi)])
+    assert (got_cp == exp_cp).all()
+
+
+def test_record_linkage_clusters_nulls_and_join_path(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.linkage import record_linkage
+
+    # blocks by last token: {cold,old} bolt chain via dist<=2; "blue bolt"
+    # stays out (dist 4 from cold); null value -> null entity
+    tbl = pa.table(
+        {
+            "id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+            "name": pa.array(
+                ["cold bolt", "old bolt", "cold bolt", "blue bolt",
+                 "cold ring", None]
+            ),
+        }
+    )
+    expected = {10: 10, 11: 10, 12: 10, 13: 13, 14: 14, 15: None}
+    for kw in ({}, {"broadcast_limit_bytes": 0}):  # broadcast + join paths
+        out = record_linkage(
+            ray.data.from_arrow(tbl), "id", "name", max_dist=2, **kw
+        ).take_all()
+        assert {r["id"]: r["entity_id"] for r in out} == expected
+
+
+def test_record_linkage_block_cap_raises(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from jitsu_ray.ops.linkage import record_linkage
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(5), pa.int64()),
+            "name": pa.array([f"n{i} blk" for i in range(5)]),
+        }
+    )
+    with _pytest.raises(Exception, match="block_cap"):
+        record_linkage(
+            ray.data.from_arrow(tbl), "id", "name", block_cap=3
+        ).take_all()
