@@ -2951,6 +2951,61 @@ ORDER BY p.p_partkey
 """
 
 
+def q_inverted_search(sf_dir: str):
+    """Conjunctive term search via the distributed inverted index
+    (ops/search): one tokenizing combiner pass, ONE shuffle keyed
+    (term, doc-bucket) builds bounded posting rows — a hot term's
+    postings spread across buckets so no task holds its full doc list —
+    then the probe filters index rows to the three query terms and ANDs
+    sorted postings per bucket with intersect1d. Tokenization shares
+    vocab_top20's \\S+ <-> string_split_regex('\\s+') parity (identical
+    on ASCII corpora; Rust-regex \\s is Unicode, see CLAUDE.md)."""
+    from .ops.search import build_inverted_index, conjunctive_search
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = build_inverted_index(ds, "doc_id", "text", bucket_span=200)
+    return conjunctive_search(idx, ["merge", "window", "scan"]).sort("doc_id")
+
+
+SQL_INVERTED_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id, t)
+SELECT a.doc_id, a.n AS tf_merge, b.n AS tf_window, c.n AS tf_scan
+FROM tf a JOIN tf b ON a.doc_id = b.doc_id JOIN tf c ON a.doc_id = c.doc_id
+WHERE a.t = 'merge' AND b.t = 'window' AND c.t = 'scan'
+ORDER BY a.doc_id
+"""
+
+
+def q_term_doc_freq(sf_dir: str):
+    """Global per-term document frequency off the inverted index:
+    bucket-local df partials are mergeable by construction (each doc
+    lives in exactly one bucket), so global df is ONE small Sum groupby
+    over index rows (ops/search.term_df) — no second pass over text."""
+    from .ops.search import build_inverted_index, term_df
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = build_inverted_index(ds, "doc_id", "text", bucket_span=200)
+    return term_df(idx).sort("term")
+
+
+SQL_TERM_DF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+)
+SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY t ORDER BY term
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -3351,6 +3406,8 @@ QUERIES = {
     "vocab_top20": q_vocab_top20,
     "asof_last_order": q_asof_last_order,
     "entity_resolution": q_entity_resolution,
+    "inverted_search": q_inverted_search,
+    "term_doc_freq": q_term_doc_freq,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -3426,6 +3483,8 @@ ORACLES = {
     "vocab_top20": SQL_VOCAB,
     "asof_last_order": SQL_ASOF,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "inverted_search": SQL_INVERTED_SEARCH,
+    "term_doc_freq": SQL_TERM_DF,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

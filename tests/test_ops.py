@@ -2014,3 +2014,65 @@ def test_record_linkage_block_cap_raises(ray_session):
         record_linkage(
             ray.data.from_arrow(tbl), "id", "name", block_cap=3
         ).take_all()
+
+
+def test_inverted_index_and_conjunctive_search(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import (
+        build_inverted_index,
+        conjunctive_search,
+        term_df,
+    )
+
+    # ids straddle two buckets (span=3: {0,1,2} and {3,4}); "cat" is hot
+    # (every doc), "dog" misses doc 3, "emu" only in bucket 0
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "cat dog emu cat",
+                    "cat dog",
+                    "emu cat dog dog",
+                    "cat  cat",
+                    "dog cat",
+                ]
+            ),
+        }
+    )
+    idx = build_inverted_index(
+        ray.data.from_arrow(tbl), "doc_id", "text", bucket_span=3
+    )
+    rows = {(r["term"], r["bucket"]): r for r in idx.take_all()}
+    # hot term split across buckets; postings sorted; tf aligned
+    assert rows[("cat", 0)]["postings"] == [0, 1, 2]
+    assert rows[("cat", 0)]["tfs"] == [2, 1, 1]
+    assert rows[("cat", 1)]["postings"] == [3, 4]
+    assert rows[("cat", 1)]["tfs"] == [2, 1]
+    assert rows[("emu", 0)]["df"] == 2 and ("emu", 1) not in rows
+
+    # global df folds the bucket-local partials
+    dfs = {r["term"]: r["df"] for r in term_df(idx).take_all()}
+    assert dfs == {"cat": 5, "dog": 4, "emu": 2}
+
+    # AND semantics: a bucket missing one term contributes nothing
+    got = sorted(
+        (r["doc_id"], r["tf_cat"], r["tf_dog"])
+        for r in conjunctive_search(idx, ["cat", "dog"]).take_all()
+    )
+    assert got == [(0, 2, 1), (1, 1, 1), (2, 1, 2), (4, 1, 1)]
+    # term only in bucket 0 narrows further; duplicate terms collapse
+    got3 = sorted(
+        r["doc_id"]
+        for r in conjunctive_search(idx, ["cat", "emu", "cat"]).take_all()
+    )
+    assert got3 == [0, 2]
+    # absent term -> empty everywhere, schema intact
+    t = conjunctive_search(idx, ["cat", "zzz"])
+    assert t.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one term"):
+        conjunctive_search(idx, [])
