@@ -52,15 +52,23 @@ def build_inverted_index(
     text_col: str = "text",
     bucket_span: int = 100_000,
     token_pattern: str = r"\S+",
+    with_lengths: bool = False,
 ):
     """Dataset of posting rows ``(term, bucket, postings, tfs, df)``
     with ``postings`` sorted ascending within the bucket and ``df`` the
     bucket-LOCAL document frequency (fold with ``term_df`` for global).
-    ``bucket_span`` bounds a posting row at ~span doc ids."""
+    ``bucket_span`` bounds a posting row at ~span doc ids.
+
+    ``with_lengths=True`` additionally emits one doc-length row per
+    bucket with ``term`` NULL, ``tfs`` holding each doc's token count
+    and ``df`` the bucket's doc count — the norms sidecar ``bm25_topk``
+    needs, riding the same fold (each doc lives in exactly one batch,
+    so per-batch lengths are final; the NULL-term group per bucket
+    merges them)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_col, text_col]))
-        out = (
+        toks = (
             df.with_columns(
                 pl.col(text_col)
                 .fill_null("")
@@ -70,14 +78,27 @@ def build_inverted_index(
             .drop(text_col)
             .explode("term")
             .drop_nulls("term")
-            .group_by([id_col, "term"])
+        )
+        out = (
+            toks.group_by([id_col, "term"])
             .agg(pl.len().cast(pl.Int64).alias("tf"))
             .with_columns(
                 (pl.col(id_col) // bucket_span).cast(pl.Int64).alias("bucket")
             )
             .rename({id_col: "doc"})
-        )
-        return out.select(["term", "bucket", "doc", "tf"]).to_arrow().cast(
+        ).select(["term", "bucket", "doc", "tf"])
+        if with_lengths:
+            lens = (
+                toks.group_by(id_col)
+                .agg(pl.len().cast(pl.Int64).alias("tf"))
+                .with_columns(
+                    pl.lit(None, dtype=pl.String).alias("term"),
+                    (pl.col(id_col) // bucket_span).cast(pl.Int64).alias("bucket"),
+                )
+                .rename({id_col: "doc"})
+            ).select(["term", "bucket", "doc", "tf"])
+            out = pl.concat([out, lens])
+        return out.to_arrow().cast(
             pa.schema(
                 [
                     ("term", pa.string()),
@@ -170,4 +191,130 @@ def conjunctive_search(index, terms: list[str], id_name: str = "doc_id"):
         index.map_batches(keep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(probe, batch_format="pyarrow")
+    )
+
+
+def bm25_topk(
+    index,
+    terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_name: str = "doc_id",
+) -> pa.Table:
+    """Disjunctive BM25 top-k over an index built ``with_lengths=True``:
+    ``(rank, doc_id, score)`` for the k best docs matching >=1 term.
+
+    Shape: the index is materialized once (three consumers — corpus
+    stats, per-term df, scoring — would otherwise re-tokenize the whole
+    corpus per pass); stats and df folds move one tiny row per bucket /
+    term; scoring filters posting rows to the probe terms + the NULL
+    length rows and runs per-bucket (distributed, bounded), keeping a
+    k-row partial per bucket so the driver fold sees <= k * n_buckets
+    rows — the knn top-k pattern.
+
+    Score parity: Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))
+    (never negative), computed ONCE per term with math.log; the
+    doc-side factor is pure rational float64 arithmetic whose
+    expression tree matches SQL_BM25 token for token, and per-term
+    contributions are added left-to-right in query order with 0.0 for
+    non-matches (= the oracle's coalesce chain) — IEEE-correctly-
+    rounded ops make the scores bit-identical to DuckDB's, so the
+    driver may hash the float column."""
+    import math
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    tset = pa.array(terms, pa.string())
+    idx = index.materialize()
+
+    def bucket_stats(batch: pa.Table) -> pa.Table:
+        lens = batch.filter(pc.is_null(batch["term"]))
+        n = pc.sum(lens["df"]).as_py() or 0
+        tok = pc.sum(pc.list_flatten(lens["tfs"])).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64()), "tok": pa.array([tok], pa.int64())})
+
+    stats = idx.map_batches(bucket_stats, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in stats)
+    tot_tokens = sum(r["tok"] for r in stats)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: index has no length rows — build with with_lengths=True")
+    avg = tot_tokens / n_docs
+
+    from ray.data.aggregate import Sum
+
+    df_rows = idx.map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=tset)).select(
+            ["term", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+    dfs = {
+        r["term"]: r["df"]
+        for r in df_rows.groupby("term").aggregate(Sum("df", alias_name="df")).take_all()
+    }
+    idfs = [
+        math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in terms
+    ]
+
+    part_schema = pa.schema([(id_name, pa.int64()), ("score", pa.float64())])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.or_kleene(
+            pc.is_in(batch["term"], value_set=tset), pc.is_null(batch["term"])
+        )
+        return batch.filter(pc.fill_null(m, False))
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        docs = dls = None
+        post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row in range(g.num_rows):
+            t = g["term"][row].as_py()
+            p = np.asarray(g["postings"][row].as_py(), np.int64)
+            f = np.asarray(g["tfs"][row].as_py(), np.float64)
+            if t is None:
+                docs, dls = p, f
+            else:
+                post[t] = (p, f)
+        if docs is None or not post:
+            return part_schema.empty_table()
+        n = len(docs)
+        norm = k1 * ((1.0 - b) + (b * dls) / avg)
+        score = np.zeros(n)
+        matched = np.zeros(n, bool)
+        for t, idf in zip(terms, idfs):
+            c = np.zeros(n)
+            if t in post:
+                p, f = post[t]
+                pos = np.searchsorted(docs, p)
+                c[pos] = idf * ((f * (k1 + 1.0)) / (f + norm[pos]))
+                matched[pos] = True
+            score = score + c
+        sel = np.flatnonzero(matched)
+        if not len(sel):
+            return part_schema.empty_table()
+        order = sel[np.lexsort((docs[sel], -score[sel]))][:k]
+        return pa.table(
+            {id_name: docs[order], "score": score[order]}, schema=part_schema
+        )
+
+    partials = (
+        idx.map_batches(keep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    top = (
+        pl.from_arrow(pa.Table.from_pylist(partials, schema=part_schema))
+        .sort(["score", id_name], descending=[True, False], nulls_last=True)
+        .head(k)
+        .with_row_index("rank", offset=1)
+        .select(["rank", id_name, "score"])
+    )
+    return top.to_arrow().cast(
+        pa.schema(
+            [("rank", pa.int64()), (id_name, pa.int64()), ("score", pa.float64())]
+        )
     )

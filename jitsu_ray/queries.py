@@ -2982,6 +2982,61 @@ ORDER BY a.doc_id
 """
 
 
+def q_bm25_topk(sf_dir: str):
+    """Disjunctive BM25 top-50 ranked retrieval (ops/search.bm25_topk)
+    over the bucketed inverted index with its NULL-term doc-length
+    sidecar rows. Float-hash parity is engineered, not hoped for: the
+    Lucene-style idf is ln-based but computed once per term, and every
+    doc-side factor is a rational float64 expression whose tree matches
+    SQL_BM25 token for token, with per-term contributions added in
+    fixed query order (see the operator docstring)."""
+    from .ops.search import bm25_topk, build_inverted_index
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = build_inverted_index(
+        ds, "doc_id", "text", bucket_span=200, with_lengths=True
+    )
+    return bm25_topk(idx, ["merge", "window", "scan"], k=50)
+
+
+SQL_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id, t),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+dfreq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+  WHERE t IN ('merge', 'window', 'scan') GROUP BY t
+),
+contrib AS (
+  -- e-notation literals force DOUBLE: a bare 1.2 parses as DECIMAL(2,1),
+  -- making tf.n * (1.2 + 1.0) EXACT decimal arithmetic that lands 1 ULP
+  -- off the engine's float64 multiply (measured on this host)
+  SELECT tf.doc_id, tf.t,
+         ln(1.0e0 + (st.nd - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+           * ((tf.n * (1.2e0 + 1.0e0))
+              / (tf.n + 1.2e0 * ((1.0e0 - 0.75e0) + (0.75e0 * dl.dl) / (st.tot / st.nd)))) AS s
+  FROM tf JOIN dfreq ON tf.t = dfreq.t
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+),
+scored AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN t = 'merge' THEN s END), 0.0e0)
+         + coalesce(max(CASE WHEN t = 'window' THEN s END), 0.0e0)
+         + coalesce(max(CASE WHEN t = 'scan' THEN s END), 0.0e0) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
 def q_term_doc_freq(sf_dir: str):
     """Global per-term document frequency off the inverted index:
     bucket-local df partials are mergeable by construction (each doc
@@ -3408,6 +3463,7 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "inverted_search": q_inverted_search,
     "term_doc_freq": q_term_doc_freq,
+    "bm25_topk": q_bm25_topk,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -3485,6 +3541,7 @@ ORACLES = {
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "inverted_search": SQL_INVERTED_SEARCH,
     "term_doc_freq": SQL_TERM_DF,
+    "bm25_topk": SQL_BM25,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

@@ -2076,3 +2076,52 @@ def test_inverted_index_and_conjunctive_search(ray_session):
 
     with _pytest.raises(ValueError, match="at least one term"):
         conjunctive_search(idx, [])
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+    import random
+
+    import ray.data
+
+    from jitsu_ray.ops.search import bm25_topk, build_inverted_index
+
+    rnd = random.Random(42)
+    vocab = ["ant", "bee", "cat", "dog", "emu", "fox"]
+    texts = [" ".join(rnd.choices(vocab, k=rnd.randrange(1, 15))) for _ in range(60)]
+    texts[7] = ""  # empty doc: excluded from N and never matches
+    tbl = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}
+    )
+    idx = build_inverted_index(
+        ray.data.from_arrow(tbl), "doc_id", "text", bucket_span=16, with_lengths=True
+    )
+    terms, k1, b = ["cat", "dog"], 1.2, 0.75
+    got = bm25_topk(idx, terms, k=10)
+
+    # brute force over rows
+    toks = [t.split() for t in texts]
+    docs = [i for i in range(60) if toks[i]]
+    n, avg = len(docs), sum(len(toks[i]) for i in docs) / len(docs)
+    score = {}
+    for i in docs:
+        s = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            if tf:
+                df = sum(1 for j in docs if t in toks[j])
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * len(toks[i])) / avg)))
+        if any(t in toks[i] for t in terms):
+            score[i] = s
+    exp = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = sorted(got.to_pylist(), key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["score"]) for r in rows] == exp
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+
+    import pytest as _pytest
+
+    # index without length rows must refuse, not mis-score
+    bare = build_inverted_index(ray.data.from_arrow(tbl), "doc_id", "text", bucket_span=16)
+    with _pytest.raises(ValueError, match="with_lengths"):
+        bm25_topk(bare, ["cat"], k=5)
