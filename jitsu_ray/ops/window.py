@@ -465,3 +465,137 @@ def scd2_history(
         .groupby("__shard")
         .map_groups(versions_shard, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(ds, key_col: str, ts_col: str,
+                      period_seconds: int = 7 * 86400, num_shards: int = 32):
+    """Cohort retention matrix: cohort = each key's FIRST activity
+    period (epoch // period_seconds), offset = periods since cohort,
+    n_active = distinct keys from that cohort active at that offset.
+    Rows with a null key or null timestamp are dropped (a cohort needs
+    both). One row per (cohort_period, period_offset).
+
+    ONE key-hash shuffle total: a key lives in exactly one shard, so a
+    shard's per-(cohort, offset) distinct-key counts are DISJOINT
+    partials, and the global fold is a tiny Sum groupby over at most
+    shards x cohorts x offsets rows — the distinct never reshuffles.
+    Partitioning assumption: one shard's events fit one task (raise
+    num_shards for skewed key spaces)."""
+    from ..util import hash_mod_column
+
+    period_us = period_seconds * 1_000_000
+    out_schema = pa.schema(
+        [
+            ("cohort_period", pa.int64()),
+            ("period_offset", pa.int64()),
+            ("n_active", pa.int64()),
+        ]
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        )
+        sh = hash_mod_column(
+            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
+        )
+        return batch.append_column("__shard", sh)
+
+    def cohorts_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select([key_col, ts_col]))
+        out = (
+            df.with_columns(
+                (pl.col(ts_col).cast(pl.Int64) // period_us).alias("__per")
+            )
+            .with_columns(pl.col("__per").min().over(key_col).alias("cohort_period"))
+            .select(
+                key_col,
+                "cohort_period",
+                (pl.col("__per") - pl.col("cohort_period")).alias("period_offset"),
+            )
+            .unique()
+            .group_by(["cohort_period", "period_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("n_active"))
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(cohorts_shard, batch_format="pyarrow")
+        .groupby(["cohort_period", "period_offset"])
+        .aggregate(Sum("n_active", alias_name="n_active"))
+    )
+
+
+def top_event_paths(ds, key_col: str, ts_col: str, event_col: str,
+                    path_len: int = 5, k: int = 20, sep: str = " > ",
+                    tiebreak_col: str | None = None, num_shards: int = 32):
+    """Most common event journeys: per key, the first ``path_len``
+    events ordered by (ts, tiebreak) joined into a path string; returns
+    the top ``k`` paths by distinct-key count as an Arrow table
+    ``(path, n_users)`` ordered (n DESC, path ASC). Null keys/ts drop.
+
+    Same one-shuffle shape as retention_cohorts: a key's whole history
+    lands in one shard, so its path is computed exactly once and
+    per-path counts are addable partials; the global fold is a small
+    path groupby + per-block partial top-k with a driver fold of the
+    tiny partials (vocab_top20 pattern)."""
+    from ..util import hash_mod_column
+
+    def shard(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        )
+        sh = hash_mod_column(
+            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
+        )
+        return batch.append_column("__shard", sh)
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def paths_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        out = (
+            df.sort([key_col] + order)
+            .with_columns(pl.col(ts_col).cum_count().over(key_col).alias("__rn"))
+            .filter(pl.col("__rn") <= path_len)
+            .group_by(key_col, maintain_order=True)
+            .agg(pl.col(event_col).str.join(sep).alias("path"))
+            .group_by("path")
+            .agg(pl.len().cast(pl.Int64).alias("n_users"))
+        )
+        return out.select(["path", "n_users"]).to_arrow().cast(
+            pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+        )
+
+    counts = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(paths_shard, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .sort(["n_users", "path"], descending=[True, False], nulls_last=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    partials = counts.map_batches(block_topk, batch_format="pyarrow").take_all()
+    final = (
+        pl.from_arrow(
+            pa.Table.from_pylist(
+                partials,
+                schema=pa.schema([("path", pa.string()), ("n_users", pa.int64())]),
+            )
+        )
+        .sort(["n_users", "path"], descending=[True, False], nulls_last=True)
+        .head(k)
+    )
+    return final.to_arrow().cast(
+        pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+    )

@@ -2982,6 +2982,64 @@ ORDER BY a.doc_id
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (ops/window.retention_cohorts):
+    cohort = a user's first-activity week (epoch-floored), n_active =
+    distinct users of that cohort active k weeks later. ONE user-hash
+    shuffle; per-shard distinct counts are disjoint partials so the
+    global fold is a tiny Sum groupby — the distinct never reshuffles."""
+    from .ops.window import retention_cohorts
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return retention_cohorts(ds, "user_id", "ts", period_seconds=7 * 86400).sort(
+        ["cohort_period", "period_offset"]
+    )
+
+
+SQL_RETENTION = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS per FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id)
+SELECT c.cohort AS cohort_period, p.per - c.cohort AS period_offset,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_event_paths(sf_dir: str):
+    """Most common 5-step user journeys (ops/window.top_event_paths):
+    per user, the first five events by (ts, event_id) joined ' > ';
+    top-20 paths by user count. Whole-history-per-shard makes per-path
+    counts addable partials; final cut is the vocab_top20 partial-top-k
+    fold with total order (n DESC, path ASC)."""
+    from .ops.window import top_event_paths
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return top_event_paths(
+        ds, "user_id", "ts", "event_type", path_len=5, k=20, tiebreak_col="event_id"
+    )
+
+
+SQL_TOP_PATHS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM e WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+"""
+
+
 def q_bm25_topk(sf_dir: str):
     """Disjunctive BM25 top-50 ranked retrieval (ops/search.bm25_topk)
     over the bucketed inverted index with its NULL-term doc-length
@@ -3464,6 +3522,8 @@ QUERIES = {
     "inverted_search": q_inverted_search,
     "term_doc_freq": q_term_doc_freq,
     "bm25_topk": q_bm25_topk,
+    "retention_cohorts": q_retention_cohorts,
+    "top_event_paths": q_top_event_paths,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -3542,6 +3602,8 @@ ORACLES = {
     "inverted_search": SQL_INVERTED_SEARCH,
     "term_doc_freq": SQL_TERM_DF,
     "bm25_topk": SQL_BM25,
+    "retention_cohorts": SQL_RETENTION,
+    "top_event_paths": SQL_TOP_PATHS,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

@@ -2125,3 +2125,51 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     bare = build_inverted_index(ray.data.from_arrow(tbl), "doc_id", "text", bucket_span=16)
     with _pytest.raises(ValueError, match="with_lengths"):
         bm25_topk(bare, ["cat"], k=5)
+
+
+def test_retention_cohorts_and_top_paths(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from jitsu_ray.ops.window import retention_cohorts, top_event_paths
+
+    D = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    # u1 cohort week0 active weeks {0,0,1}; u2 cohort week0 active {0,2};
+    # u3 cohort week1; null key + null ts rows must drop
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(9), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, None, 4, 1], pa.int64()),
+            "ts": pa.array(
+                [D(1), D(2), D(9), D(3), D(16), D(10), D(1), None, D(1, 5)],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(list("abcdefgha")),
+        }
+    )
+    for shards in (1, 8):  # shard-count invariance
+        got = {
+            (r["cohort_period"], r["period_offset"]): r["n_active"]
+            for r in retention_cohorts(
+                ray.data.from_arrow(tbl), "user_id", "ts", num_shards=shards
+            ).take_all()
+        }
+        # epoch week of 2024-01-01..07 = 2817; u1,u2 cohort 2817; u3 2818
+        assert got == {(2817, 0): 2, (2817, 1): 1, (2817, 2): 1, (2818, 0): 1}
+
+    paths = top_event_paths(
+        ray.data.from_arrow(tbl),
+        "user_id",
+        "ts",
+        "event_type",
+        path_len=2,
+        k=10,
+        tiebreak_col="event_id",
+    ).to_pylist()
+    # u1 first-2 by (ts,event_id): a@D1 then a@D1h5 ("a > a"); u2 "d > e"; u3 "f"
+    assert paths == [
+        {"path": "a > a", "n_users": 1},
+        {"path": "d > e", "n_users": 1},
+        {"path": "f", "n_users": 1},
+    ]
