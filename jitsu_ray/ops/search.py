@@ -53,6 +53,7 @@ def build_inverted_index(
     bucket_span: int = 100_000,
     token_pattern: str = r"\S+",
     with_lengths: bool = False,
+    ngram: int = 1,
 ):
     """Dataset of posting rows ``(term, bucket, postings, tfs, df)``
     with ``postings`` sorted ascending within the bucket and ``df`` the
@@ -64,7 +65,11 @@ def build_inverted_index(
     and ``df`` the bucket's doc count — the norms sidecar ``bm25_topk``
     needs, riding the same fold (each doc lives in exactly one batch,
     so per-batch lengths are final; the NULL-term group per bucket
-    merges them)."""
+    merges them).
+
+    ``ngram > 1`` indexes space-joined word n-grams instead of single
+    words (the biword index ``phrase_search`` probes); lengths then
+    count n-grams, consistently."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_col, text_col]))
@@ -79,6 +84,16 @@ def build_inverted_index(
             .explode("term")
             .drop_nulls("term")
         )
+        if ngram > 1:
+            # rows of a doc are consecutive and in token order after
+            # explode; shifted windows over the doc build the grams and
+            # concat_str's null propagation drops the incomplete tail
+            parts = [pl.col("term")] + [
+                pl.col("term").shift(-i).over(id_col) for i in range(1, ngram)
+            ]
+            toks = toks.with_columns(
+                pl.concat_str(parts, separator=" ").alias("term")
+            ).drop_nulls("term")
         out = (
             toks.group_by([id_col, "term"])
             .agg(pl.len().cast(pl.Int64).alias("tf"))
@@ -187,11 +202,88 @@ def conjunctive_search(index, terms: list[str], id_name: str = "doc_id"):
             {id_name: common, **dict(zip(cols, gathered))}, schema=out_schema
         )
 
-    return (
+    import ray.data
+
+    out = (
         index.map_batches(keep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
+    # a no-hit probe leaves a zero-block Dataset with NO schema; one
+    # typed empty block keeps downstream selects/sorts schema-stable
+    return out.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+def phrase_search(
+    ds,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_span: int = 100_000,
+    token_pattern: str = r"\S+",
+    broadcast_limit_bytes: int = 64 << 20,
+):
+    """Exact phrase match: Dataset of ``(id_col,)`` for docs whose
+    token stream contains the phrase's words CONSECUTIVELY.
+
+    Biword plan: a bigram (word-pair) index narrows to docs containing
+    every phrase bigram — already exact for 1-2 word phrases; longer
+    phrases get one vectorized verify pass over the candidates' own
+    token streams (bigram conjunction admits 'a b ... b c' without
+    'a b c'). The candidate handoff is size-routed like
+    dedup.candidate_doc_ids: a sorted-id broadcast filter under the
+    byte budget, a bucket hash join above it — never an unguarded
+    driver materialization of a hot phrase's candidate set."""
+    from ..ops.join import bucket_hash_join, semi_anti_filter
+
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase_search needs at least one word")
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    if len(words) == 1:
+        idx = build_inverted_index(
+            docs, id_col, text_col, bucket_span, token_pattern
+        )
+        hits = conjunctive_search(idx, words, id_name=id_col)
+    else:
+        idx = build_inverted_index(
+            docs, id_col, text_col, bucket_span, token_pattern, ngram=2
+        )
+        bigrams = [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+        hits = conjunctive_search(idx, bigrams, id_name=id_col)
+    cand = hits.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    if len(words) <= 2:
+        return cand
+
+    needle = " " + " ".join(words) + " "
+
+    def verify(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        keep = df.filter(
+            (
+                " "
+                + pl.col(text_col)
+                .fill_null("")
+                .str.extract_all(token_pattern)
+                .list.join(" ")
+                + " "
+            ).str.contains(needle, literal=True)
+        )
+        return keep.select([id_col]).to_arrow().cast(
+            pa.schema([batch.schema.field(id_col)])
+        )
+
+    n_cand = cand.count()
+    if n_cand * 16 <= broadcast_limit_bytes:
+        ids = pa.array(sorted(cand.unique(id_col)), pa.int64())
+        matched = semi_anti_filter(docs, ids, id_col)
+    else:
+        matched = bucket_hash_join(docs, cand, id_col, id_col, how="inner")
+    return matched.map_batches(verify, batch_format="pyarrow")
 
 
 def bm25_topk(

@@ -2982,6 +2982,30 @@ ORDER BY a.doc_id
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact 3-word phrase match (ops/search.phrase_search): a biword
+    (bigram) inverted index narrows to docs with both phrase bigrams,
+    then one vectorized token-stream verify pass over the size-routed
+    candidates rejects the 'a b ... b c' false positives bigram
+    conjunction admits. Oracle: contains() over the space-rejoined
+    token stream."""
+    from .ops.search import phrase_search
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return phrase_search(ds, "join part filter", bucket_span=200).sort("doc_id")
+
+
+SQL_PHRASE = r"""
+SELECT doc_id FROM documents
+WHERE contains(
+  ' ' || array_to_string(
+           list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                       x -> x <> ''), ' ') || ' ',
+  ' join part filter ')
+ORDER BY doc_id
+"""
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention matrix (ops/window.retention_cohorts):
     cohort = a user's first-activity week (epoch-floored), n_active =
@@ -3524,6 +3548,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "retention_cohorts": q_retention_cohorts,
     "top_event_paths": q_top_event_paths,
+    "phrase_search": q_phrase_search,
     "doc_sample": q_doc_sample,
     "chunk_docs": q_chunk_docs,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -3604,6 +3629,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25,
     "retention_cohorts": SQL_RETENTION,
     "top_event_paths": SQL_TOP_PATHS,
+    "phrase_search": SQL_PHRASE,
     "doc_sample": SQL_DOC_SAMPLE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "top_docs_per_lang": SQL_TOP_PER_LANG,

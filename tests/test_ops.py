@@ -2173,3 +2173,63 @@ def test_retention_cohorts_and_top_paths(ray_session):
         {"path": "d > e", "n_users": 1},
         {"path": "f", "n_users": 1},
     ]
+
+
+def test_phrase_search_exact_consecutive(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import phrase_search
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [
+                    "x a b c y",      # match
+                    "a b q b c",      # bigram false positive: 'a b ... b c'
+                    "a b",            # incomplete phrase
+                    "c b a",          # reversed
+                    "a  b \t c",      # whitespace runs still tokenize to a b c
+                    None,
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(r["doc_id"] for r in phrase_search(ds, "a b c", bucket_span=2).take_all())
+    assert got == [0, 4]
+    # 2-word phrase: the bigram index IS exact, no verify pass
+    got2 = sorted(r["doc_id"] for r in phrase_search(ds, "b c", bucket_span=2).take_all())
+    assert got2 == [0, 1, 4]
+    # 1-word phrase: unigram lookup
+    got1 = sorted(r["doc_id"] for r in phrase_search(ds, "q", bucket_span=2).take_all())
+    assert got1 == [1]
+    # forced join path (budget 0) must agree with the broadcast path
+    gotj = sorted(
+        r["doc_id"]
+        for r in phrase_search(
+            ds, "a b c", bucket_span=2, broadcast_limit_bytes=0
+        ).take_all()
+    )
+    assert gotj == [0, 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one word"):
+        phrase_search(ds, "   ")
+
+
+def test_conjunctive_search_empty_keeps_schema(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import build_inverted_index, conjunctive_search
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["only this"])}
+    )
+    idx = build_inverted_index(ray.data.from_arrow(tbl), "doc_id", "text")
+    out = conjunctive_search(idx, ["absent"])
+    # schema must survive the empty probe (Ray's sort still drops it on a
+    # fully-empty dataset, so callers sort AFTER checking hits)
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == ["doc_id", "tf_absent"]
