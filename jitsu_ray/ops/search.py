@@ -20,10 +20,12 @@ contamination spot-checks). Ray-Data-first design:
 - ``term_df``: global document frequency = a Sum fold of the bucket-
   local ``df`` column (mergeable by construction).
 
-Tokenization matches q_vocab_top20's ``\\S+`` extraction so one SQL
-oracle family (``string_split_regex('\\s+')``) covers both; the Rust-
-regex-vs-RE2 Unicode-whitespace caveat documented there applies here
-too (identical on ASCII corpora).
+Tokenization: the default ``token_pattern`` is the EXPLICIT complement
+class ``[^ \\t\\n\\f\\r]+`` — the exact Rust-regex twin of splitting on
+RE2's ASCII ``\\s+`` (measured: RE2 ``\\s`` is ``[\\t\\n\\f\\r ]``, NO
+``\\v`` and no Unicode spaces, while Rust ``\\S`` would also break on
+NBSP/U+2028...), so the ``string_split_regex('\\s+')`` SQL oracle
+family matches on ANY input, not just ASCII corpora.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def build_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 100_000,
-    token_pattern: str = r"\S+",
+    token_pattern: str = r"[^ \t\n\f\r]+",
     with_lengths: bool = False,
     ngram: int = 1,
 ):
@@ -147,10 +149,16 @@ def build_inverted_index(
 def term_df(index):
     """Global per-term document frequency as a Dataset ``(term, df)``:
     Sum of the mergeable bucket-local df partials. Stays distributed —
-    a 100-TB corpus has a vocabulary far larger than driver memory."""
+    a 100-TB corpus has a vocabulary far larger than driver memory.
+    NULL-term doc-length sidecar rows (``with_lengths=True`` indexes)
+    are excluded — they would otherwise surface as a phantom vocabulary
+    entry whose df is the corpus doc count."""
     from ray.data.aggregate import Sum
 
-    return index.groupby("term").aggregate(Sum("df", alias_name="df"))
+    reals = index.map_batches(
+        lambda t: t.filter(pc.is_valid(t["term"])), batch_format="pyarrow"
+    )
+    return reals.groupby("term").aggregate(Sum("df", alias_name="df"))
 
 
 def _tf_col(term: str) -> str:
@@ -220,7 +228,7 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 100_000,
-    token_pattern: str = r"\S+",
+    token_pattern: str = r"[^ \t\n\f\r]+",
     broadcast_limit_bytes: int = 64 << 20,
 ):
     """Exact phrase match: Dataset of ``(id_col,)`` for docs whose
@@ -258,6 +266,10 @@ def phrase_search(
     )
     if len(words) <= 2:
         return cand
+    # two consumers below (count + filter/join) — without this pin the
+    # whole tokenize+shuffle chain would re-execute for each; bounded by
+    # docs containing every phrase bigram, spillable
+    cand = cand.materialize()
 
     needle = " " + " ".join(words) + " "
 

@@ -29,6 +29,30 @@ def _floor_div(arr, divisor: int):
     return pc.subtract(q, adj)
 
 
+def _shard_stage(key_cols: list[str], num_shards: int,
+                 require_valid: list[str] | None = None,
+                 keep: list[str] | None = None):
+    """The shared first half of every key-sharded operator here: a
+    map_batches stage appending ``__shard`` = xxhash(keys) % num_shards
+    (value-only hash — column names don't affect it). ``require_valid``
+    drops rows where any listed column is null BEFORE hashing; ``keep``
+    projects the batch after hashing."""
+    from ..util import hash_mod_column
+
+    def shard(batch: pa.Table) -> pa.Table:
+        if require_valid:
+            m = pc.is_valid(batch[require_valid[0]])
+            for c in require_valid[1:]:
+                m = pc.and_(m, pc.is_valid(batch[c]))
+            batch = batch.filter(m)
+        sh = hash_mod_column(batch, key_cols, num_shards)
+        if keep:
+            batch = batch.select(keep)
+        return batch.append_column("__shard", sh)
+
+    return shard
+
+
 def _seconds_to_window_start(batch: pa.Table) -> pa.Table:
     """Post-aggregate fixup: epoch-seconds ``__ws`` -> ``window_start``
     timestamp[us] (aggregate-sized input; see tumbling_aggregate)."""
@@ -238,11 +262,7 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
         raise ValueError("fns including 'rolling_value' requires rolling_k >= 1")
     keep = [key_col, *order_cols, value_col]
 
-    def shard(batch: pa.Table) -> pa.Table:
-        sh = hash_mod_column(
-            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
-        )
-        return batch.select(keep).append_column("__shard", sh)
+    shard = _shard_stage([key_col], num_shards, keep=keep)
 
     def windows_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.select(keep))
@@ -365,13 +385,7 @@ def session_windows(ds, key_col: str, ts_col: str, gap_seconds: int,
     call per key, which pays a Python invocation per group.
     Partitioning assumption: a shard's events fit one task.
     """
-    from ..util import hash_mod_column
-
-    def shard(batch: pa.Table) -> pa.Table:
-        sh = hash_mod_column(
-            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
-        )
-        return batch.append_column("__shard", sh)
+    shard = _shard_stage([key_col], num_shards)
 
     def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col], kind="mergesort")
@@ -440,9 +454,7 @@ def scd2_history(
         attr_cols = [c for c in ds.schema().names if c not in skip]
     keep = [*key_cols, seq_col, *([op_col] if op_col else []), *attr_cols]
 
-    def shard(batch: pa.Table) -> pa.Table:
-        sh = hash_mod_column(batch, key_cols, num_shards)
-        return batch.select(keep).append_column("__shard", sh)
+    shard = _shard_stage(key_cols, num_shards, keep=keep)
 
     def versions_shard(g: pa.Table) -> pa.Table:
         df = (
@@ -481,8 +493,6 @@ def retention_cohorts(ds, key_col: str, ts_col: str,
     shards x cohorts x offsets rows — the distinct never reshuffles.
     Partitioning assumption: one shard's events fit one task (raise
     num_shards for skewed key spaces)."""
-    from ..util import hash_mod_column
-
     period_us = period_seconds * 1_000_000
     out_schema = pa.schema(
         [
@@ -492,14 +502,7 @@ def retention_cohorts(ds, key_col: str, ts_col: str,
         ]
     )
 
-    def shard(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
-        )
-        sh = hash_mod_column(
-            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
-        )
-        return batch.append_column("__shard", sh)
+    shard = _shard_stage([key_col], num_shards, require_valid=[key_col, ts_col])
 
     def cohorts_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.select([key_col, ts_col]))
@@ -541,27 +544,28 @@ def top_event_paths(ds, key_col: str, ts_col: str, event_col: str,
     per-path counts are addable partials; the global fold is a small
     path groupby + per-block partial top-k with a driver fold of the
     tiny partials (vocab_top20 pattern)."""
-    from ..util import hash_mod_column
-
-    def shard(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
-        )
-        sh = hash_mod_column(
-            batch.select([key_col]).rename_columns(["__k"]), ["__k"], num_shards
-        )
-        return batch.append_column("__shard", sh)
+    shard = _shard_stage([key_col], num_shards, require_valid=[key_col, ts_col])
 
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def paths_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g)
         out = (
-            df.sort([key_col] + order)
+            # nulls_last matches SQL ORDER BY on a nullable tiebreak col
+            # (polars defaults nulls FIRST even ascending — CLAUDE.md)
+            df.sort([key_col] + order, nulls_last=True)
             .with_columns(pl.col(ts_col).cum_count().over(key_col).alias("__rn"))
             .filter(pl.col("__rn") <= path_len)
             .group_by(key_col, maintain_order=True)
-            .agg(pl.col(event_col).str.join(sep).alias("path"))
+            .agg(
+                pl.col(event_col).str.join(sep).alias("path"),
+                pl.col(event_col).count().alias("__nn"),
+            )
+            # str.join over an all-null window gives "" but SQL
+            # string_agg gives NULL — pin the NULL semantics
+            .with_columns(
+                pl.when(pl.col("__nn") > 0).then(pl.col("path")).alias("path")
+            )
             .group_by("path")
             .agg(pl.len().cast(pl.Int64).alias("n_users"))
         )

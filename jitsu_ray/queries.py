@@ -2964,7 +2964,10 @@ def q_inverted_search(sf_dir: str):
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     idx = build_inverted_index(ds, "doc_id", "text", bucket_span=200)
-    return conjunctive_search(idx, ["merge", "window", "scan"]).sort("doc_id")
+    hits = conjunctive_search(idx, ["merge", "window", "scan"]).materialize()
+    # Ray's sort drops the schema of a fully-empty dataset; the typed
+    # no-hit result IS the answer then (materialize makes count free)
+    return hits.sort("doc_id") if hits.count() else hits
 
 
 SQL_INVERTED_SEARCH = r"""
@@ -2992,7 +2995,9 @@ def q_phrase_search(sf_dir: str):
     from .ops.search import phrase_search
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return phrase_search(ds, "join part filter", bucket_span=200).sort("doc_id")
+    hits = phrase_search(ds, "join part filter", bucket_span=200).materialize()
+    # see q_inverted_search: sort only a non-empty result (schema-safe)
+    return hits.sort("doc_id") if hits.count() else hits
 
 
 SQL_PHRASE = r"""
@@ -3022,7 +3027,12 @@ def q_retention_cohorts(sf_dir: str):
 
 SQL_RETENTION = """
 WITH p AS (
-  SELECT user_id, epoch_us(ts) // 604800000000 AS per FROM events
+  -- floor(), not //: DuckDB // truncates toward zero while polars //
+  -- floors, so pre-1970 timestamps would land in different periods.
+  -- e-notation keeps the divisor DOUBLE (bare decimals are DECIMAL);
+  -- quotients are ~1e4 so the double division can't cross an integer.
+  SELECT user_id, CAST(floor(epoch_us(ts) / 604800000000.0e0) AS BIGINT) AS per
+  FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 c AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id)

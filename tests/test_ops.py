@@ -2233,3 +2233,72 @@ def test_conjunctive_search_empty_keeps_schema(ray_session):
     # fully-empty dataset, so callers sort AFTER checking hits)
     assert out.count() == 0
     assert [f.name for f in out.schema().base_schema] == ["doc_id", "tf_absent"]
+
+
+def test_retention_pre1970_floor_and_allnull_path(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from jitsu_ray.ops.window import retention_cohorts, top_event_paths
+
+    # pre-epoch timestamps: polars // FLOORS (1969-12-31 -> week -1), and
+    # the SQL oracle was pinned to floor() too (DuckDB // truncates to 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    dt.datetime(1969, 12, 31),  # epoch week -1 under floor
+                    dt.datetime(1970, 1, 2),    # epoch week 0
+                    dt.datetime(1969, 12, 20),  # epoch week -2
+                ],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([None, None, "z"], pa.string()),
+        }
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(
+            ray.data.from_arrow(tbl), "user_id", "ts", num_shards=4
+        ).take_all()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1, (-2, 0): 1}
+
+    # u1's window events are ALL-null -> path must be SQL-NULL, not "";
+    # u2's single non-null event joins normally
+    paths = {r["path"]: r["n_users"] for r in top_event_paths(
+        ray.data.from_arrow(tbl), "user_id", "ts", "event_type",
+        path_len=2, k=10, tiebreak_col="event_id",
+    ).to_pylist()}
+    assert paths == {None: 1, "z": 1}
+
+
+def test_tokenizer_re2_whitespace_parity(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import (
+        build_inverted_index,
+        conjunctive_search,
+        term_df,
+    )
+
+    # RE2 \s is exactly [\t\n\f\r ]: NBSP and \v must stay INSIDE a
+    # token so the default pattern matches string_split_regex('\s+')
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a\u00a0b", "a\x0bb", "a b"]),
+        }
+    )
+    idx = build_inverted_index(
+        ray.data.from_arrow(tbl), "doc_id", "text", with_lengths=True
+    )
+    dfs = {r["term"]: r["df"] for r in term_df(idx).take_all()}
+    # bare "a" appears only in doc 2; the glued forms are whole terms,
+    # and the NULL-term lengths sidecar never leaks into the vocabulary
+    assert dfs == {"a": 1, "b": 1, "a\u00a0b": 1, "a\x0bb": 1}
+    got = sorted(r["doc_id"] for r in conjunctive_search(idx, ["a"]).take_all())
+    assert got == [2]
