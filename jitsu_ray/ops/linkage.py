@@ -92,13 +92,15 @@ def levenshtein_pairs(
     la, lb = lens[ai], lens[bi]
     lamax = int(la.max())
     lbmax = int(lb.max())
-    jj = np.arange(lbmax + 1, dtype=np.int64)
+    # int32 DP cells: distances are bounded by name length, and the
+    # (pairs, Lb) temporaries are the verify task's peak memory
+    jj = np.arange(lbmax + 1, dtype=np.int32)
     dp = np.tile(jj, (P, 1))  # row 0: distance from empty prefix = j
-    res = lb.copy()  # pairs with la == 0
-    Bv = B[:, :lbmax].astype(np.int64) if lbmax else B[:, :0].astype(np.int64)
+    res = lb.astype(np.int64)  # pairs with la == 0
+    Bv = B[:, :lbmax].astype(np.int32) if lbmax else B[:, :0].astype(np.int32)
     for i in range(1, lamax + 1):
-        ca = A[:, i - 1].astype(np.int64)
-        cost = (Bv != ca[:, None]).astype(np.int64)
+        ca = A[:, i - 1].astype(np.int32)
+        cost = (Bv != ca[:, None]).astype(np.int32)
         m = np.empty_like(dp)
         m[:, 0] = i
         np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost, out=m[:, 1:])
@@ -184,7 +186,10 @@ def record_linkage(
     block_pattern: str = r"([^ ]+)$",
     max_dist: int = 2,
     block_cap: int = 10_000,
-    pair_chunk: int = 2_000_000,
+    # bounds the (pairs, Lb+1) DP temporaries: ~250k pairs x 31 cols x
+    # 4 B x ~5 arrays ~ 150 MB peak per verify task, safe at default
+    # task concurrency (2M would be ~1.2 GB and OOM-prone)
+    pair_chunk: int = 250_000,
     distance_level: str = "codepoint",
     broadcast_limit_bytes: int = 64 << 20,
     driver_edge_limit: int = 200_000,
@@ -235,7 +240,10 @@ def record_linkage(
             ent[hit] = vals[idx[hit]]
         return pa.table({"name": batch["name"], "entity_id": ent})
 
-    ent_ds = names.map_batches(to_entity, batch_format="pyarrow")
+    # materialize BEFORE the size probe (dedup.verify_pairs convention):
+    # an unmaterialized size_bytes() executes the whole labeling map an
+    # extra time and may return None, mis-routing to the broadcast path
+    ent_ds = names.map_batches(to_entity, batch_format="pyarrow").materialize()
 
     approx_bytes = ent_ds.size_bytes() or 0
     if approx_bytes <= broadcast_limit_bytes:

@@ -7,11 +7,12 @@ contamination spot-checks). Ray-Data-first design:
 - ``build_inverted_index``: one tokenizing combiner pass (per-batch
   polars explode + tf count — each document lives in exactly one input
   row, so per-batch tf counts are already FINAL, no re-aggregation) and
-  ONE shuffle keyed ``(term, bucket)`` where ``bucket = doc_id //
-  bucket_span``. Postings are many bounded rows per term, never one
-  giant list — a stopword's postings spread across buckets, so no
-  single task ever holds a hot term's full docs list (the 100-TB
-  failure mode of term-keyed indexes).
+  ONE shuffle keyed ``hash(term, bucket) % num_shards`` where ``bucket
+  = doc_id // bucket_span``; each shard folds all its (term, bucket)
+  groups in one vectorized polars pass. Postings are many bounded rows
+  per term, never one giant list — a stopword's postings spread across
+  buckets, so no single task ever holds a hot term's full docs list
+  (the 100-TB failure mode of term-keyed indexes).
 - ``conjunctive_search``: filter the index rows to the probe terms
   (tiny), one ``groupby(bucket)`` co-locates each bucket's posting rows
   for all terms, and a vectorized ``np.intersect1d`` chain inside
@@ -37,6 +38,8 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import hash_mod_column
+
 _INDEX_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -56,6 +59,7 @@ def build_inverted_index(
     token_pattern: str = r"[^ \t\n\f\r]+",
     with_lengths: bool = False,
     ngram: int = 1,
+    num_shards: int = 64,
 ):
     """Dataset of posting rows ``(term, bucket, postings, tfs, df)``
     with ``postings`` sorted ascending within the bucket and ``df`` the
@@ -71,7 +75,14 @@ def build_inverted_index(
 
     ``ngram > 1`` indexes space-joined word n-grams instead of single
     words (the biword index ``phrase_search`` probes); lengths then
-    count n-grams, consistently."""
+    count n-grams, consistently.
+
+    ``num_shards`` sizes the posting fold: the shuffle is keyed by a
+    hash shard of ``(term, bucket)`` and each shard folds ALL its
+    groups in ONE vectorized polars pass — never one Python call per
+    vocabulary x bucket group, which would dominate a realistic
+    million-term corpus. Partitioning assumption: one shard's posting
+    rows fit one task (raise num_shards with corpus size)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_col, text_col]))
@@ -115,7 +126,7 @@ def build_inverted_index(
                 .rename({id_col: "doc"})
             ).select(["term", "bucket", "doc", "tf"])
             out = pl.concat([out, lens])
-        return out.to_arrow().cast(
+        tbl = out.to_arrow().cast(
             pa.schema(
                 [
                     ("term", pa.string()),
@@ -125,24 +136,29 @@ def build_inverted_index(
                 ]
             )
         )
-
-    def fold(g: pa.Table) -> pa.Table:
-        df = pl.from_arrow(g).sort("doc")
-        return pa.table(
-            {
-                "term": [df["term"][0]],
-                "bucket": [df["bucket"][0]],
-                "postings": [df["doc"].to_list()],
-                "tfs": [df["tf"].to_list()],
-                "df": [df.height],
-            },
-            schema=_INDEX_SCHEMA,
+        # NULL term hashes like "" here, which extract_all can never
+        # emit, so the lengths sidecar gets its own group per bucket
+        return tbl.append_column(
+            "__shard", hash_mod_column(tbl, ["term", "bucket"], num_shards)
         )
+
+    def fold_shard(g: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(g)
+            .sort("doc")
+            .group_by(["term", "bucket"])  # agg preserves within-group row order
+            .agg(
+                pl.col("doc").alias("postings"),
+                pl.col("tf").alias("tfs"),
+                pl.len().cast(pl.Int64).alias("df"),
+            )
+        )
+        return out.to_arrow().cast(_INDEX_SCHEMA)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["term", "bucket"])
-        .map_groups(fold, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(fold_shard, batch_format="pyarrow")
     )
 
 
@@ -165,19 +181,33 @@ def _tf_col(term: str) -> str:
     return "tf_" + re.sub(r"[^0-9A-Za-z_]", "_", term)
 
 
-def conjunctive_search(index, terms: list[str], id_name: str = "doc_id"):
+def _list_cell(col: pa.ChunkedArray, row: int, dtype) -> np.ndarray:
+    """One posting/tf list as numpy WITHOUT the per-element .as_py()
+    round-trip: ListScalar.values is the underlying Arrow slice."""
+    return np.asarray(col[row].values, dtype=dtype)
+
+
+def conjunctive_search(
+    index, terms: list[str], id_name: str = "doc_id", ids_only: bool = False
+):
     """Docs containing ALL ``terms``: ``(id_name, tf_<term>...)`` rows.
 
     One filter pass over posting rows (only the probe terms survive —
     tiny) + one bucket groupby; per bucket, a sorted ``intersect1d``
     chain narrows to the common docs and gathers each term's tf. Term
-    columns keep the input order; duplicate terms are collapsed."""
+    columns keep the input order; duplicate terms are collapsed.
+
+    ``ids_only=True`` returns just ``(id_name,)`` and skips the tf
+    gather — phrase_search probes arbitrary bigrams whose sanitized
+    tf column names may collide, and never reads the tfs."""
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("conjunctive_search needs at least one term")
-    cols = [_tf_col(t) for t in terms]
-    if len(set(cols)) != len(cols):
-        raise ValueError(f"terms collide after column sanitization: {cols}")
+    cols: list[str] = []
+    if not ids_only:
+        cols = [_tf_col(t) for t in terms]
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"terms collide after column sanitization: {cols}")
     out_schema = pa.schema(
         [(id_name, pa.int64())] + [(c, pa.int64()) for c in cols]
     )
@@ -187,23 +217,24 @@ def conjunctive_search(index, terms: list[str], id_name: str = "doc_id"):
         return batch.filter(pc.is_in(batch["term"], value_set=tset))
 
     def probe(g: pa.Table) -> pa.Table:
-        by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        by_term: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
         for row in range(g.num_rows):
             t = g["term"][row].as_py()
-            docs = np.asarray(g["postings"][row].as_py(), np.int64)
-            tfs = np.asarray(g["tfs"][row].as_py(), np.int64)
+            docs = _list_cell(g["postings"], row, np.int64)
+            tfs = None if ids_only else _list_cell(g["tfs"], row, np.int64)
             by_term[t] = (docs, tfs)
         if len(by_term) < len(terms):
             return out_schema.empty_table()
-        common, gathered = by_term[terms[0]]
-        gathered = [gathered]
+        common, tfs0 = by_term[terms[0]]
+        gathered = [] if ids_only else [tfs0]
         for t in terms[1:]:
             docs, tfs = by_term[t]
             common, ia, ib = np.intersect1d(
                 common, docs, assume_unique=True, return_indices=True
             )
             gathered = [arr[ia] for arr in gathered]
-            gathered.append(tfs[ib])
+            if not ids_only:
+                gathered.append(tfs[ib])
         if not len(common):
             return out_schema.empty_table()
         return pa.table(
@@ -244,7 +275,10 @@ def phrase_search(
     driver materialization of a hot phrase's candidate set."""
     from ..ops.join import bucket_hash_join, semi_anti_filter
 
-    words = phrase.split()
+    # tokenize the phrase with the SAME pattern as the corpus —
+    # str.split() breaks on Unicode whitespace the index keeps inside
+    # tokens, silently missing docs that contain the literal phrase
+    words = re.findall(token_pattern, phrase)
     if not words:
         raise ValueError("phrase_search needs at least one word")
     docs = ds.map_batches(
@@ -254,16 +288,13 @@ def phrase_search(
         idx = build_inverted_index(
             docs, id_col, text_col, bucket_span, token_pattern
         )
-        hits = conjunctive_search(idx, words, id_name=id_col)
+        cand = conjunctive_search(idx, words, id_name=id_col, ids_only=True)
     else:
         idx = build_inverted_index(
             docs, id_col, text_col, bucket_span, token_pattern, ngram=2
         )
         bigrams = [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
-        hits = conjunctive_search(idx, bigrams, id_name=id_col)
-    cand = hits.map_batches(
-        lambda t: t.select([id_col]), batch_format="pyarrow"
-    )
+        cand = conjunctive_search(idx, bigrams, id_name=id_col, ids_only=True)
     if len(words) <= 2:
         return cand
     # two consumers below (count + filter/join) — without this pin the
@@ -376,8 +407,8 @@ def bm25_topk(
         post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for row in range(g.num_rows):
             t = g["term"][row].as_py()
-            p = np.asarray(g["postings"][row].as_py(), np.int64)
-            f = np.asarray(g["tfs"][row].as_py(), np.float64)
+            p = _list_cell(g["postings"], row, np.int64)
+            f = _list_cell(g["tfs"], row, np.float64)
             if t is None:
                 docs, dls = p, f
             else:

@@ -470,7 +470,7 @@ def sketch_vocab_topk(ds, text_col: str, k: int = 20, capacity: int = 4096):
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([text_col]))
         counts = (
-            df.select(pl.col(text_col).fill_null("").str.extract_all(r"\S+").alias("w"))
+            df.select(pl.col(text_col).fill_null("").str.extract_all(r"[^ \t\n\f\r]+").alias("w"))
             .explode("w")
             .drop_nulls("w")
             .group_by("w")

@@ -2867,7 +2867,14 @@ def q_vocab_top20(sf_dir: str):
     def partial_counts(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["text"]))
         out = (
-            df.select(pl.col("text").fill_null("").str.extract_all(r"\S+").alias("w"))
+            df.select(
+                # explicit class = RE2 \s+ split twin (Rust \S also
+                # breaks on NBSP/U+2028; see ops/search module doc)
+                pl.col("text")
+                .fill_null("")
+                .str.extract_all(r"[^ \t\n\f\r]+")
+                .alias("w")
+            )
             .explode("w")
             .drop_nulls("w")
             .group_by("w")
@@ -2903,7 +2910,7 @@ def q_vocab_top20(sf_dir: str):
 
 SQL_VOCAB = r"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
+  SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'), x -> x <> '')) AS w
   FROM documents
 )
 SELECT w AS word, CAST(count(*) AS BIGINT) AS n
@@ -2957,9 +2964,10 @@ def q_inverted_search(sf_dir: str):
     (term, doc-bucket) builds bounded posting rows — a hot term's
     postings spread across buckets so no task holds its full doc list —
     then the probe filters index rows to the three query terms and ANDs
-    sorted postings per bucket with intersect1d. Tokenization shares
-    vocab_top20's \\S+ <-> string_split_regex('\\s+') parity (identical
-    on ASCII corpora; Rust-regex \\s is Unicode, see CLAUDE.md)."""
+    sorted postings per bucket with intersect1d. Tokenization: explicit
+    class [^ \\t\\n\\f\\r]+ <-> string_split_regex('\\s+') with the
+    ASCII-pinned trim(x, ' ') — exact on ANY corpus (bare trim() is
+    Unicode-aware and would strip the NBSP the tokenizer keeps)."""
     from .ops.search import build_inverted_index, conjunctive_search
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -2973,7 +2981,7 @@ def q_inverted_search(sf_dir: str):
 SQL_INVERTED_SEARCH = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+         unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
                             x -> x <> '')) AS t
   FROM documents
 ),
@@ -3004,7 +3012,7 @@ SQL_PHRASE = r"""
 SELECT doc_id FROM documents
 WHERE contains(
   ' ' || array_to_string(
-           list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+           list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
                        x -> x <> ''), ' ') || ' ',
   ' join part filter ')
 ORDER BY doc_id
@@ -3094,7 +3102,7 @@ def q_bm25_topk(sf_dir: str):
 SQL_BM25 = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+         unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
                             x -> x <> '')) AS t
   FROM documents
 ),
@@ -3144,7 +3152,7 @@ def q_term_doc_freq(sf_dir: str):
 SQL_TERM_DF = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+         unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
                             x -> x <> '')) AS t
   FROM documents
 )

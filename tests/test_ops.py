@@ -2302,3 +2302,44 @@ def test_tokenizer_re2_whitespace_parity(ray_session):
     assert dfs == {"a": 1, "b": 1, "a\u00a0b": 1, "a\x0bb": 1}
     got = sorted(r["doc_id"] for r in conjunctive_search(idx, ["a"]).take_all())
     assert got == [2]
+
+
+def test_phrase_search_pattern_consistent_and_collisions(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import conjunctive_search, phrase_search
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "x a b c y",   # contains the literal phrase tokens
+                    "a b c",            # NOT a match: 'a b' is one token
+                    "a.b c a b.c",      # bigram tf-col collision bait
+                    None,
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # the phrase tokenizes with token_pattern, NOT str.split(): NBSP
+    # stays inside the first token so doc 0 matches and doc 1 doesn't
+    got = sorted(
+        r["doc_id"] for r in phrase_search(ds, "a b c", bucket_span=2).take_all()
+    )
+    assert got == [0]
+    # bigrams 'a.b c'/'a b.c' sanitize to the same tf column name; the
+    # ids_only probe must search anyway instead of raising
+    got2 = sorted(
+        r["doc_id"] for r in phrase_search(ds, "a.b c a b.c", bucket_span=2).take_all()
+    )
+    assert got2 == [2]
+
+    # ids_only narrows the schema to just the id column
+    from jitsu_ray.ops.search import build_inverted_index
+
+    idx = build_inverted_index(ds, "doc_id", "text", bucket_span=2)
+    out = conjunctive_search(idx, ["c"], ids_only=True)
+    assert [f.name for f in out.schema().base_schema] == ["doc_id"]
+    assert sorted(r["doc_id"] for r in out.take_all()) == [0, 1, 2]
