@@ -1,0 +1,215 @@
+"""Exact duplicate-SPAN dedup (SURVEY §2.11): substring-level exact
+dedup in the style of Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (ACL 2022) — instead of dropping whole
+near-duplicate documents (ops/dedup.py), find every word n-gram that
+occurs more than once ANYWHERE in the corpus and mark all occurrences
+except the globally first, so repeated boilerplate inside otherwise
+unique documents can be removed. The reference engine has no analog;
+this is a training-data-pipeline operator.
+
+Ray-Data-first shape, two shuffles, no driver state:
+
+1. gram pass — per-batch polars tokenize + positional n-grams (the
+   shifted concat_str trick from ops/search.build_inverted_index),
+   COMBINED per batch to one row per distinct gram with its (doc, pos)
+   occurrence lists, so a batch's repeated boilerplate ships its gram
+   string once; shuffle keyed ``hash(gram) % num_shards``; one
+   vectorized polars pass per shard marks every occurrence after the
+   global first (``ORDER BY doc, pos``) as a duplicate span start.
+2. doc pass — duplicate span starts union'd with the corpus token
+   stream, shuffled ONCE by ``hash(doc) % num_shards``; per shard one
+   polars pass expands starts to covered positions (int_ranges +
+   explode + unique), left-joins coverage onto tokens, and folds per
+   doc: token count, covered-token count, and the md5 of the KEPT
+   (uncovered) token stream — i.e. the document after span removal.
+
+Scale notes: the gram shuffle is the honest cost of exact span dedup —
+bytes ~ distinct-grams-per-batch x gram length (the per-batch combiner
+is what keeps hot boilerplate from amplifying n-fold). At 100-TB scale
+swap the gram string for a 128-bit vectorized fingerprint (two seeded
+xxhash64 columns) to cut shuffle bytes ~5x; the string key is kept here
+because it is collision-free and lets a DuckDB oracle reproduce the
+grouping exactly. Skew: a pathologically hot gram (empty-page
+boilerplate) lands one row PER BATCH in one shard — bounded by batch
+count, not corpus size.
+
+Oracle parity (queries.SQL_DEDUP_SPANS): tokenization is the measured
+RE2-parity pair — explicit class ``[^ \\t\\n\\f\\r]+`` on this side,
+``trim(x, ' ')`` + ``string_split_regex('\\s+')`` + ``<> ''`` filter in
+SQL (bare ``trim()`` is Unicode-aware; see ops/search.py). Positions
+are 1-based to match ``generate_series``; "first" = smallest
+``(doc, pos)``; all-covered docs get a NULL cleaned_md5 exactly like
+``md5(string_agg(...) FILTER ...)`` over zero kept rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow as pa
+
+from ..util import hash_mod_column
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_dup_tokens", pa.int64()),
+        ("cleaned_md5", pa.string()),
+    ]
+)
+
+
+def duplicate_span_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    token_pattern: str = r"[^ \t\n\f\r]+",
+    num_shards: int = 64,
+):
+    """Per-document duplicate-span accounting: Dataset ``(doc_id,
+    n_tokens, n_dup_tokens, cleaned_md5)``, one row per document with
+    >= 1 token. ``n_dup_tokens`` counts token positions covered by at
+    least one duplicated n-gram occurrence (all occurrences of a gram
+    except the corpus-wide first, ordered by (doc, pos)); ``cleaned_md5``
+    is the md5 of the uncovered tokens re-joined with single spaces —
+    the document after span removal — or NULL when every token is
+    covered. Documents shorter than ``n`` tokens contribute no grams
+    but still appear (their spans can never duplicate)."""
+    if n < 1:
+        raise ValueError("duplicate_span_stats needs n >= 1")
+
+    def _tokens(batch: pa.Table) -> pl.DataFrame:
+        return (
+            pl.from_arrow(batch.select([id_col, text_col]))
+            .with_columns(
+                pl.col(text_col)
+                .fill_null("")
+                .str.extract_all(token_pattern)
+                .alias("tok")
+            )
+            .drop(text_col)
+            .explode("tok")
+            .drop_nulls("tok")  # zero-token docs explode to null rows
+            .with_columns(
+                pl.col("tok").cum_count().over(id_col).alias("pos")  # 1-based
+            )
+            .rename({id_col: "doc"})
+        )
+
+    gram_schema = pa.schema(
+        [
+            ("g", pa.string()),
+            ("docs", pa.list_(pa.int64())),
+            ("poss", pa.list_(pa.int64())),
+        ]
+    )
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        parts = [pl.col("tok")] + [
+            pl.col("tok").shift(-i).over("doc") for i in range(1, n)
+        ]
+        grams = (
+            toks.with_columns(pl.concat_str(parts, separator=" ").alias("g"))
+            .drop_nulls("g")  # concat_str null-propagates past doc end
+            .group_by("g")  # batch combiner: gram string ships once
+            .agg(
+                pl.col("doc").alias("docs"),
+                pl.col("pos").cast(pl.Int64).alias("poss"),
+            )
+        )
+        tbl = grams.to_arrow().cast(gram_schema)
+        return tbl.append_column(
+            "__shard", hash_mod_column(tbl, ["g"], num_shards)
+        )
+
+    def mark_shard(g: pa.Table) -> pa.Table:
+        occ = (
+            pl.from_arrow(g)
+            .explode(["docs", "poss"])
+            .rename({"docs": "doc", "poss": "pos"})
+            .sort(["g", "doc", "pos"])
+            .with_columns(pl.col("doc").cum_count().over("g").alias("__rn"))
+            .filter(pl.col("__rn") > 1)  # all but the corpus-wide first
+            .select(["doc", "pos"])
+        )
+        return occ.to_arrow().cast(
+            pa.schema([("doc", pa.int64()), ("pos", pa.int64())])
+        )
+
+    dup_starts = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(mark_shard, batch_format="pyarrow")
+    )
+
+    row_schema = pa.schema(
+        [("doc", pa.int64()), ("pos", pa.int64()), ("tok", pa.string())]
+    )
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        tbl = (
+            _tokens(batch)
+            .select(["doc", pl.col("pos").cast(pl.Int64), "tok"])
+            .to_arrow()
+            .cast(row_schema)
+        )
+        return tbl.append_column(
+            "__shard", hash_mod_column(tbl, ["doc"], num_shards)
+        )
+
+    def start_rows(batch: pa.Table) -> pa.Table:
+        tbl = batch.append_column(
+            "tok", pa.nulls(batch.num_rows, pa.string())
+        ).cast(row_schema)
+        return tbl.append_column(
+            "__shard", hash_mod_column(tbl, ["doc"], num_shards)
+        )
+
+    def fold_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        toks = df.filter(pl.col("tok").is_not_null()).sort(["doc", "pos"])
+        cov = (
+            df.filter(pl.col("tok").is_null())
+            .select(
+                "doc",
+                pl.int_ranges(pl.col("pos"), pl.col("pos") + n).alias("pos"),
+            )
+            .explode("pos")
+            .unique()
+            .with_columns(pl.lit(True).alias("__cov"))
+        )
+        per_doc = (
+            toks.join(cov, on=["doc", "pos"], how="left")
+            .with_columns(pl.col("__cov").fill_null(False))
+            .group_by("doc", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_tokens"),
+                pl.col("__cov").sum().cast(pl.Int64).alias("n_dup_tokens"),
+                pl.col("tok").filter(~pl.col("__cov")).str.join(" ").alias("__kept"),
+                (pl.len() - pl.col("__cov").sum()).alias("__n_kept"),
+            )
+        )
+        kept = per_doc["__kept"].to_list()
+        n_kept = per_doc["__n_kept"].to_list()
+        md5s = [
+            hashlib.md5(s.encode()).hexdigest() if k > 0 else None
+            for s, k in zip(kept, n_kept)
+        ]
+        return pa.table(
+            {
+                "doc_id": per_doc["doc"].to_arrow(),
+                "n_tokens": per_doc["n_tokens"].to_arrow(),
+                "n_dup_tokens": per_doc["n_dup_tokens"].to_arrow(),
+                "cleaned_md5": pa.array(md5s, pa.string()),
+            },
+            schema=_OUT_SCHEMA,
+        )
+
+    rows = ds.map_batches(token_rows, batch_format="pyarrow").union(
+        dup_starts.map_batches(start_rows, batch_format="pyarrow")
+    )
+    return rows.groupby("__shard").map_groups(fold_shard, batch_format="pyarrow")

@@ -3161,6 +3161,55 @@ FROM toks GROUP BY t ORDER BY term
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate-SPAN dedup (ops/spans.duplicate_span_stats, Lee
+    et al. ACL 2022 style): every word 8-gram occurring more than once
+    in the corpus marks all occurrences except the corpus-wide first
+    (ordered by doc, pos); per doc, the covered-token count and the md5
+    of the document AFTER span removal. Two shuffles: gram-keyed (with
+    a per-batch distinct-gram combiner) then doc-keyed."""
+    from .ops.spans import duplicate_span_stats
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, "doc_id", "text", n=8).sort("doc_id")
+
+
+SQL_DEDUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+t AS (
+  SELECT doc_id, i AS pos, words[i] AS tok
+  FROM w, unnest(generate_series(1, len(words))) AS s(i)
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(words[i : i + 7], ' ') AS gram
+  FROM w, unnest(generate_series(1, len(words) - 7)) AS s(i)
+),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM d, unnest(generate_series(pos, pos + 7)) AS s(p)
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(cov.p) AS BIGINT) AS n_dup_tokens,
+       md5(string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (WHERE cov.p IS NULL))
+         AS cleaned_md5
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -3574,6 +3623,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "normalize_docs": q_normalize_docs,
+    "dedup_spans": q_dedup_spans,
 }
 
 ORACLES = {
@@ -3655,6 +3705,7 @@ ORACLES = {
     "kmeans_clusters": SQL_KMEANS,
     "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
     "normalize_docs": SQL_NORMALIZE,
+    "dedup_spans": SQL_DEDUP_SPANS,
 }
 
 

@@ -2343,3 +2343,48 @@ def test_phrase_search_pattern_consistent_and_collisions(ray_session):
     out = conjunctive_search(idx, ["c"], ids_only=True)
     assert [f.name for f in out.schema().base_schema] == ["doc_id"]
     assert sorted(r["doc_id"] for r in out.take_all()) == [0, 1, 2]
+
+
+def test_duplicate_span_stats_semantics(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from jitsu_ray.ops.spans import duplicate_span_stats
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c",    # first everywhere: nothing covered
+                    "a b c",    # both bigrams dup -> fully covered, NULL md5
+                    "x a b y",  # interior dup bigram covers pos 2-3
+                    "z",        # shorter than n: no grams ever
+                    "",         # zero tokens: excluded entirely
+                    "q q q",    # SELF-repeated gram: 2nd occurrence covers 2-3
+                ]
+            ),
+        }
+    )
+    exp = {
+        0: (3, 0, md5("a b c")),
+        1: (3, 3, None),
+        2: (4, 2, md5("x y")),
+        3: (1, 0, md5("z")),
+        5: (3, 2, md5("q")),
+    }
+    for shards in (1, 8):  # shard-count invariance
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_md5"])
+            for r in duplicate_span_stats(
+                ray.data.from_arrow(tbl), n=2, num_shards=shards
+            ).take_all()
+        }
+        assert got == exp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n >= 1"):
+        duplicate_span_stats(ray.data.from_arrow(tbl), n=0)
