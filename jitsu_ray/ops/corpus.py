@@ -251,6 +251,74 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mixture_sample(
+    ds, id_col: str, group_col: str, weights_ppm: dict, budget_rows: int
+):
+    """Corpus MIXTURE assembly: downsample each group so the output
+    approximates ``budget_rows`` rows at the target composition
+    ``weights_ppm`` (parts-per-million per group value, e.g.
+    ``{"en": 500_000, "zh": 200_000}``) — the domain-mixing step where
+    the rates are DERIVED from target weights instead of hand-picked.
+
+    Two stages: one tiny ``groupby(group).count()`` (small-side result,
+    driver-folded), then the stratified_sample id-hash filter with
+    per-group integer thresholds ``min(1e6, budget_rows * w_ppm //
+    count)`` — PURE integer arithmetic so a DuckDB oracle reproduces the
+    thresholds bit-exactly (float rate math would diverge in rounding).
+    Groups absent from ``weights_ppm`` (including a null group) are
+    dropped. Deterministic across runs, cluster sizes and batch
+    boundaries (md5 split-rule family); groups smaller than their
+    target keep everything (threshold capped at 1e6) — re-balancing
+    mass onto under-full groups is a policy choice left to the caller.
+    """
+    if budget_rows < 0:
+        raise ValueError("mixture_sample needs budget_rows >= 0")
+    for g, w in weights_ppm.items():
+        if not (0 <= int(w) <= 1_000_000):
+            raise ValueError(f"weight for {g!r} must be in [0, 1e6] ppm")
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    rates = {
+        g: min(1_000_000, budget_rows * int(w) // counts[g])
+        for g, w in weights_ppm.items()
+        if g in counts and g is not None
+    }
+    return stratified_sample(
+        ds, id_col, group_col, rates, default_pct=0, mod=1_000_000
+    )
+
+
+def cap_per_key(ds, key_col: str, id_col: str, k: int):
+    """Per-key document cap — the hot-host/boilerplate-domain control
+    of web-corpus assembly: keep at most ``k`` rows per ``key_col``,
+    chosen DETERMINISTICALLY as the k smallest ``(md5_lower64(id),
+    id)`` within the key, so the surviving set is a stable pseudo-random
+    sample independent of row order, batch boundaries and cluster size
+    (same md5 split-rule family as hash_sample; SQL twin:
+    ``row_number() OVER (PARTITION BY key ORDER BY
+    md5_number_lower(CAST(id AS VARCHAR)), id) <= k``).
+
+    Shape: per-batch partial top-k (at most k rows per key leave each
+    batch) + ONE key groupby — top_k_per_group's shape, with the hash
+    as an ascending sort key. Null ids hash to NULL and sort last,
+    exactly like the SQL twin's NULLS LAST."""
+    def with_hash(batch: pa.Table) -> pa.Table:
+        # null slots already hash to 0 in hv; the mask makes them NULL
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        col = pa.array(hv, pa.uint64(), mask=null_mask)
+        return batch.append_column("__cap_h", col)
+
+    capped = top_k_per_group(
+        ds.map_batches(with_hash, batch_format="pyarrow"),
+        key_col,
+        k,
+        sort_keys=[("__cap_h", False), (id_col, False)],
+    )
+    return capped.drop_columns(["__cap_h"])
+
+
 def weighted_sample(ds, id_col: str, weight_col: str, k: int):
     """Deterministic weighted sampling WITHOUT replacement, top-k of
     Efraimidis–Spirakis keys: key = u^(1/w) with u = (md5_lower64(id) +

@@ -3210,6 +3210,62 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Corpus mixture assembly (ops/corpus.mixture_sample): downsample
+    each language toward a 200-row corpus at en 50% / zh 20% / de 15% /
+    es 10% / fr 5%. Rates are DERIVED (tiny count groupby -> integer
+    ppm thresholds, bit-exact in SQL) and applied by the shuffle-free
+    md5 id-hash filter, so the draw is reproducible across runs, batch
+    boundaries and cluster sizes."""
+    from .ops.corpus import mixture_sample
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return mixture_sample(
+        ds,
+        "doc_id",
+        "lang",
+        {"en": 500_000, "zh": 200_000, "de": 150_000, "es": 100_000, "fr": 50_000},
+        budget_rows=200,
+    ).sort("doc_id")
+
+
+SQL_MIXTURE = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+w(lang, ppm) AS (VALUES ('en', 500000), ('zh', 200000), ('de', 150000),
+                        ('es', 100000), ('fr', 50000)),
+thr AS (
+  SELECT c.lang, least(1000000, (CAST(200 AS BIGINT) * w.ppm) // c.n) AS t
+  FROM c JOIN w ON c.lang = w.lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < thr.t
+ORDER BY d.doc_id
+"""
+
+
+def q_cap_per_source(sf_dir: str):
+    """Hot-domain capping (ops/corpus.cap_per_key): keep at most 10
+    docs per source, chosen as the 10 smallest (md5(id), id) within the
+    source — a stable pseudo-random survivor set, order- and
+    partitioning-independent. Per-batch partial top-k bounds the
+    shuffle at k rows per (source, batch)."""
+    from .ops.corpus import cap_per_key
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    return cap_per_key(ds, "source", "doc_id", k=10).sort("doc_id")
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -3624,6 +3680,8 @@ QUERIES = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "normalize_docs": q_normalize_docs,
     "dedup_spans": q_dedup_spans,
+    "mixture_sample_docs": q_mixture_sample,
+    "cap_per_source": q_cap_per_source,
 }
 
 ORACLES = {
@@ -3706,6 +3764,8 @@ ORACLES = {
     "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
     "normalize_docs": SQL_NORMALIZE,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "mixture_sample_docs": SQL_MIXTURE,
+    "cap_per_source": SQL_CAP_PER_SOURCE,
 }
 
 

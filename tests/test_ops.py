@@ -2388,3 +2388,58 @@ def test_duplicate_span_stats_semantics(ray_session):
 
     with _pytest.raises(ValueError, match="n >= 1"):
         duplicate_span_stats(ray.data.from_arrow(tbl), n=0)
+
+
+def test_mixture_sample_and_cap_per_key(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import cap_per_key, mixture_sample
+    from jitsu_ray.util import md5_lower64
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(40), pa.int64()),
+            "g": pa.array((["en"] * 30) + (["zh"] * 6) + (["xx"] * 2) + [None, None]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # derived thresholds: en -> 20*500000//30 = 333333 ppm of 30 rows;
+    # zh target 20*.5=10 > 6 rows -> capped, keeps ALL; xx/null dropped
+    got = mixture_sample(
+        ds, "id", "g", {"en": 500_000, "zh": 500_000}, budget_rows=20
+    ).take_all()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert by_g["zh"] == set(range(30, 36))  # under-full group kept whole
+    assert set(by_g) == {"en", "zh"}
+    exp_en = {
+        i for i in range(30) if md5_lower64(str(i)) % 1_000_000 < 333_333
+    }
+    assert by_g["en"] == exp_en
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ppm"):
+        mixture_sample(ds, "id", "g", {"en": 2_000_000}, budget_rows=10)
+    with _pytest.raises(ValueError, match="budget_rows"):
+        mixture_sample(ds, "id", "g", {"en": 1}, budget_rows=-1)
+
+    # cap: 2 survivors per key = the 2 smallest (md5(id), id); null key
+    # is its own group; a null id sorts NULLS LAST like the SQL twin
+    tbl2 = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6, None], pa.int64()),
+            "g": pa.array(["a", "a", "a", "a", None, None, "a"]),
+        }
+    )
+    got2 = cap_per_key(ray.data.from_arrow(tbl2), "g", "id", 2).take_all()
+    by_key = {}
+    for r in got2:
+        by_key.setdefault(r["g"], []).append(r["id"])
+    exp_a = sorted(
+        [1, 2, 3, 4], key=lambda i: (md5_lower64(str(i)), i)
+    )[:2]
+    assert sorted(by_key["a"]) == sorted(exp_a)
+    assert sorted(by_key[None]) == [5, 6]
+    assert None not in by_key["a"]  # null id lost the top-2 to real ids
