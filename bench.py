@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "normalize_docs",
     "entity_resolution",
+    "inverted_search",
+    "bm25_topk",
+    "phrase_search",
+    "retention_cohorts",
+    "top_event_paths",
+    "dedup_spans",
+    "mixture_sample_docs",
+    "cap_per_source",
 ]
 
 

@@ -2443,3 +2443,60 @@ def test_mixture_sample_and_cap_per_key(ray_session):
     assert sorted(by_key["a"]) == sorted(exp_a)
     assert sorted(by_key[None]) == [5, 6]
     assert None not in by_key["a"]  # null id lost the top-2 to real ids
+
+
+def test_duplicate_span_stats_matches_bruteforce(ray_session):
+    import hashlib
+    import random
+    import re
+
+    import ray.data
+
+    from jitsu_ray.ops.spans import duplicate_span_stats
+
+    pat, n = r"[^ \t\n\f\r]+", 3
+    rnd = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rnd.choices(vocab, k=rnd.randrange(0, 12))) for _ in range(40)
+    ]
+    texts[3], texts[9] = None, ""  # nulls/empties excluded
+
+    # pure-Python reference of the all-but-first span semantics
+    toks = {
+        d: re.findall(pat, t) for d, t in enumerate(texts) if t
+    }
+    occ = []
+    for d, ws in toks.items():
+        for i in range(len(ws) - n + 1):
+            occ.append((" ".join(ws[i : i + n]), d, i + 1))
+    seen, cov = set(), {d: set() for d in toks}
+    for g, d, p in sorted(occ):
+        if g in seen:
+            cov[d].update(range(p, p + n))
+        else:
+            seen.add(g)
+    exp = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        kept = [w for i, w in enumerate(ws, 1) if i not in cov[d]]
+        exp[d] = (
+            len(ws),
+            len(cov[d]),
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None,
+        )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_md5"])
+        for r in duplicate_span_stats(ds, n=n, num_shards=8).take_all()
+    }
+    assert got == exp
