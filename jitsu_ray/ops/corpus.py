@@ -276,9 +276,14 @@ def mixture_sample(
     for g, w in weights_ppm.items():
         if not (0 <= int(w) <= 1_000_000):
             raise ValueError(f"weight for {g!r} must be in [0, 1e6] ppm")
+    # the count pass scans ONLY the group column (column-pruned read),
+    # deliberately NOT ds.materialize(): the input is corpus-sized and
+    # pinning it for one tiny count is the wrong trade at scale —
+    # callers whose ds has expensive upstream transforms (not a bare
+    # projected read) should materialize before calling
     counts = {
         r[group_col]: r["count()"]
-        for r in ds.groupby(group_col).count().take_all()
+        for r in ds.select_columns([group_col]).groupby(group_col).count().take_all()
     }
     rates = {
         g: min(1_000_000, budget_rows * int(w) // counts[g])
@@ -304,6 +309,10 @@ def cap_per_key(ds, key_col: str, id_col: str, k: int):
     batch) + ONE key groupby — top_k_per_group's shape, with the hash
     as an ascending sort key. Null ids hash to NULL and sort last,
     exactly like the SQL twin's NULLS LAST."""
+    if k < 1:
+        # polars head(-1) would silently mean "all but the last row"
+        raise ValueError("cap_per_key needs k >= 1")
+
     def with_hash(batch: pa.Table) -> pa.Table:
         # null slots already hash to 0 in hv; the mask makes them NULL
         hv, null_mask = _md5_lower64_column(batch[id_col])

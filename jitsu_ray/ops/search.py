@@ -277,8 +277,10 @@ def phrase_search(
 
     # tokenize the phrase with the SAME pattern as the corpus —
     # str.split() breaks on Unicode whitespace the index keeps inside
-    # tokens, silently missing docs that contain the literal phrase
-    words = re.findall(token_pattern, phrase)
+    # tokens, silently missing docs that contain the literal phrase.
+    # group(0), not findall: findall returns capture-GROUP contents
+    # when the caller's pattern has one, diverging from extract_all
+    words = [m.group(0) for m in re.finditer(token_pattern, phrase)]
     if not words:
         raise ValueError("phrase_search needs at least one word")
     docs = ds.map_batches(

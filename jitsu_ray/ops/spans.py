@@ -183,7 +183,10 @@ def duplicate_span_stats(
             .with_columns(pl.lit(True).alias("__cov"))
         )
         per_doc = (
-            toks.join(cov, on=["doc", "pos"], how="left")
+            # maintain_order: kept-token order (hence the md5) must be
+            # the (doc, pos) sort above — polars joins otherwise do NOT
+            # guarantee left order across versions/parallel paths
+            toks.join(cov, on=["doc", "pos"], how="left", maintain_order="left")
             .with_columns(pl.col("__cov").fill_null(False))
             .group_by("doc", maintain_order=True)
             .agg(

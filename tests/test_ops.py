@@ -2500,3 +2500,37 @@ def test_duplicate_span_stats_matches_bruteforce(ray_session):
         for r in duplicate_span_stats(ds, n=n, num_shards=8).take_all()
     }
     assert got == exp
+
+
+def test_cap_k_validation_and_group_pattern_phrase(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.corpus import cap_per_key
+    from jitsu_ray.ops.search import phrase_search
+
+    tbl = pa.table(
+        {"id": pa.array([1, 2], pa.int64()), "g": pa.array(["a", "a"])}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        cap_per_key(ray.data.from_arrow(tbl), "g", "id", 0)
+
+    # a capturing-group pattern must tokenize the phrase by FULL match
+    # (extract_all semantics), not findall's group-1 contents
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["cats dogs run", "cat dog run"]),
+        }
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in phrase_search(
+            ray.data.from_arrow(docs),
+            "cats dogs",
+            token_pattern=r"([a-z])[a-z]*",  # findall would yield first letters
+            bucket_span=2,
+        ).take_all()
+    )
+    assert got == [0]
