@@ -162,6 +162,78 @@ def build_inverted_index(
     )
 
 
+def refresh_index_buckets(
+    index,
+    docs,
+    changed_ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_span: int = 100_000,
+    token_pattern: str = r"[^ \t\n\f\r]+",
+    with_lengths: bool = False,
+    ngram: int = 1,
+    num_shards: int = 64,
+):
+    """Incrementally maintain an inverted index from a CDC change set:
+    given the PREVIOUS index, the CURRENT corpus and the ids of docs
+    that changed (inserted, updated or deleted), rebuild ONLY the
+    affected doc-id buckets and splice them into the untouched rows —
+    the index analog of the lake's partition repair. Equivalent by
+    construction to a full ``build_inverted_index`` over the current
+    corpus (pinned by pytest), at the cost of reads proportional to the
+    affected buckets, not the corpus.
+
+    Works because every index row is bucket-local (postings, tfs, df
+    and the NULL-term length sidecar all derive from docs of ONE
+    bucket), so a changed doc invalidates exactly its bucket's rows.
+    Deletes need no tombstones: a deleted doc is simply absent from the
+    rebuilt bucket. Build flags (span/pattern/lengths/ngram) must match
+    the original build — a mismatch would splice differently-tokenized
+    rows into one index.
+
+    ``changed_ids`` is an iterable of doc ids (driver-sized: a CDC
+    window's keys, not the corpus); the derived affected-bucket set is
+    smaller still (ids // span) and ships to tasks as one Arrow array.
+    """
+    ids = list(changed_ids)
+    if not ids:
+        return index
+    buckets = pa.array(sorted({i // bucket_span for i in ids}), pa.int64())
+
+    def keep_unaffected(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(
+                pc.fill_null(pc.is_in(batch["bucket"], value_set=buckets), False)
+            )
+        )
+
+    def in_affected(batch: pa.Table) -> pa.Table:
+        b = _floor_div_int(batch[id_col], bucket_span)
+        return batch.filter(pc.is_in(b, value_set=buckets))
+
+    rebuilt = build_inverted_index(
+        docs.map_batches(in_affected, batch_format="pyarrow"),
+        id_col,
+        text_col,
+        bucket_span,
+        token_pattern,
+        with_lengths,
+        ngram,
+        num_shards,
+    )
+    return index.map_batches(keep_unaffected, batch_format="pyarrow").union(
+        rebuilt
+    )
+
+
+def _floor_div_int(arr, divisor: int):
+    """Arrow floor division for int64 (pc.divide truncates toward zero;
+    doc ids are non-negative in every caller, but stay exact anyway)."""
+    q = pc.divide(arr, divisor)
+    r = pc.subtract(arr, pc.multiply(q, divisor))
+    return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
+
+
 def term_df(index):
     """Global per-term document frequency as a Dataset ``(term, df)``:
     Sum of the mergeable bucket-local df partials. Stays distributed —

@@ -3266,6 +3266,64 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_index_refresh(sf_dir: str):
+    """CDC-maintained search index (ops/search.refresh_index_buckets):
+    build the inverted index over the original corpus, apply a CDC-style
+    update (docs with doc_id % 10 = 3 get ' zzz update' appended),
+    refresh ONLY the affected doc-id buckets and splice them into the
+    untouched rows. Result = global term df off the refreshed index;
+    the oracle tokenizes the UPDATED corpus from scratch — equality
+    proves the incremental splice equals a full rebuild."""
+    from .ops.search import build_inverted_index, refresh_index_buckets, term_df
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx = build_inverted_index(ds, "doc_id", "text", bucket_span=200)
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ten = pc.multiply(pc.divide(b["doc_id"], 10), 10)  # ids are >= 0
+        m = pc.equal(pc.subtract(b["doc_id"], ten), 3)
+        # null text stays null, like SQL's NULL || ' zzz update'
+        appended = pc.binary_join_element_wise(
+            pc.cast(b["text"], pa.string()), pa.scalar(" zzz update"), ""
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pc.if_else(m, appended, b["text"])}
+        )
+
+    v2 = ds.map_batches(mutate, batch_format="pyarrow")
+    changed = [
+        r["doc_id"]
+        for r in ds.map_batches(
+            lambda b: b.filter(
+                pc.equal(
+                    pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 10), 10)),
+                    3,
+                )
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    refreshed = refresh_index_buckets(idx, v2, changed, bucket_span=200)
+    return term_df(refreshed).sort("term")
+
+
+SQL_INDEX_REFRESH = r"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' zzz update' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
+                            x -> x <> '')) AS t
+  FROM v2
+)
+SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY t ORDER BY term
+"""
+
+
 def q_asof_last_order(sf_dir: str):
     """Distributed backward AS-OF join (ops/join.bucket_asof_join — an
     operator Ray Data lacks natively): each event picks the same user's
@@ -3682,6 +3740,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "mixture_sample_docs": q_mixture_sample,
     "cap_per_source": q_cap_per_source,
+    "index_refresh": q_index_refresh,
 }
 
 ORACLES = {
@@ -3766,6 +3825,7 @@ ORACLES = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "mixture_sample_docs": SQL_MIXTURE,
     "cap_per_source": SQL_CAP_PER_SOURCE,
+    "index_refresh": SQL_INDEX_REFRESH,
 }
 
 

@@ -2534,3 +2534,53 @@ def test_cap_k_validation_and_group_pattern_phrase(ray_session):
         ).take_all()
     )
     assert got == [0]
+
+
+def test_refresh_index_buckets_equals_full_rebuild(ray_session):
+    import random
+
+    import ray.data
+
+    from jitsu_ray.ops.search import build_inverted_index, refresh_index_buckets
+
+    rnd = random.Random(11)
+    vocab = ["ant", "bee", "cat", "dog"]
+    text = lambda: " ".join(rnd.choices(vocab, k=rnd.randrange(1, 9)))
+    v1 = {i: text() for i in range(30)}
+    # CDC window: updates, inserts, and deletes across several buckets
+    v2 = dict(v1)
+    changed = [2, 7, 13, 29, 31, 4]
+    v2[2], v2[7], v2[13] = text(), text(), text()   # updates
+    v2[31] = text()                                  # insert
+    del v2[29], v2[4]                                # deletes
+
+    def as_ds(d):
+        ks = sorted(d)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ks, pa.int64()),
+                    "text": pa.array([d[k] for k in ks]),
+                }
+            )
+        )
+
+    def canon(ds):
+        # "" stands in for the NULL-term lengths sidecar when sorting
+        # (extract_all can never emit an empty token)
+        return sorted(
+            (r["term"] or "", r["bucket"], tuple(r["postings"]), tuple(r["tfs"]), r["df"])
+            for r in ds.take_all()
+        )
+
+    for wl in (False, True):  # with and without the lengths sidecar
+        idx1 = build_inverted_index(as_ds(v1), bucket_span=5, with_lengths=wl)
+        got = refresh_index_buckets(
+            idx1, as_ds(v2), changed, bucket_span=5, with_lengths=wl
+        )
+        full = build_inverted_index(as_ds(v2), bucket_span=5, with_lengths=wl)
+        assert canon(got) == canon(full)
+
+    # empty change set: the index passes through untouched
+    idx1 = build_inverted_index(as_ds(v1), bucket_span=5)
+    assert refresh_index_buckets(idx1, as_ds(v2), []) is idx1
