@@ -25,13 +25,16 @@ Ray-Data-first shape, two shuffles, no driver state:
 
 Scale notes: the gram shuffle is the honest cost of exact span dedup —
 bytes ~ distinct-grams-per-batch x gram length (the per-batch combiner
-is what keeps hot boilerplate from amplifying n-fold). At 100-TB scale
-swap the gram string for a 128-bit vectorized fingerprint (two seeded
-xxhash64 columns) to cut shuffle bytes ~5x; the string key is kept here
-because it is collision-free and lets a DuckDB oracle reproduce the
-grouping exactly. Skew: a pathologically hot gram (empty-page
-boilerplate) lands one row PER BATCH in one shard — bounded by batch
-count, not corpus size.
+is what keeps hot boilerplate from amplifying n-fold).
+``fingerprint=True`` is the 100-TB path: the group key becomes two
+independently seeded vectorized xxhash64 columns (128 bits — collision
+odds ~q^2/2^129 for q distinct grams, negligible at any corpus size)
+computed per batch, cutting shuffle bytes ~(n x token)/16 per
+occurrence; the default stays the gram string because it is
+collision-FREE and lets a DuckDB oracle reproduce the grouping exactly
+(pytest pins the two modes equal). Skew: a pathologically hot gram
+(empty-page boilerplate) lands one row PER BATCH in one shard —
+bounded by batch count, not corpus size.
 
 Oracle parity (queries.SQL_DEDUP_SPANS): tokenization is the measured
 RE2-parity pair — explicit class ``[^ \\t\\n\\f\\r]+`` on this side,
@@ -68,6 +71,7 @@ def duplicate_span_stats(
     n: int = 8,
     token_pattern: str = r"[^ \t\n\f\r]+",
     num_shards: int = 64,
+    fingerprint: bool = False,
 ):
     """Per-document duplicate-span accounting: Dataset ``(doc_id,
     n_tokens, n_dup_tokens, cleaned_md5)``, one row per document with
@@ -99,12 +103,18 @@ def duplicate_span_stats(
             .rename({id_col: "doc"})
         )
 
+    # fingerprint mode replaces the gram STRING with two independently
+    # seeded xxhash64 columns (128 bits total — collision-free at any
+    # realistic corpus size), computed per batch and shipped INSTEAD of
+    # the string: shuffle bytes drop ~(n x avg token)/16 per occurrence
+    key_cols = ["h1", "h2"] if fingerprint else ["g"]
+    key_fields = (
+        [("h1", pa.int64()), ("h2", pa.int64())]
+        if fingerprint
+        else [("g", pa.string())]
+    )
     gram_schema = pa.schema(
-        [
-            ("g", pa.string()),
-            ("docs", pa.list_(pa.int64())),
-            ("poss", pa.list_(pa.int64())),
-        ]
+        key_fields + [("docs", pa.list_(pa.int64())), ("poss", pa.list_(pa.int64()))]
     )
 
     def gram_partial(batch: pa.Table) -> pa.Table:
@@ -112,18 +122,21 @@ def duplicate_span_stats(
         parts = [pl.col("tok")] + [
             pl.col("tok").shift(-i).over("doc") for i in range(1, n)
         ]
-        grams = (
-            toks.with_columns(pl.concat_str(parts, separator=" ").alias("g"))
-            .drop_nulls("g")  # concat_str null-propagates past doc end
-            .group_by("g")  # batch combiner: gram string ships once
-            .agg(
-                pl.col("doc").alias("docs"),
-                pl.col("pos").cast(pl.Int64).alias("poss"),
+        grams = toks.with_columns(
+            pl.concat_str(parts, separator=" ").alias("g")
+        ).drop_nulls("g")  # concat_str null-propagates past doc end
+        if fingerprint:
+            grams = grams.with_columns(
+                pl.col("g").hash(seed=0x51ed).reinterpret(signed=True).alias("h1"),
+                pl.col("g").hash(seed=0xfee1).reinterpret(signed=True).alias("h2"),
             )
+        grams = grams.group_by(key_cols).agg(  # batch combiner: key ships once
+            pl.col("doc").alias("docs"),
+            pl.col("pos").cast(pl.Int64).alias("poss"),
         )
         tbl = grams.to_arrow().cast(gram_schema)
         return tbl.append_column(
-            "__shard", hash_mod_column(tbl, ["g"], num_shards)
+            "__shard", hash_mod_column(tbl, key_cols, num_shards)
         )
 
     def mark_shard(g: pa.Table) -> pa.Table:
@@ -131,8 +144,8 @@ def duplicate_span_stats(
             pl.from_arrow(g)
             .explode(["docs", "poss"])
             .rename({"docs": "doc", "poss": "pos"})
-            .sort(["g", "doc", "pos"])
-            .with_columns(pl.col("doc").cum_count().over("g").alias("__rn"))
+            .sort([*key_cols, "doc", "pos"])
+            .with_columns(pl.col("doc").cum_count().over(key_cols).alias("__rn"))
             .filter(pl.col("__rn") > 1)  # all but the corpus-wide first
             .select(["doc", "pos"])
         )

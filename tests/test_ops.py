@@ -2495,11 +2495,14 @@ def test_duplicate_span_stats_matches_bruteforce(ray_session):
             }
         )
     )
-    got = {
-        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_md5"])
-        for r in duplicate_span_stats(ds, n=n, num_shards=8).take_all()
-    }
-    assert got == exp
+    for fp in (False, True):  # string key and 128-bit fingerprint key
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_md5"])
+            for r in duplicate_span_stats(
+                ds, n=n, num_shards=8, fingerprint=fp
+            ).take_all()
+        }
+        assert got == exp
 
 
 def test_cap_k_validation_and_group_pattern_phrase(ray_session):
