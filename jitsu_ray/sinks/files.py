@@ -124,3 +124,107 @@ def _write_csv_dir(ds, out_dir: str, fields: list[str]) -> int:
 
     counts = ds.map_batches(write_block, batch_format="pyarrow").take_all()
     return int(sum(r["n"] for r in counts))
+
+
+def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
+    """RESUMABLE hash-sharded corpus export: ``out_dir/shard=NNNN.parquet``
+    with a ``_shard=NNNN.done`` row-count manifest per shard (the ``_``
+    prefix keeps manifests invisible to parquet dataset readers) — the
+    training-data-export analog of the lake's per-partition manifests.
+
+    Shard assignment is ``md5_lower64(str(id)) % num_shards`` (the
+    repo's SQL-auditable split-rule family): stable across runs, row
+    order, batch boundaries and cluster sizes, so a failed run's rerun
+    reproduces the exact same shard contents. Null ids land in shard 0
+    (their hash slot is 0).
+
+    Resume: finished shards are filtered out BEFORE the shuffle — a
+    rerun ships only the missing shards' rows through the exchange, not
+    the corpus. Each shard writes its parquet atomically (tmp +
+    os.replace, the lake convention) and only then its ``.done``; a
+    crash between the two leaves an orphan parquet that the rerun
+    simply overwrites. Empty shards get a driver-written ``rows=0``
+    manifest so a fully-complete directory skips everything.
+
+    Writers run inside ``map_groups`` tasks, so ``out_dir`` must be a
+    filesystem every worker can reach (same contract as the lake).
+    Returns ``{shard: rows_written}`` for THIS run; completed shards
+    are reported as ``-1`` (skipped). Read the export back with
+    ``ray.data.read_parquet(out_dir)``.
+    """
+    import json
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..ops.corpus import _md5_lower64_column
+
+    if num_shards < 1:
+        raise ValueError("write_sharded_parquet needs num_shards >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        int(name[7:-5])
+        for name in os.listdir(out_dir)
+        if name.startswith("_shard=") and name.endswith(".done")
+    }
+
+    def shard_and_skip(batch: pa.Table) -> pa.Table:
+        hv, _ = _md5_lower64_column(batch[id_col])
+        sh = (hv % np.uint64(num_shards)).astype(np.int64)
+        batch = batch.append_column("__shard", pa.array(sh, pa.int64()))
+        if done:
+            keep = ~np.isin(sh, np.fromiter(done, np.int64, len(done)))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        shard = g["__shard"][0].as_py()
+        body = g.drop_columns(["__shard"])
+        final = os.path.join(out_dir, f"shard={shard:04d}.parquet")
+        # "_" prefix: a crash-orphaned tmp must stay invisible to readers
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_tmp", suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(body, tmp)
+            os.replace(tmp, final)  # deterministic path => idempotent retry
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        # "_" prefix: a crash-orphaned tmp must stay invisible to readers
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_tmp", suffix=".tmp")
+        os.close(fd)
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"rows": body.num_rows}, f)
+            os.replace(
+                tmp, os.path.join(out_dir, f"_shard={shard:04d}.done")
+            )
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(shard_and_skip, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    out = {s: -1 for s in done}
+    for r in written:
+        out[r["shard"]] = r["rows"]
+    # shards no row hashed into are complete by definition — manifest
+    # them from the driver so a rerun of a finished export is a no-op
+    for s in range(num_shards):
+        if s not in out:
+            with open(os.path.join(out_dir, f"_shard={s:04d}.done"), "w") as f:
+                json.dump({"rows": 0}, f)
+            out[s] = 0
+    return out

@@ -1596,3 +1596,55 @@ def test_ordered_window_fns_rolling_sum(ray_session):
         ordered_window_fns(
             ray.data.from_arrow(tbl), "k", ["t"], "v", fns=("rolling_value",)
         )
+
+
+def test_write_sharded_parquet_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.sinks.files import write_sharded_parquet
+    from jitsu_ray.util import md5_lower64
+
+    out = str(tmp_path / "export")
+    tbl = pa.table(
+        {
+            "id": pa.array(range(200), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(200)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    res = write_sharded_parquet(ds, out, "id", num_shards=8)
+    assert set(res) == set(range(8)) and sum(res.values()) == 200
+    # deterministic assignment: every row in its md5 shard
+    back = ray.data.read_parquet(out).take_all()
+    assert len(back) == 200
+    assert {(r["id"], r["v"]) for r in back} == {
+        (i, f"v{i}") for i in range(200)
+    }
+    got3 = sorted(
+        r["id"] for r in ray.data.read_parquet(
+            os.path.join(out, "shard=0003.parquet")
+        ).take_all()
+    )
+    assert got3 == [i for i in range(200) if md5_lower64(str(i)) % 8 == 3]
+
+    # kill two shards (one cleanly, one as a crash orphan missing .done)
+    os.remove(os.path.join(out, "shard=0002.parquet"))
+    os.remove(os.path.join(out, "_shard=0002.done"))
+    os.remove(os.path.join(out, "_shard=0005.done"))  # parquet left behind
+    res2 = write_sharded_parquet(ds, out, "id", num_shards=8)
+    rebuilt = {s for s, n in res2.items() if n >= 0}
+    assert rebuilt == {2, 5} and all(res2[s] == -1 for s in {0, 1, 3, 4, 6, 7})
+    assert len(ray.data.read_parquet(out).take_all()) == 200
+
+    # fully complete directory: a rerun writes nothing
+    res3 = write_sharded_parquet(ds, out, "id", num_shards=8)
+    assert all(n == -1 for n in res3.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        write_sharded_parquet(ds, out, "id", num_shards=0)
