@@ -63,6 +63,10 @@ _OUT_SCHEMA = pa.schema(
     ]
 )
 
+_TEXT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("cleaned_text", pa.string())]
+)
+
 
 def duplicate_span_stats(
     ds,
@@ -72,6 +76,7 @@ def duplicate_span_stats(
     token_pattern: str = r"[^ \t\n\f\r]+",
     num_shards: int = 64,
     fingerprint: bool = False,
+    emit: str = "stats",
 ):
     """Per-document duplicate-span accounting: Dataset ``(doc_id,
     n_tokens, n_dup_tokens, cleaned_md5)``, one row per document with
@@ -81,9 +86,16 @@ def duplicate_span_stats(
     is the md5 of the uncovered tokens re-joined with single spaces —
     the document after span removal — or NULL when every token is
     covered. Documents shorter than ``n`` tokens contribute no grams
-    but still appear (their spans can never duplicate)."""
+    but still appear (their spans can never duplicate).
+
+    ``emit="text"`` returns the cleaned CORPUS instead — ``(doc_id,
+    cleaned_text)`` with the uncovered tokens space-rejoined (NULL when
+    every token was covered): the output a training-data pipeline
+    actually feeds forward, same fold, no md5."""
     if n < 1:
         raise ValueError("duplicate_span_stats needs n >= 1")
+    if emit not in ("stats", "text"):
+        raise ValueError("emit must be 'stats' or 'text'")
 
     def _tokens(batch: pa.Table) -> pl.DataFrame:
         return (
@@ -209,6 +221,14 @@ def duplicate_span_stats(
                 (pl.len() - pl.col("__cov").sum()).alias("__n_kept"),
             )
         )
+        if emit == "text":
+            out = per_doc.select(
+                pl.col("doc").alias("doc_id"),
+                pl.when(pl.col("__n_kept") > 0)
+                .then(pl.col("__kept"))
+                .alias("cleaned_text"),  # all-covered doc -> NULL, not ""
+            )
+            return out.to_arrow().cast(_TEXT_SCHEMA)
         kept = per_doc["__kept"].to_list()
         n_kept = per_doc["__n_kept"].to_list()
         md5s = [

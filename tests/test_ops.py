@@ -2587,3 +2587,37 @@ def test_refresh_index_buckets_equals_full_rebuild(ray_session):
     # empty change set: the index passes through untouched
     idx1 = build_inverted_index(as_ds(v1), bucket_span=5)
     assert refresh_index_buckets(idx1, as_ds(v2), []) is idx1
+
+
+def test_duplicate_span_text_mode(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from jitsu_ray.ops.spans import duplicate_span_stats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a b c", "x a b y"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    stats = {
+        r["doc_id"]: r["cleaned_md5"]
+        for r in duplicate_span_stats(ds, n=2).take_all()
+    }
+    texts = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in duplicate_span_stats(ds, n=2, emit="text").take_all()
+    }
+    assert texts == {0: "a b c", 1: None, 2: "x y"}
+    # the two modes are the same fold: md5(text mode) == stats md5
+    for d, t in texts.items():
+        exp = hashlib.md5(t.encode()).hexdigest() if t is not None else None
+        assert stats[d] == exp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="emit"):
+        duplicate_span_stats(ds, n=2, emit="corpus")
