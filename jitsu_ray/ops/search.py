@@ -198,18 +198,28 @@ def refresh_index_buckets(
     ids = list(changed_ids)
     if not ids:
         return index
-    buckets = pa.array(sorted({i // bucket_span for i in ids}), pa.int64())
+    # a NULL changed id is legal: build_inverted_index indexes null-id
+    # docs into a NULL bucket, so that whole bucket is refreshed too
+    has_null = any(i is None for i in ids)
+    buckets = pa.array(
+        sorted({i // bucket_span for i in ids if i is not None}), pa.int64()
+    )
+
+    def _affected(col) -> pa.Array:
+        # explicit null term: pc.is_in yields FALSE (not null) for a
+        # NULL input, so fill_null alone would never route null buckets
+        hit = pc.is_in(col, value_set=buckets)
+        if has_null:
+            hit = pc.or_(hit, pc.is_null(col))
+        return hit
 
     def keep_unaffected(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.invert(
-                pc.fill_null(pc.is_in(batch["bucket"], value_set=buckets), False)
-            )
-        )
+        return batch.filter(pc.invert(_affected(batch["bucket"])))
 
     def in_affected(batch: pa.Table) -> pa.Table:
-        b = _floor_div_int(batch[id_col], bucket_span)
-        return batch.filter(pc.is_in(b, value_set=buckets))
+        from .window import _floor_div  # the shared null-safe floor div
+
+        return batch.filter(_affected(_floor_div(batch[id_col], bucket_span)))
 
     rebuilt = build_inverted_index(
         docs.map_batches(in_affected, batch_format="pyarrow"),
@@ -224,14 +234,6 @@ def refresh_index_buckets(
     return index.map_batches(keep_unaffected, batch_format="pyarrow").union(
         rebuilt
     )
-
-
-def _floor_div_int(arr, divisor: int):
-    """Arrow floor division for int64 (pc.divide truncates toward zero;
-    doc ids are non-negative in every caller, but stay exact anyway)."""
-    q = pc.divide(arr, divisor)
-    r = pc.subtract(arr, pc.multiply(q, divisor))
-    return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
 
 
 def term_df(index):

@@ -3269,37 +3269,40 @@ SELECT doc_id, source FROM (
 def q_index_refresh(sf_dir: str):
     """CDC-maintained search index (ops/search.refresh_index_buckets):
     build the inverted index over the original corpus, apply a CDC-style
-    update (docs with doc_id % 10 = 3 get ' zzz update' appended),
-    refresh ONLY the affected doc-id buckets and splice them into the
-    untouched rows. Result = global term df off the refreshed index;
-    the oracle tokenizes the UPDATED corpus from scratch — equality
-    proves the incremental splice equals a full rebuild."""
+    update (docs with doc_id % 500 < 50 get ' zzz update' appended — a
+    CLUSTERED change set, so with bucket_span=200 most buckets stay
+    untouched and the splice path is actually exercised, not a
+    degenerate full rebuild), refresh ONLY the affected buckets and
+    splice them into the untouched rows. Result = global term df off
+    the refreshed index; the oracle tokenizes the UPDATED corpus from
+    scratch — equality proves incremental == full rebuild."""
     from .ops.search import build_inverted_index, refresh_index_buckets, term_df
 
     ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     idx = build_inverted_index(ds, "doc_id", "text", bucket_span=200)
 
+    def changed_mask(b: pa.Table):
+        # doc_id % 500 < 50 (ids are >= 0, so trunc == floor)
+        m500 = pc.multiply(pc.divide(b["doc_id"], 500), 500)
+        return pc.less(pc.subtract(b["doc_id"], m500), 50)
+
     def mutate(b: pa.Table) -> pa.Table:
-        ten = pc.multiply(pc.divide(b["doc_id"], 10), 10)  # ids are >= 0
-        m = pc.equal(pc.subtract(b["doc_id"], ten), 3)
         # null text stays null, like SQL's NULL || ' zzz update'
         appended = pc.binary_join_element_wise(
             pc.cast(b["text"], pa.string()), pa.scalar(" zzz update"), ""
         )
         return pa.table(
-            {"doc_id": b["doc_id"], "text": pc.if_else(m, appended, b["text"])}
+            {
+                "doc_id": b["doc_id"],
+                "text": pc.if_else(changed_mask(b), appended, b["text"]),
+            }
         )
 
     v2 = ds.map_batches(mutate, batch_format="pyarrow")
     changed = [
         r["doc_id"]
         for r in ds.map_batches(
-            lambda b: b.filter(
-                pc.equal(
-                    pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 10), 10)),
-                    3,
-                )
-            ).select(["doc_id"]),
+            lambda b: b.filter(changed_mask(b)).select(["doc_id"]),
             batch_format="pyarrow",
         ).take_all()
     ]
@@ -3310,7 +3313,7 @@ def q_index_refresh(sf_dir: str):
 SQL_INDEX_REFRESH = r"""
 WITH v2 AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 10 = 3 THEN text || ' zzz update' ELSE text END AS text
+         CASE WHEN doc_id % 500 < 50 THEN text || ' zzz update' ELSE text END AS text
   FROM documents
 ),
 toks AS (

@@ -164,6 +164,43 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
     if num_shards < 1:
         raise ValueError("write_sharded_parquet needs num_shards >= 1")
     os.makedirs(out_dir, exist_ok=True)
+
+    def _atomic(dest: str, write_fn) -> None:
+        # "_" prefix: a crash-orphaned tmp must stay invisible to readers
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_tmp", suffix=".tmp")
+        os.close(fd)
+        try:
+            write_fn(tmp)
+            os.replace(tmp, dest)  # deterministic path => idempotent retry
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    # resume guard: .done names alone can't tell an 8-shard export from
+    # a 16-shard one — resuming with different params would duplicate
+    # rows silently, so the params are pinned in a meta file
+    def _json_writer(payload):
+        def w(tmp_path):
+            with open(tmp_path, "w") as f:
+                json.dump(payload, f)  # closed (flushed) before replace
+        return w
+
+    meta_path = os.path.join(out_dir, "_export_meta.json")
+    meta = {"num_shards": num_shards, "id_col": id_col}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"write_sharded_parquet: {out_dir} was written with {prev}; "
+                f"resuming with {meta} would corrupt the export"
+            )
+    else:
+        _atomic(meta_path, _json_writer(meta))
+    # sweep crash-orphaned tmps (a hard-killed worker's finally never ran)
+    for name in os.listdir(out_dir):
+        if name.startswith("_tmp") and name.endswith(".tmp"):
+            os.remove(os.path.join(out_dir, name))
     done = {
         int(name[7:-5])
         for name in os.listdir(out_dir)
@@ -182,28 +219,14 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
     def write_shard(g: pa.Table) -> pa.Table:
         shard = g["__shard"][0].as_py()
         body = g.drop_columns(["__shard"])
-        final = os.path.join(out_dir, f"shard={shard:04d}.parquet")
-        # "_" prefix: a crash-orphaned tmp must stay invisible to readers
-        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_tmp", suffix=".tmp")
-        os.close(fd)
-        try:
-            pq.write_table(body, tmp)
-            os.replace(tmp, final)  # deterministic path => idempotent retry
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-        # "_" prefix: a crash-orphaned tmp must stay invisible to readers
-        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_tmp", suffix=".tmp")
-        os.close(fd)
-        try:
-            with open(tmp, "w") as f:
-                json.dump({"rows": body.num_rows}, f)
-            os.replace(
-                tmp, os.path.join(out_dir, f"_shard={shard:04d}.done")
-            )
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        _atomic(
+            os.path.join(out_dir, f"shard={shard:04d}.parquet"),
+            lambda t: pq.write_table(body, t),
+        )
+        _atomic(
+            os.path.join(out_dir, f"_shard={shard:04d}.done"),
+            _json_writer({"rows": body.num_rows}),
+        )
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),
@@ -224,7 +247,9 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
     # them from the driver so a rerun of a finished export is a no-op
     for s in range(num_shards):
         if s not in out:
-            with open(os.path.join(out_dir, f"_shard={s:04d}.done"), "w") as f:
-                json.dump({"rows": 0}, f)
+            _atomic(
+                os.path.join(out_dir, f"_shard={s:04d}.done"),
+                _json_writer({"rows": 0}),
+            )
             out[s] = 0
     return out

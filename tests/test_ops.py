@@ -2621,3 +2621,31 @@ def test_duplicate_span_text_mode(ray_session):
 
     with _pytest.raises(ValueError, match="emit"):
         duplicate_span_stats(ds, n=2, emit="corpus")
+
+
+def test_refresh_index_null_id_bucket(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.search import build_inverted_index, refresh_index_buckets
+
+    def build(t):
+        return build_inverted_index(ray.data.from_arrow(t), bucket_span=5)
+
+    def canon(ds):
+        return sorted(
+            (r["term"] or "", r["bucket"], tuple(r["postings"]), tuple(r["tfs"]), r["df"])
+            for r in ds.take_all()
+        )
+
+    # a NULL-id doc lives in the NULL bucket; changing it must refresh
+    # that bucket (and passing None in changed_ids must not crash)
+    t1 = pa.table(
+        {"doc_id": pa.array([None, 1], pa.int64()), "text": pa.array(["x y", "a b"])}
+    )
+    t2 = pa.table(
+        {"doc_id": pa.array([None, 1], pa.int64()), "text": pa.array(["x z", "a b"])}
+    )
+    got = refresh_index_buckets(
+        build(t1), ray.data.from_arrow(t2), [None], bucket_span=5
+    )
+    assert canon(got) == canon(build(t2))

@@ -1648,3 +1648,31 @@ def test_write_sharded_parquet_resume(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="num_shards"):
         write_sharded_parquet(ds, out, "id", num_shards=0)
+
+
+def test_write_sharded_parquet_meta_guard(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.sinks.files import write_sharded_parquet
+
+    out = str(tmp_path / "exp")
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(20), pa.int64())})
+    )
+    write_sharded_parquet(ds, out, "id", num_shards=4)
+
+    import pytest as _pytest
+
+    # resuming with different params would silently duplicate rows —
+    # the pinned _export_meta.json must refuse instead
+    with _pytest.raises(ValueError, match="would corrupt"):
+        write_sharded_parquet(ds, out, "id", num_shards=8)
+
+    # crash-orphaned tmps are swept on rerun, not accumulated
+    open(os.path.join(out, "_tmpdead.tmp"), "w").close()
+    res = write_sharded_parquet(ds, out, "id", num_shards=4)
+    assert all(n == -1 for n in res.values())
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
