@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "asof_last_order",
     "chunk_docs",
     "vocab_top20",
+    "cms_word_freq",
     "value_quantiles",
     "distinct_users_by_type",
     "corpus_pipeline",

@@ -454,6 +454,131 @@ class FrequentItems:
         return out
 
 
+class CountMinSketch:
+    """Mergeable frequency sketch (Cormode & Muthukrishnan 2005
+    Count-Min, the public algorithm): ``d`` rows x ``w`` int64 counters;
+    row ``i`` scatter-adds at ``md5_lower64(f"{i}|{key}") % w`` and a
+    point estimate is the min across rows — always >= the true count,
+    over by at most ~2N/w with probability 1-2^-d. merge() is a
+    register-wise ADD, exact and commutative, so per-batch partials fold
+    through any groupby/tree AND a CDC window's delta sketch folds into
+    a maintained one (the incremental shape: keep registers per lake
+    table, add each window's partial — no rescan to answer "how often
+    does key X appear so far").
+
+    The row hash is deliberately the md5 SQL twin (util.md5_lower64 ↔
+    DuckDB ``md5_number_lower(CAST(i AS VARCHAR) || '|' || key)``), so
+    registers AND estimates are integer-exact reproducible in SQL —
+    an approximate operator with a fully green oracle. md5 over unique
+    keys per batch (post-combine), never per raw row."""
+
+    def __init__(self, d: int = 4, w: int = 8192):
+        if d < 1 or w < 1:
+            raise ValueError("d and w must be positive")
+        self.d = d
+        self.w = w
+        self.regs = np.zeros((d, w), dtype=np.int64)
+
+    def _buckets(self, keys: list) -> np.ndarray:
+        """(d, len(keys)) bucket ids — the ONE place the row-hash
+        contract lives (str(key) canonicalization matches the oracle's
+        CAST AS VARCHAR for int/string keys)."""
+        from ..util import md5_lower64
+
+        # plain-int modulus: numpy scalar % would overflow on md5
+        # values >= 2^63 (Python int -> uint64 conversion refuses)
+        w = self.w
+        return np.stack(
+            [
+                np.fromiter(
+                    (md5_lower64(f"{i}|{k}") % w for k in keys),
+                    dtype=np.int64,
+                    count=len(keys),
+                )
+                for i in range(self.d)
+            ]
+        )
+
+    def add_counts(self, keys: list, counts) -> "CountMinSketch":
+        """Fold (key, count) pairs in — counts from a per-batch combiner
+        (polars group_by), so the md5 loop runs over batch-unique keys."""
+        if len(keys) == 0:
+            return self
+        n = np.asarray(counts, dtype=np.int64)
+        for i, idx in enumerate(self._buckets(keys)):
+            np.add.at(self.regs[i], idx, n)
+        return self
+
+    def estimate_many(self, keys: list) -> np.ndarray:
+        """Point estimates (int64, min across rows) for each key."""
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+        b = self._buckets(keys)
+        return np.min(self.regs[np.arange(self.d)[:, None], b], axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("cannot merge sketches of different shape")
+        out = CountMinSketch(self.d, self.w)
+        np.add(self.regs, other.regs, out=out.regs)
+        return out
+
+    def to_cells(self) -> pa.Table:
+        """Sparse register table (cell = row*w + bucket, n) — the
+        groupby-friendly wire format (cells, not the dense d*w grid)."""
+        rows, buckets = np.nonzero(self.regs)
+        return pa.table(
+            {
+                "cell": pa.array(rows * self.w + buckets, pa.int64()),
+                "n": pa.array(self.regs[rows, buckets], pa.int64()),
+            }
+        )
+
+    @classmethod
+    def from_cells(cls, cells: pa.Table, d: int, w: int) -> "CountMinSketch":
+        out = cls(d, w)
+        cell = cells["cell"].to_numpy(zero_copy_only=False)
+        out.regs[cell // w, cell % w] = cells["n"].to_numpy(zero_copy_only=False)
+        return out
+
+
+def cms_from_counts(counts_ds, key_col: str, n_col: str, d: int = 4,
+                    w: int = 8192) -> CountMinSketch:
+    """Distributed Count-Min build over a (key, count) Dataset (the
+    output of a per-batch combiner): each batch scatter-adds into a
+    local sketch and emits SPARSE cells (<= d x batch-unique keys rows,
+    never the d*w grid), a single-int-key Sum groupby folds cells
+    globally (register adds commute, so partial order is irrelevant),
+    and the driver collects <= d*w cells. Shuffle bytes are bounded by
+    d x distinct keys regardless of row count; the returned sketch is
+    small enough to ``ray.put`` for stream-side estimate lookups."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null keys never reach the registers (null is not a countable
+        # key; the oracle's GROUP BY w likewise excludes unnested nulls)
+        keep = pc.is_valid(batch[key_col])
+        valid = batch[key_col].filter(keep)
+        ns = batch[n_col].filter(keep)
+        sk = CountMinSketch(d, w).add_counts(
+            valid.to_pylist(), ns.to_numpy(zero_copy_only=False)
+        )
+        return sk.to_cells()
+
+    cells = (
+        counts_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    tbl = pa.Table.from_pylist(
+        cells, schema=pa.schema([("cell", pa.int64()), ("n", pa.int64())])
+    )
+    return CountMinSketch.from_cells(tbl, d, w)
+
+
 def sketch_vocab_topk(ds, text_col: str, k: int = 20, capacity: int = 4096):
     """Approximate corpus-wide vocabulary top-k via Misra-Gries: one
     per-batch polars explode+count (the same combiner as the exact

@@ -2857,45 +2857,43 @@ FROM events GROUP BY event_type
 """
 
 
-def q_vocab_top20(sf_dir: str):
-    """Corpus-wide vocabulary top-k: per-batch partial word counts
-    (polars explode+count — the combiner) so the shuffle carries one row
-    per (word, batch), then a global Sum groupby, per-block partial
-    top-20, and a driver fold of the tiny partials (knn top-k pattern).
-    Total order (n DESC, word ASC) makes the cut deterministic."""
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["text"]))
-        out = (
-            df.select(
-                # explicit class = RE2 \s+ split twin (Rust \S also
-                # breaks on NBSP/U+2028; see ops/search module doc)
-                pl.col("text")
-                .fill_null("")
-                .str.extract_all(r"[^ \t\n\f\r]+")
-                .alias("w")
-            )
-            .explode("w")
-            .drop_nulls("w")
-            .group_by("w")
-            .agg(pl.len().cast(pl.Int64).alias("n"))
-            .rename({"w": "word"})
+def _partial_word_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch word-count combiner (the vocab/CMS shuffle reducer):
+    one polars explode+count per batch, so the shuffle carries one row
+    per (word, batch) instead of one per token."""
+    df = pl.from_arrow(batch.select(["text"]))
+    out = (
+        df.select(
+            # explicit class = RE2 \s+ split twin (Rust \S also
+            # breaks on NBSP/U+2028; see ops/search module doc)
+            pl.col("text")
+            .fill_null("")
+            .str.extract_all(r"[^ \t\n\f\r]+")
+            .alias("w")
         )
-        return out.to_arrow()
+        .explode("w")
+        .drop_nulls("w")
+        .group_by("w")
+        .agg(pl.len().cast(pl.Int64).alias("n"))
+        .rename({"w": "word"})
+    )
+    return out.to_arrow()
+
+
+def _global_word_topk(counts, k: int = 20) -> pa.Table:
+    """Top-k (word, n) from a word-count Dataset: global Sum groupby,
+    per-block partial top-k, driver fold of the tiny partials (knn
+    top-k pattern). Total order (n DESC, word ASC) makes the cut
+    deterministic."""
 
     def block_topk(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         return (
-            df.sort(["n", "word"], descending=[True, False]).head(20).to_arrow()
+            df.sort(["n", "word"], descending=[True, False]).head(k).to_arrow()
         )
 
-    ds = _read_sized(_t(sf_dir, "documents"), columns=["text"])
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    partials = counts.map_batches(block_topk, batch_format="pyarrow").take_all()
+    agg = counts.groupby("word").aggregate(Sum("n", alias_name="n"))
+    partials = agg.map_batches(block_topk, batch_format="pyarrow").take_all()
     final = (
         pl.from_arrow(
             pa.Table.from_pylist(
@@ -2903,9 +2901,49 @@ def q_vocab_top20(sf_dir: str):
             )
         )
         .sort(["n", "word"], descending=[True, False])
-        .head(20)
+        .head(k)
     )
     return final.to_arrow().cast(pa.schema([("word", pa.string()), ("n", pa.int64())]))
+
+
+def q_vocab_top20(sf_dir: str):
+    """Corpus-wide vocabulary top-k: per-batch partial word counts
+    (polars explode+count — the combiner), then the shared global
+    top-k fold (`_global_word_topk`)."""
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["text"])
+    return _global_word_topk(
+        ds.map_batches(_partial_word_counts, batch_format="pyarrow"), k=20
+    )
+
+
+def q_cms_word_freq(sf_dir: str):
+    """Count-Min frequency estimates for the exact top-20 vocabulary
+    words — the sketch whose registers a 100-TB corpus run maintains
+    incrementally (ops/sketch.CountMinSketch.merge is a register ADD,
+    so each CDC window folds its delta sketch in and any key's
+    frequency-so-far is answerable without a rescan or vocab shuffle).
+    One tokenize pass feeds both consumers (probe keys + registers) via
+    a justified materialize of the per-batch combiner output (bounded
+    by vocab x batches, object store, spillable). The row hash is the
+    md5 SQL twin, so registers and min-estimates are integer-exact in
+    DuckDB — a fully oracle-checkable approximate operator. At w=8192
+    >> sf-test vocab, estimates typically equal exact counts; the
+    oracle computes the same CMS min, NOT the exact count, so parity
+    holds at any collision rate."""
+    from .ops.sketch import cms_from_counts
+
+    d, w = 4, 8192
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["text"])
+    counts = ds.map_batches(_partial_word_counts, batch_format="pyarrow").materialize()
+    top = _global_word_topk(counts, k=20)
+    sk = cms_from_counts(counts, "word", "n", d=d, w=w)
+    words = sorted(top["word"].to_pylist())
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "n_est": pa.array(sk.estimate_many(words), pa.int64()),
+        }
+    )
 
 
 SQL_VOCAB = r"""
@@ -2915,6 +2953,33 @@ WITH words AS (
 )
 SELECT w AS word, CAST(count(*) AS BIGINT) AS n
 FROM words GROUP BY w ORDER BY n DESC, w LIMIT 20
+"""
+
+
+# The same Count-Min registers and min-estimates as
+# ops/sketch.CountMinSketch (d=4, w=8192): md5_number_lower('<i>|<key>')
+# is the exact value of util.md5_lower64, and register adds are
+# integer-exact regardless of fold order — approximate operator, exact
+# oracle. Verified twin: see the hash check in tests/test_ops.py.
+SQL_CMS = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
+cells AS (
+  SELECT i, CAST(md5_number_lower(CAST(i AS VARCHAR) || '|' || w) % 8192 AS BIGINT) AS b,
+         CAST(SUM(n) AS BIGINT) AS reg
+  FROM counts CROSS JOIN range(4) t(i) GROUP BY 1, 2
+),
+topw AS (SELECT w FROM counts ORDER BY n DESC, w LIMIT 20),
+probes AS (
+  SELECT w, i, CAST(md5_number_lower(CAST(i AS VARCHAR) || '|' || w) % 8192 AS BIGINT) AS b
+  FROM topw CROSS JOIN range(4) t(i)
+)
+SELECT p.w AS word, CAST(MIN(c.reg) AS BIGINT) AS n_est
+FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+GROUP BY p.w ORDER BY word
 """
 
 
@@ -3725,6 +3790,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
+    "cms_word_freq": q_cms_word_freq,
     "asof_last_order": q_asof_last_order,
     "entity_resolution": q_entity_resolution,
     "inverted_search": q_inverted_search,
@@ -3810,6 +3876,7 @@ ORACLES = {
     "value_quantiles": SQL_QUANTILES,
     "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,
+    "cms_word_freq": SQL_CMS,
     "asof_last_order": SQL_ASOF,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "inverted_search": SQL_INVERTED_SEARCH,

@@ -1068,6 +1068,53 @@ def test_frequent_items_interim_memory_bound():
     assert fi.error_bound() <= 10_000 // 8
 
 
+def test_count_min_bounds_merge_roundtrip():
+    from collections import Counter
+
+    from jitsu_ray.ops.sketch import CountMinSketch
+
+    rng = np.random.default_rng(23)
+    stream = [f"k{i}" for i in rng.integers(0, 300, 5_000)]
+    true = Counter(stream)
+    keys = list(true.keys())
+    counts = np.array([true[k] for k in keys], dtype=np.int64)
+    half = len(keys) // 2
+    # small w forces collisions: estimates never undercount
+    a = CountMinSketch(4, 64).add_counts(keys[:half], counts[:half])
+    b = CountMinSketch(4, 64).add_counts(keys[half:], counts[half:])
+    sk = a.merge(b)
+    est = sk.estimate_many(keys)
+    assert (est >= counts).all()
+    # merge is register-exact: same regs as a single-pass build
+    one = CountMinSketch(4, 64).add_counts(keys, counts)
+    assert (sk.regs == one.regs).all()
+    # w >> distinct keys: no collisions at d=4 rows -> exact estimates
+    wide = CountMinSketch(4, 65536).add_counts(keys, counts)
+    assert (wide.estimate_many(keys) == counts).all()
+    # sparse-cells roundtrip (the groupby wire format)
+    rt = CountMinSketch.from_cells(sk.to_cells(), 4, 64)
+    assert (rt.regs == sk.regs).all()
+
+
+def test_cms_from_counts_distributed_equals_local(ray_session):
+    import ray.data
+
+    from jitsu_ray.ops.sketch import CountMinSketch, cms_from_counts
+
+    tbl = pa.table(
+        {
+            "word": pa.array(["a", "b", "a", "c", None, "d"]),
+            "n": pa.array([3, 1, 2, 5, 7, 1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    sk = cms_from_counts(ds, "word", "n", d=4, w=128)
+    local = CountMinSketch(4, 128).add_counts(["a", "b", "a", "c", "d"], [3, 1, 2, 5, 1])
+    # register-exact vs a driver-side build; the null key never lands
+    assert (sk.regs == local.regs).all()
+    assert sk.estimate_many(["a", "b", "c", "d"]).tolist() == [5, 1, 5, 1]
+
+
 def test_setops_match_sql(ray_session):
     import duckdb
     import ray.data
