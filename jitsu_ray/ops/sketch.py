@@ -538,7 +538,12 @@ class CountMinSketch:
     def from_cells(cls, cells: pa.Table, d: int, w: int) -> "CountMinSketch":
         out = cls(d, w)
         cell = cells["cell"].to_numpy(zero_copy_only=False)
-        out.regs[cell // w, cell % w] = cells["n"].to_numpy(zero_copy_only=False)
+        # accumulate, don't assign: ungrouped partials may repeat a cell
+        # id, and keeping only the last would UNDERcount — the one error
+        # direction Count-Min promises never to make
+        np.add.at(
+            out.regs, (cell // w, cell % w), cells["n"].to_numpy(zero_copy_only=False)
+        )
         return out
 
 
@@ -557,9 +562,11 @@ def cms_from_counts(counts_ds, key_col: str, n_col: str, d: int = 4,
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # null keys never reach the registers (null is not a countable
-        # key; the oracle's GROUP BY w likewise excludes unnested nulls)
-        keep = pc.is_valid(batch[key_col])
+        # null keys AND null counts never reach the registers (null is
+        # not a countable key, and a null count would NaN-cast to
+        # INT64_MIN garbage; the oracle's GROUP BY w likewise excludes
+        # unnested nulls)
+        keep = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[n_col]))
         valid = batch[key_col].filter(keep)
         ns = batch[n_col].filter(keep)
         sk = CountMinSketch(d, w).add_counts(

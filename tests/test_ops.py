@@ -1094,6 +1094,10 @@ def test_count_min_bounds_merge_roundtrip():
     # sparse-cells roundtrip (the groupby wire format)
     rt = CountMinSketch.from_cells(sk.to_cells(), 4, 64)
     assert (rt.regs == sk.regs).all()
+    # ungrouped/duplicated cells ACCUMULATE (assignment would undercount
+    # — the one error direction CMS promises never to make)
+    both = pa.concat_tables([a.to_cells(), b.to_cells()])
+    assert (CountMinSketch.from_cells(both, 4, 64).regs == sk.regs).all()
 
 
 def test_cms_from_counts_distributed_equals_local(ray_session):
@@ -1103,8 +1107,10 @@ def test_cms_from_counts_distributed_equals_local(ray_session):
 
     tbl = pa.table(
         {
-            "word": pa.array(["a", "b", "a", "c", None, "d"]),
-            "n": pa.array([3, 1, 2, 5, 7, 1], pa.int64()),
+            # null key AND null count rows must both be excluded (a null
+            # count would NaN-cast to INT64_MIN garbage in the registers)
+            "word": pa.array(["a", "b", "a", "c", None, "d", "e"]),
+            "n": pa.array([3, 1, 2, 5, 7, 1, None], pa.int64()),
         }
     )
     ds = ray.data.from_arrow(tbl).repartition(3)
