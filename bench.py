@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "vocab_top20",
     "cms_word_freq",
+    "classifier_scores",
     "value_quantiles",
     "distinct_users_by_type",
     "corpus_pipeline",

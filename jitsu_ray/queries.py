@@ -2983,6 +2983,46 @@ GROUP BY p.w ORDER BY word
 """
 
 
+def q_classifier_scores(sf_dir: str):
+    """Hashed-bag-of-words linear classifier over every document — the
+    batched-model-inference pattern (ops/ml module doc): int64 weight
+    vector broadcast ONCE via ray.put + once_per_process, one polars
+    tokenize/count pass + numpy weight gather per batch. Integer
+    weights make the score bit-exact in SQL via the md5 feature-hash
+    twin, so a model-scoring stage gets a fully green oracle. The
+    weight vector here is the documented rule stand-in for a learned
+    quantized model (ops/ml.rule_weights)."""
+    import ray
+
+    from .ops.ml import rule_weights, score_text_hashed
+
+    dim = 65536
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return score_text_hashed(
+        ds, ray.put(rule_weights(dim)), dim=dim, bias=0, threshold=1
+    )
+
+
+# w[b] = (b % 7) - 3 over bucket b = md5_number_lower(token) % 65536 —
+# the exact ops/ml.rule_weights rule; score sums are integer-exact in
+# any order. CAST to BIGINT BEFORE % 7: md5_number_lower is UBIGINT and
+# an unsigned 0..6 minus 3 would underflow/error.
+SQL_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(md5_number_lower(t) % 65536 AS BIGINT) % 7 - 3) AS BIGINT) AS score
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.score, 0) AS score, COALESCE(s.score, 0) >= 1 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_entity_resolution(sf_dir: str):
     """Fuzzy entity resolution over part names (ops/linkage
     record_linkage — blocking on the last name token, batched-DP
@@ -3791,6 +3831,7 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "vocab_top20": q_vocab_top20,
     "cms_word_freq": q_cms_word_freq,
+    "classifier_scores": q_classifier_scores,
     "asof_last_order": q_asof_last_order,
     "entity_resolution": q_entity_resolution,
     "inverted_search": q_inverted_search,
@@ -3877,6 +3918,7 @@ ORACLES = {
     "value_quantiles_cont": SQL_QUANTILES_CONT,
     "vocab_top20": SQL_VOCAB,
     "cms_word_freq": SQL_CMS,
+    "classifier_scores": SQL_CLASSIFIER,
     "asof_last_order": SQL_ASOF,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "inverted_search": SQL_INVERTED_SEARCH,

@@ -1121,6 +1121,46 @@ def test_cms_from_counts_distributed_equals_local(ray_session):
     assert sk.estimate_many(["a", "b", "c", "d"]).tolist() == [5, 1, 5, 1]
 
 
+def test_score_text_hashed_matches_reference(ray_session):
+    import ray
+    import ray.data
+
+    from jitsu_ray.ops.ml import rule_weights, score_text_hashed
+    from jitsu_ray.util import md5_lower64
+
+    dim = 1024
+    w = rule_weights(dim)
+    docs = [
+        ("d1", "alpha beta alpha"),   # repeated token adds per occurrence
+        ("d2", None),                  # null text -> bias only
+        ("d3", "   "),                 # whitespace-only -> bias only
+        ("d4", "gamma"),
+        ("d5", "beta\u00a0nbsp"),  # NBSP is NOT a separator (RE2 class)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs]),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in score_text_hashed(
+            ds, ray.put(w), dim=dim, bias=2, threshold=3
+        ).take_all()
+    }
+
+    def ref_score(text):
+        toks = [] if text is None else [t for t in __import__("re").split(r"[ \t\n\f\r]+", text) if t]
+        return 2 + sum(int(w[md5_lower64(t) % dim]) for t in toks)
+
+    for did, text in docs:
+        s = ref_score(text)
+        assert out[did] == (s, s >= 3), did
+    assert len(out) == 5  # every input row scored, incl. token-less ones
+
+
 def test_setops_match_sql(ray_session):
     import duckdb
     import ray.data
