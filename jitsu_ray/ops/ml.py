@@ -31,9 +31,8 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
-# RE2 \s+ split twin — the corpus-wide tokenizer contract (ops/search
-# module doc: explicit ASCII class, Rust \S breaks on NBSP/U+2028)
-_TOKEN_RE = r"[^ \t\n\f\r]+"
+# the corpus-wide tokenizer contract lives in ops/search (ONE definition)
+from .search import TOKEN_RE as _TOKEN_RE
 
 
 def rule_weights(dim: int) -> np.ndarray:
@@ -55,31 +54,34 @@ def score_text_hashed(
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
-    """Score every document with a hashed-bag-of-words linear model and
+    """Score every ROW with a hashed-bag-of-words linear model and
     label it ``keep = score >= threshold``. Returns a Dataset of
-    (id_col, score, keep) — one row per input row, null/empty text
-    scores ``bias``. ``weights_ref`` is a ``ray.put`` handle to an
-    int64 vector of length ``dim`` (broadcast once per process, never
-    re-shipped per batch)."""
+    (id_col, score, keep) — one row per input row in input order,
+    null/empty text scores ``bias``. Scores are computed from each
+    row's own text (keyed by batch row POSITION, never by id), so the
+    result is independent of partitioning and block layout; rows that
+    share an id get their own per-row scores. ``weights_ref`` is a
+    ``ray.put`` handle to an int64 vector of length ``dim`` (broadcast
+    once per process, never re-shipped per batch)."""
 
     def run(batch: pa.Table, _wref=weights_ref) -> pa.Table:
         from ..util import md5_lower64, once_per_process
 
         w = once_per_process("hashed_linear_weights", _wref)
-        df = pl.from_arrow(batch.select([id_col, text_col]))
-        # per-(doc, token) occurrence counts — one explode+count pass
+        df = pl.from_arrow(batch.select([id_col, text_col])).with_row_index("__row")
+        # per-(row, token) occurrence counts — one explode+count pass
         counts = (
             df.select(
-                pl.col(id_col),
+                pl.col("__row"),
                 pl.col(text_col).fill_null("").str.extract_all(_TOKEN_RE).alias("__t"),
             )
             .explode("__t")
-            .drop_nulls("__t")  # empty-text docs explode to a null token
-            .group_by([id_col, "__t"])
+            .drop_nulls("__t")  # empty-text rows explode to a null token
+            .group_by(["__row", "__t"])
             .agg(pl.len().cast(pl.Int64).alias("__n"))
         )
         # md5 over batch-unique tokens only; weight per unique token,
-        # gathered back positionally via a join on the token itself
+        # gathered back via a join on the token itself
         uniq = counts["__t"].unique(maintain_order=True)
         toks = uniq.to_list()
         buckets = np.fromiter(
@@ -88,20 +90,20 @@ def score_text_hashed(
         wmap = pl.DataFrame({"__t": uniq, "__w": pl.Series(w[buckets], dtype=pl.Int64)})
         scored = (
             counts.join(wmap, on="__t", how="left")
-            .group_by(id_col)
+            .group_by("__row")
             .agg((pl.col("__w") * pl.col("__n")).sum().cast(pl.Int64).alias("__s"))
         )
-        # every input row gets a score row (token-less docs score bias);
+        # every input row gets a score row (token-less rows score bias);
         # maintain_order pins output to input row order (polars joins
         # do NOT guarantee it — measured round-4 trap)
         out = (
-            df.select(pl.col(id_col))
-            .join(scored, on=id_col, how="left", maintain_order="left")
+            df.select(pl.col("__row"), pl.col(id_col))
+            .join(scored, on="__row", how="left", maintain_order="left")
             .with_columns(
                 (pl.col("__s").fill_null(0) + bias).alias("score"),
             )
             .with_columns((pl.col("score") >= threshold).alias("keep"))
-            .drop("__s")
+            .drop(["__row", "__s"])
         )
         return out.to_arrow()
 

@@ -40,6 +40,12 @@ import pyarrow.compute as pc
 
 from ..util import hash_mod_column
 
+# THE corpus-wide tokenizer contract (one definition; ml/spans/sketch/
+# queries import it): explicit complement class = RE2 \s+ split twin.
+# Load-bearing for SQL parity on any input — see the module doc above
+# and the CLAUDE.md trap list before touching it.
+TOKEN_RE = r"[^ \t\n\f\r]+"
+
 _INDEX_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -56,7 +62,7 @@ def build_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 100_000,
-    token_pattern: str = r"[^ \t\n\f\r]+",
+    token_pattern: str = TOKEN_RE,
     with_lengths: bool = False,
     ngram: int = 1,
     num_shards: int = 64,
@@ -169,7 +175,7 @@ def refresh_index_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 100_000,
-    token_pattern: str = r"[^ \t\n\f\r]+",
+    token_pattern: str = TOKEN_RE,
     with_lengths: bool = False,
     ngram: int = 1,
     num_shards: int = 64,
@@ -333,7 +339,7 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_span: int = 100_000,
-    token_pattern: str = r"[^ \t\n\f\r]+",
+    token_pattern: str = TOKEN_RE,
     broadcast_limit_bytes: int = 64 << 20,
 ):
     """Exact phrase match: Dataset of ``(id_col,)`` for docs whose

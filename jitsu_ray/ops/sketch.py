@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .search import TOKEN_RE
+
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
@@ -602,7 +604,7 @@ def sketch_vocab_topk(ds, text_col: str, k: int = 20, capacity: int = 4096):
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([text_col]))
         counts = (
-            df.select(pl.col(text_col).fill_null("").str.extract_all(r"[^ \t\n\f\r]+").alias("w"))
+            df.select(pl.col(text_col).fill_null("").str.extract_all(TOKEN_RE).alias("w"))
             .explode("w")
             .drop_nulls("w")
             .group_by("w")

@@ -53,6 +53,7 @@ import polars as pl
 import pyarrow as pa
 
 from ..util import hash_mod_column
+from .search import TOKEN_RE
 
 _OUT_SCHEMA = pa.schema(
     [
@@ -73,7 +74,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    token_pattern: str = r"[^ \t\n\f\r]+",
+    token_pattern: str = TOKEN_RE,
     num_shards: int = 64,
     fingerprint: bool = False,
     emit: str = "stats",

@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from .ops.dedup import exact_dedup_hash_stage, minhash_dedup, ngram_jaccard_pairs, SimHasher
+from .ops.search import TOKEN_RE
 from .ops.multimodal import decode_media
 from .ops.similarity import ann_ivf, knn_cosine
 from .ops.text import DocAnalyzer, TextStats
@@ -2868,7 +2869,7 @@ def _partial_word_counts(batch: pa.Table) -> pa.Table:
             # breaks on NBSP/U+2028; see ops/search module doc)
             pl.col("text")
             .fill_null("")
-            .str.extract_all(r"[^ \t\n\f\r]+")
+            .str.extract_all(TOKEN_RE)
             .alias("w")
         )
         .explode("w")

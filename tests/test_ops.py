@@ -1160,6 +1160,22 @@ def test_score_text_hashed_matches_reference(ray_session):
         assert out[did] == (s, s >= 3), did
     assert len(out) == 5  # every input row scored, incl. token-less ones
 
+    # duplicate ids: PER-ROW scores (keyed by row position, not id), so
+    # the result is identical at any partitioning/block layout
+    dup = pa.table(
+        {
+            "doc_id": pa.array(["d", "d"]),
+            "text": pa.array(["alpha", "beta gamma"]),
+        }
+    )
+    for parts in (1, 2):
+        rows = score_text_hashed(
+            ray.data.from_arrow(dup).repartition(parts), ray.put(w), dim=dim
+        ).take_all()
+        assert sorted(r["score"] for r in rows) == sorted(
+            (ref_score("alpha") - 2, ref_score("beta gamma") - 2)
+        ), parts
+
 
 def test_setops_match_sql(ray_session):
     import duckdb
