@@ -53,3 +53,25 @@ def test_casts():
     assert pa.types.is_timestamp(ts.type)
     back = cast_array(ts, T.STRING)
     assert back.to_pylist() == ["2024-01-02T03:04:05.000006Z"]
+
+
+def test_query_inventory_integrity():
+    """Driver-contract invariants the round gate depends on: every
+    registered query has an oracle (CLAUDE.md hard rule — the two dicts
+    must never drift apart), the bench set only names real queries, and
+    __ray_entry__ re-exports the same registries."""
+    import __ray_entry__ as entry
+    from bench import BENCH_QUERIES
+    from jitsu_ray.queries import ORACLES, QUERIES
+
+    # 9 oracles are DYNAMIC (generated-input SQL, built inside
+    # oracle_sql()), so static ORACLES is a strict subset; the driver-
+    # facing contract is exact key parity at the entry level
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(BENCH_QUERIES) <= set(QUERIES)
+    assert set(entry.queries()) == set(QUERIES)
+    assert set(entry.oracle_sql()) == set(QUERIES)
+    assert all(callable(f) for f in QUERIES.values())
+    assert all(
+        isinstance(s, str) and s.strip() for s in entry.oracle_sql().values()
+    )
