@@ -226,3 +226,93 @@ def test_corpus_pipeline_staged_path_matches(ray_session, monkeypatch):
     monkeypatch.setenv("JITSU_STAGE_BUDGET_BYTES", "0")
     staged = rows(q_corpus_pipeline(sf))
     assert staged == base and len(base) > 0
+
+
+# printable-ish unicode WITHOUT NUL (DuckDB VARCHAR rejects it) or
+# surrogates; includes '|' (the CMS row-hash separator — unambiguous
+# because the row prefix is always a single digit), NBSP, CJK, emoji
+_key_alphabet = st.characters(
+    blacklist_categories=("Cs",), blacklist_characters="\x00"
+)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.dictionaries(
+        st.text(_key_alphabet, min_size=1, max_size=8),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cms_registers_match_duckdb_twin(counts):
+    """The CountMinSketch row hash is the exact DuckDB twin on ANY
+    unicode key, and estimates never undercount."""
+    import duckdb
+    import numpy as np
+
+    from jitsu_ray.ops.sketch import CountMinSketch
+
+    d, w = 3, 64
+    keys = list(counts)
+    ns = np.array([counts[k] for k in keys], dtype=np.int64)
+    sk = CountMinSketch(d, w).add_counts(keys, ns)
+    assert (sk.estimate_many(keys) >= ns).all()
+
+    con = duckdb.connect()
+    con.register("c", pa.table({"w": pa.array(keys), "n": pa.array(ns)}))
+    cells = con.sql(
+        f"""SELECT i, CAST(md5_number_lower(CAST(i AS VARCHAR) || '|' || w) % {w} AS BIGINT) AS b,
+                   CAST(SUM(n) AS BIGINT) AS reg
+            FROM c CROSS JOIN range({d}) t(i) GROUP BY 1, 2"""
+    ).fetchall()
+    sql_regs = np.zeros((d, w), dtype=np.int64)
+    for i, b, reg in cells:
+        sql_regs[i, b] = reg
+    assert (sql_regs == sk.regs).all()
+
+
+_text_alphabet = st.characters(
+    blacklist_categories=("Cs",), blacklist_characters="\x00"
+)
+
+
+@settings(
+    deadline=None, max_examples=10, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(_text_alphabet, max_size=40)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_classifier_matches_sql_oracle_any_text(ray_session, texts):
+    """score_text_hashed == SQL_CLASSIFIER on arbitrary unicode/null
+    text — the tokenizer class, md5 feature hash, and integer-weight
+    sum must agree char-for-char (the full oracle-parity surface)."""
+    import duckdb
+    import ray
+    import ray.data
+
+    from jitsu_ray.ops.ml import rule_weights, score_text_hashed
+    from jitsu_ray.queries import SQL_CLASSIFIER
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = sorted(
+        (r["doc_id"], r["score"], r["keep"])
+        for r in score_text_hashed(
+            ray.data.from_arrow(tbl).repartition(2),
+            ray.put(rule_weights(65536)),
+            dim=65536,
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = sorted(tuple(row) for row in con.sql(SQL_CLASSIFIER).fetchall())
+    assert got == want
