@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "vocab_top20",
     "cms_word_freq",
     "classifier_scores",
+    "local_supplier_volume",
     "value_quantiles",
     "distinct_users_by_type",
     "corpus_pipeline",

@@ -2984,6 +2984,152 @@ GROUP BY p.w ORDER BY word
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape over the full six-table chain (region → nation →
+    {customer, supplier} → orders → lineitem) — the canonical multi-way
+    join plan at 100 TB. Dimension sides collapse to broadcast lookups
+    applied INSIDE the big-side map_batches: region (5 rows) and nation
+    (25) prune driver-side; supplier and customer are pruned to the
+    region and shipped once via ray.put + once_per_process (the
+    broadcast-under-64MB guard of pipelines/recognition.py applies when
+    a dimension outgrows a ref — orders⋈customer would then become a
+    second bucket join). The single big-big edge (orders × lineitem) is
+    ONE bucket shuffle (ops/join.bucket_hash_join), with lineitem
+    pre-aggregated per (l_orderkey, supplier-nation) per batch so the
+    exchange carries partials, not rows. Revenue in integer cents
+    (floor(x*100+0.5)) — the established float-free oracle twin of
+    SQL_ORDER_REVENUE."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from .ops.join import bucket_hash_join
+
+    region = pq.read_table(_t(sf_dir, "region"))
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    nation = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))
+    nkeys = nation["n_nationkey"].combine_chunks()
+    supplier = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supplier = supplier.filter(pc.is_in(supplier["s_nationkey"], value_set=nkeys)).combine_chunks()
+    customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    customer = customer.filter(pc.is_in(customer["c_nationkey"], value_set=nkeys)).combine_chunks()
+    supp_ref = ray.put(supplier)
+    cust_ref = ray.put(customer)
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    def orders_stage(batch: pa.Table, _ref=cust_ref) -> pa.Table:
+        from .util import once_per_process
+
+        cust = once_per_process("q5_customer_dim", _ref)
+        pos = pc.index_in(batch["o_custkey"], value_set=cust["c_custkey"])
+        nat = cust["c_nationkey"].take(pos)  # null pos -> null nation
+        keep = pc.and_(
+            pc.is_valid(pos),
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            ),
+        )
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "cust_nation": nat}
+        ).filter(keep)
+
+    def lineitem_stage(batch: pa.Table, _ref=supp_ref) -> pa.Table:
+        from .util import once_per_process
+
+        supp = once_per_process("q5_supplier_dim", _ref)
+        pos = pc.index_in(batch["l_suppkey"], value_set=supp["s_suppkey"])
+        nat = supp["s_nationkey"].take(pos)
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            batch["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                        ),
+                        pa.scalar(100.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        part = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "supp_nation": nat, "revenue_c": cents}
+        ).filter(pc.is_valid(pos))
+        # per-batch partial: the bucket exchange ships one row per
+        # (order, nation) per batch, not one per lineitem
+        df = pl.from_arrow(part)
+        return (
+            df.group_by(["l_orderkey", "supp_nation"])
+            .agg(pl.col("revenue_c").sum())
+            .to_arrow()
+            .cast(part.schema)
+        )
+
+    orders_f = _read_sized(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_stage, batch_format="pyarrow")
+    li_part = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_stage, batch_format="pyarrow")
+
+    joined = bucket_hash_join(
+        orders_f, li_part, "o_orderkey", "l_orderkey", num_buckets=16
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        # Q5's c_nationkey = s_nationkey: customer and supplier in the
+        # SAME nation; partial per-nation sums before the tiny groupby
+        sel = batch.filter(pc.equal(batch["cust_nation"], batch["supp_nation"]))
+        df = pl.from_arrow(sel.select(["supp_nation", "revenue_c"]))
+        out = df.group_by("supp_nation").agg(pl.col("revenue_c").sum())
+        return out.to_arrow().cast(
+            pa.schema([("supp_nation", pa.int64()), ("revenue_c", pa.int64())])
+        )
+
+    totals = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("supp_nation")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .take_all()
+    )
+    names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    rows = sorted(
+        ((names[r["supp_nation"]], r["revenue_c"]) for r in totals),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "revenue_c": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# Same integer-cents revenue twin as SQL_ORDER_REVENUE; bare 0.5/1 are
+# exact in binary so the DECIMAL-literal trap doesn't bite here.
+SQL_Q5_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(floor((l_extendedprice*(1 - l_discount))*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_c DESC, n_name
+"""
+
+
 def q_classifier_scores(sf_dir: str):
     """Hashed-bag-of-words linear classifier over every document — the
     batched-model-inference pattern (ops/ml module doc): int64 weight
@@ -3833,6 +3979,7 @@ QUERIES = {
     "vocab_top20": q_vocab_top20,
     "cms_word_freq": q_cms_word_freq,
     "classifier_scores": q_classifier_scores,
+    "local_supplier_volume": q_local_supplier_volume,
     "asof_last_order": q_asof_last_order,
     "entity_resolution": q_entity_resolution,
     "inverted_search": q_inverted_search,
@@ -3920,6 +4067,7 @@ ORACLES = {
     "vocab_top20": SQL_VOCAB,
     "cms_word_freq": SQL_CMS,
     "classifier_scores": SQL_CLASSIFIER,
+    "local_supplier_volume": SQL_Q5_VOLUME,
     "asof_last_order": SQL_ASOF,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "inverted_search": SQL_INVERTED_SEARCH,

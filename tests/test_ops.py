@@ -2758,3 +2758,22 @@ def test_refresh_index_null_id_bucket(ray_session):
         build(t1), ray.data.from_arrow(t2), [None], bucket_span=5
     )
     assert canon(got) == canon(build(t2))
+
+
+def test_local_supplier_volume_matches_sql(ray_session):
+    """TPC-H Q5 shape: the 6-table broadcast+bucket-join plan must
+    equal the flat SQL join on the real test tables."""
+    import duckdb
+
+    from jitsu_ray.queries import SQL_Q5_VOLUME, q_local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["n_name"], r["revenue_c"])
+        for r in q_local_supplier_volume(sf).to_pylist()
+    ]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = [tuple(r) for r in con.sql(SQL_Q5_VOLUME).fetchall()]
+    assert got == want and len(got) >= 1
