@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "dedup_spans",
     "mixture_sample_docs",
     "cap_per_source",
+    "value_histogram",
+    "embedding_dim_stats",
+    "bigram_top20",
+    "value_outliers",
+    "top_unshipped_orders",
+    "customer_order_counts",
 ]
 
 

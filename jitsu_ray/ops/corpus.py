@@ -371,6 +371,54 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int):
     )
 
 
+def assign_splits(
+    ds, id_col: str, splits: list[tuple[str, int]], mod: int = 100
+):
+    """Deterministic train/val/test (or any k-way) split assignment —
+    the one-pass labeling that every holdout protocol needs to be
+    STABLE across re-runs, cluster sizes and row order. Appends a
+    ``split`` string column chosen by the md5 id-hash rule shared with
+    hash_sample / stratified_sample:
+
+        bucket = md5_lower64(str(id)) % mod
+        split  = first entry whose cumulative weight exceeds bucket
+
+    ``splits`` is ordered ``[(name, weight), ...]`` and the weights
+    must sum to exactly ``mod`` (total coverage — no silently dropped
+    rows, no overlap). SQL twin: a CASE over ``md5_number_lower(CAST(id
+    AS VARCHAR)) % mod`` with the same cumulative bounds, so the split
+    is auditable and re-derivable anywhere. Rows with a NULL id are
+    dropped (they have no defined bucket — same rule as hash_sample).
+
+    Pure per-batch map (vectorized hash + one ``np.searchsorted``):
+    no shuffle, no state, disjoint-and-exhaustive by construction."""
+    import numpy as np
+
+    if not splits:
+        raise ValueError("assign_splits needs at least one split")
+    weights = [int(w) for _, w in splits]
+    if any(w <= 0 for w in weights):
+        raise ValueError("split weights must be positive")
+    if sum(weights) != mod:
+        raise ValueError(
+            f"split weights must sum to mod={mod}, got {sum(weights)}"
+        )
+    names = [str(n) for n, _ in splits]
+    cum = np.cumsum(weights)  # bucket b -> first i with b < cum[i]
+    labels = np.asarray(names, dtype=object)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        bucket = (hv % np.uint64(mod)).astype(np.int64)
+        idx = np.searchsorted(cum, bucket, side="right")
+        out = batch.append_column(
+            "split", pa.array(labels[idx], pa.string())
+        )
+        return out.filter(pa.array(~null_mask))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def _md5_lower64_column(col) -> tuple:
     """(lower-64-bit md5 of each value's canonical string as uint64,
     null mask). Exactly DuckDB's ``md5_number_lower(CAST(v AS

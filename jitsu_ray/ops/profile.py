@@ -169,3 +169,145 @@ def profile_table(ds, columns: list[str] | None = None,
         },
         schema=_SCHEMA,
     )
+
+
+def value_histogram(ds, value_col: str, bins: int, lo: float, hi: float) -> pa.Table:
+    """Exact equi-width histogram of ``value_col`` over ``[lo, hi]`` —
+    the distribution-QA companion to ``profile_table`` (quality-score /
+    token-count / latency distributions before publishing a corpus).
+
+    Bucket rule (shared char-for-char with the SQL twin so float64
+    arithmetic is bit-identical on both sides):
+
+        keep rows with lo <= v <= hi   (NULL and NaN excluded — NaN
+                                        fails ``v <= hi`` in numpy AND
+                                        in DuckDB, where NaN sorts
+                                        greater than everything)
+        bucket = min(floor((v - lo) * bins / (hi - lo)), bins - 1)
+
+    i.e. ``bins`` half-open cells plus the closed top edge folded into
+    the last cell. Distributed shape: one ``map_batches`` pass emits at
+    most ``bins`` partial rows per batch (``np.bincount`` — the
+    combiner), one tiny Sum groupby folds them, and the driver fills
+    empty buckets with zeros. Output: (bucket int64, n int64), one row
+    per bucket 0..bins-1 including empties — shuffle volume is bounded
+    by bins x batches regardless of input size."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    span = hi - lo
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        v = v[(v >= lo) & (v <= hi)]  # NaN/null fall out of both bounds
+        b = np.minimum(
+            np.floor((v - lo) * bins / span).astype(np.int64), bins - 1
+        )
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    got = {
+        int(r["bucket"]): int(r["n"])
+        for r in (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(_Sum("n", alias_name="n"))
+            .take_all()
+        )
+    }
+    return pa.table(
+        {
+            "bucket": pa.array(range(bins), pa.int64()),
+            "n": pa.array([got.get(i, 0) for i in range(bins)], pa.int64()),
+        }
+    )
+
+
+def embedding_dim_stats(ds, vec_col: str, dim: int) -> pa.Table:
+    """Per-dimension embedding QA: (dim, n, vmin, vmax) for each of the
+    ``dim`` coordinates — the dead-dimension / exploding-coordinate
+    check a corpus run does before trusting an embedding column. Rows
+    whose vector is NULL or whose length differs from ``dim`` are
+    skipped (the SQL twin filters ``len(embedding) = dim``).
+
+    Distributed shape: each batch flattens its fixed-length lists to an
+    (n, dim) float64 matrix (zero-copy from Arrow ListArray values) and
+    emits ``dim`` partial rows (count / per-dim min / per-dim max); one
+    tiny groupby folds partials with Sum/Min/Max. min and max are exact
+    — no float summation crosses engines, and the float32 -> float64
+    widening is lossless, so the oracle hash-compares clean.
+
+    NaN / list-interior-NULL caveat (documented, not load-bearing for
+    the test tables, which contain neither): interior NULL elements
+    surface as NaN in the flattened matrix; per-dim min uses np.nanmin
+    (NaN never wins — DuckDB's NaN-sorts-greatest min agrees) while max
+    uses np.max (NaN propagates — DuckDB max also returns NaN when one
+    is present, but a NULL element diverges: SQL max skips it)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col].combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), -1)
+        keep = pc.equal(lens, dim)
+        arr = col.filter(keep)
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+        flat = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, dim)
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(dim, n, dtype=np.int64), pa.int64()),
+                "vmin": pa.array(np.nanmin(flat, axis=0), pa.float64()),
+                "vmax": pa.array(np.max(flat, axis=0), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Min("vmin", alias_name="vmin"),
+            _Max("vmax", alias_name="vmax"),
+        )
+        .take_all()
+    )
+    rows = sorted(out, key=lambda r: r["dim"])
+    return pa.table(
+        {
+            "dim": pa.array([r["dim"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "vmin": pa.array([r["vmin"] for r in rows], pa.float64()),
+            "vmax": pa.array([r["vmax"] for r in rows], pa.float64()),
+        }
+    )

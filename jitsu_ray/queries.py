@@ -3903,6 +3903,413 @@ WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
 """
 
 
+def q_value_histogram(sf_dir: str):
+    """Exact 16-bucket equi-width histogram of events.value over
+    [0, 400] — distribution QA with bins x batches shuffle volume
+    (ops/profile.value_histogram docstring has the bucket rule and the
+    float64-parity argument)."""
+    from .ops.profile import value_histogram
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["value"])
+    return value_histogram(ds, "value", bins=16, lo=0.0, hi=400.0)
+
+
+# same float64 expression order as the numpy side: (v - lo) * bins /
+# (hi - lo), floored, top edge folded into the last bucket; e-notation
+# literals keep DuckDB in DOUBLE (a bare 400.0 would too, but 0/400
+# as INTEGER would make (value - 0) DOUBLE-from-int — same value, kept
+# explicit for the next reader)
+SQL_HISTOGRAM = """
+WITH hits AS (
+  SELECT least(CAST(floor((value - 0.0e0) * 16 / 400.0e0) AS BIGINT), 15) AS bucket
+  FROM events WHERE value >= 0.0e0 AND value <= 400.0e0
+)
+SELECT CAST(t.i AS BIGINT) AS bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM range(16) t(i)
+LEFT JOIN (SELECT bucket, count(*) AS n FROM hits GROUP BY bucket) c
+  ON t.i = c.bucket
+ORDER BY bucket
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension (count, min, max) over the 64-dim embedding
+    column — dead-dimension QA; min/max are exact across engines (no
+    float summation; float32 -> float64 widening is lossless)."""
+    from .ops.profile import embedding_dim_stats
+
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["embedding"])
+    return embedding_dim_stats(ds, "embedding", dim=64)
+
+
+SQL_DIM_STATS = """
+SELECT CAST(t.i AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(embedding[CAST(t.i AS BIGINT) + 1]) AS DOUBLE) AS vmin,
+       CAST(max(embedding[CAST(t.i AS BIGINT) + 1]) AS DOUBLE) AS vmax
+FROM embeddings, range(64) t(i)
+WHERE embedding IS NOT NULL AND len(embedding) = 64
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_splits(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment over doc_id —
+    the md5 split rule of ops/corpus.assign_splits, auditable via the
+    SQL CASE twin."""
+    from .ops.corpus import assign_splits
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id"])
+    return assign_splits(
+        ds, "doc_id", [("train", 80), ("val", 10), ("test", 10)], mod=100
+    ).select_columns(["doc_id", "split"])
+
+
+SQL_SPLITS = """
+SELECT doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch word-BIGRAM count combiner: the vocab combiner's shape
+    one n-gram order up — tokenize once (shared TOKEN_RE twin), pair
+    each token with its successor INSIDE the document (polars shift
+    over the row index), and pre-count so the shuffle carries one row
+    per (bigram, batch)."""
+    df = pl.from_arrow(batch.select(["text"])).with_row_index("d")
+    out = (
+        df.select(
+            "d",
+            pl.col("text").fill_null("").str.extract_all(TOKEN_RE).alias("w"),
+        )
+        .explode("w")
+        .drop_nulls("w")
+        .with_columns(pl.col("w").shift(-1).over("d").alias("w2"))
+        .drop_nulls("w2")
+        .select((pl.col("w") + " " + pl.col("w2")).alias("word"))
+        .group_by("word")
+        .agg(pl.len().cast(pl.Int64).alias("n"))
+    )
+    return out.to_arrow().cast(
+        pa.schema([("word", pa.string()), ("n", pa.int64())])
+    )
+
+
+def q_bigram_top20(sf_dir: str):
+    """Corpus-wide top-20 word bigrams — phrase-level vocabulary stats
+    (collocation mining / boilerplate detection). Rides the vocab
+    top-k fold; output column named ``bigram``."""
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["text"])
+    top = _global_word_topk(
+        ds.map_batches(_partial_bigram_counts, batch_format="pyarrow"), k=20
+    )
+    return top.rename_columns(["bigram", "n"])
+
+
+# ts[i] || ' ' || ts[i+1]: DuckDB list indexing is 1-based;
+# generate_series(1, len-1) enumerates the n-1 adjacent pairs (empty
+# for 0/1-token docs) — range() can't take lateral column params here,
+# the SQL_DEDUP_SPANS unnest(generate_series(...)) pattern can
+SQL_BIGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS w
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS s(i)
+)
+SELECT w AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY w ORDER BY n DESC, w LIMIT 20
+"""
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-event-type IQR outlier report (Tukey fences): exact q25/q75
+    via the oracle-checked group-quantile operator (tiny 5-row result,
+    driver-folded), fences q25/75 -/+ 1.5*(q75-q25) computed with the
+    same float64 expression on both sides (quantile_disc returns actual
+    data values, so the arithmetic inputs are bit-identical), then ONE
+    vectorized counting pass — bounds gathered per row via index_in,
+    partial per-group counts before the tiny Sum groupby. NaN caveat
+    (absent from the test tables): DuckDB sorts NaN greatest so
+    ``v > hi_fence`` would count it; numpy comparisons drop it."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .ops.corpus import exact_group_quantiles
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_type", "value"])
+    q = (
+        exact_group_quantiles(ds, "event_type", "value", [0.25, 0.75])
+        .take_all()
+    )
+    groups = sorted(r["event_type"] for r in q)
+    q25 = {r["event_type"]: float(r["q25"]) for r in q}
+    q75 = {r["event_type"]: float(r["q75"]) for r in q}
+    lo_f = {g: q25[g] - 1.5 * (q75[g] - q25[g]) for g in groups}
+    hi_f = {g: q75[g] + 1.5 * (q75[g] - q25[g]) for g in groups}
+    keys = pa.array(groups, pa.string())
+    lo_v = np.asarray([lo_f[g] for g in groups], dtype=np.float64)
+    hi_v = np.asarray([hi_f[g] for g in groups], dtype=np.float64)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        idx = (
+            pc.fill_null(pc.index_in(batch["event_type"], value_set=keys), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = pc.cast(batch["value"], pa.float64()).to_numpy(zero_copy_only=False)
+        ok = (idx >= 0) & ~np.isnan(v)
+        i, vv = idx[ok], v[ok]
+        out = (vv < lo_v[i]) | (vv > hi_v[i])
+        cnt = np.bincount(i[out], minlength=len(groups))
+        return pa.table(
+            {
+                "event_type": keys,
+                "n_outliers": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    counts = {
+        r["event_type"]: int(r["n_outliers"])
+        for r in (
+            ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(_Sum("n_outliers", alias_name="n_outliers"))
+            .take_all()
+        )
+    }
+    return pa.table(
+        {
+            "event_type": pa.array(groups, pa.string()),
+            "q25": pa.array([q25[g] for g in groups], pa.float64()),
+            "q75": pa.array([q75[g] for g in groups], pa.float64()),
+            "n_outliers": pa.array([counts.get(g, 0) for g in groups], pa.int64()),
+        }
+    )
+
+
+SQL_OUTLIERS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q25,
+         quantile_disc(value, 0.75) AS q75
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT b.event_type, b.q25, b.q75,
+       CAST(count(*) FILTER (
+         WHERE e.value < b.q25 - 1.5e0 * (b.q75 - b.q25)
+            OR e.value > b.q75 + 1.5e0 * (b.q75 - b.q25)
+       ) AS BIGINT) AS n_outliers
+FROM b JOIN events e USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape: top-10 highest-revenue orders in the BUILDING
+    segment, ordered before the cutoff with lineitems shipped after it.
+    Plan: segment customers collapse to a broadcast key set applied
+    inside the orders read (semi filter — no dimension shuffle);
+    lineitem pre-aggregates revenue cents per order per batch (the
+    combiner); ONE bucket shuffle joins them with the right side folded
+    per key inside its bucket; the top-10 cut is per-block partial
+    top-k + a driver fold of the tiny partials (vocab pattern) — never
+    a global sort. Revenue in integer cents (floor(x*100+0.5)), the
+    float-free oracle twin."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from .ops.join import bucket_hash_join
+
+    cut = pa.scalar(datetime.datetime(1998, 7, 1), pa.timestamp("us"))
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    ckeys = (
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .combine_chunks()
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    def orders_stage(batch: pa.Table, _ref=ckeys_ref) -> pa.Table:
+        from .util import once_per_process
+
+        ks = once_per_process("q3_building_custkeys", _ref)
+        keep = pc.and_(
+            pc.is_in(batch["o_custkey"], value_set=ks),
+            pc.less(batch["o_orderdate"], cut),
+        )
+        return batch.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).filter(keep)
+
+    def lineitem_stage(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            sel["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), sel["l_discount"]),
+                        ),
+                        pa.scalar(100.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        part = pa.table({"l_orderkey": sel["l_orderkey"], "revenue_c": cents})
+        df = pl.from_arrow(part)
+        return (
+            df.group_by("l_orderkey")
+            .agg(pl.col("revenue_c").sum())
+            .to_arrow()
+            .cast(part.schema)
+        )
+
+    orders_f = _read_sized(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_stage, batch_format="pyarrow")
+    li_part = _read_sized(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_stage, batch_format="pyarrow")
+
+    def fold_right(rg: pa.Table) -> pa.Table:
+        df = pl.from_arrow(rg)
+        return df.group_by("l_orderkey").agg(
+            pl.col("revenue_c").sum()
+        ).to_arrow().cast(rg.schema)
+
+    joined = bucket_hash_join(
+        orders_f,
+        li_part,
+        "o_orderkey",
+        "l_orderkey",
+        num_buckets=16,
+        right_pre_join=fold_right,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("revenue_c", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(out_schema.names))
+        return (
+            df.drop_nulls("revenue_c")  # inner join leaves none; belt+braces
+            .sort(
+                ["revenue_c", "o_orderdate", "o_orderkey"],
+                descending=[True, False, False],
+            )
+            .head(10)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = joined.map_batches(block_topk, batch_format="pyarrow").take_all()
+    final = (
+        pl.from_arrow(pa.Table.from_pylist(partials, schema=out_schema))
+        .sort(
+            ["revenue_c", "o_orderdate", "o_orderkey"],
+            descending=[True, False, False],
+        )
+        .head(10)
+    )
+    return final.to_arrow().cast(out_schema)
+
+
+SQL_Q3_TOPORDERS = """
+SELECT o_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_c,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER bucket join: AUTOMOBILE-segment customers with their
+    order counts INCLUDING zero-order customers — the outer-join mode
+    of ops/join.bucket_hash_join (per-bucket Arrow 'left outer', right
+    side pre-folded to one count row per key inside its bucket, so the
+    exchange carries per-batch partial counts, never order rows)."""
+    from .ops.join import bucket_hash_join
+
+    cust = _read_sized(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_stage(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["c_mktsegment"], "AUTOMOBILE")
+        ).select(["c_custkey"])
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["o_custkey"]))
+        out = df.group_by("o_custkey").agg(pl.len().cast(pl.Int64).alias("n"))
+        return out.to_arrow().cast(
+            pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+        )
+
+    def fold_right(rg: pa.Table) -> pa.Table:
+        df = pl.from_arrow(rg)
+        return df.group_by("o_custkey").agg(pl.col("n").sum()).to_arrow().cast(
+            rg.schema
+        )
+
+    joined = bucket_hash_join(
+        cust.map_batches(cust_stage, batch_format="pyarrow"),
+        _read_sized(_t(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+            order_partial, batch_format="pyarrow"
+        ),
+        "c_custkey",
+        "o_custkey",
+        num_buckets=16,
+        how="left outer",
+        right_pre_join=fold_right,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_orders": pc.fill_null(batch["n"], 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUST_ORDER_COUNTS = """
+SELECT c_custkey, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+  ON c_custkey = o.o_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -3999,6 +4406,13 @@ QUERIES = {
     "mixture_sample_docs": q_mixture_sample,
     "cap_per_source": q_cap_per_source,
     "index_refresh": q_index_refresh,
+    "value_histogram": q_value_histogram,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "doc_splits": q_doc_splits,
+    "bigram_top20": q_bigram_top20,
+    "value_outliers": q_value_outliers,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "customer_order_counts": q_customer_order_counts,
 }
 
 ORACLES = {
@@ -4087,6 +4501,13 @@ ORACLES = {
     "mixture_sample_docs": SQL_MIXTURE,
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "index_refresh": SQL_INDEX_REFRESH,
+    "value_histogram": SQL_HISTOGRAM,
+    "embedding_dim_stats": SQL_DIM_STATS,
+    "doc_splits": SQL_SPLITS,
+    "bigram_top20": SQL_BIGRAMS,
+    "value_outliers": SQL_OUTLIERS,
+    "top_unshipped_orders": SQL_Q3_TOPORDERS,
+    "customer_order_counts": SQL_CUST_ORDER_COUNTS,
 }
 
 

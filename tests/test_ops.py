@@ -2777,3 +2777,130 @@ def test_local_supplier_volume_matches_sql(ray_session):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     want = [tuple(r) for r in con.sql(SQL_Q5_VOLUME).fetchall()]
     assert got == want and len(got) >= 1
+
+
+def test_value_histogram_semantics(ray_session):
+    """Bucket rule edge cases: top edge folds into the last bucket,
+    out-of-range / null / NaN rows are dropped, empty buckets appear
+    with n=0, and parameter validation raises."""
+    import ray.data
+
+    from jitsu_ray.ops.profile import value_histogram
+
+    t = pa.table(
+        {
+            "v": pa.array(
+                [0.0, 0.999, 1.0, 5.0, 9.999, 10.0, -0.1, 10.5, None, float("nan")],
+                pa.float64(),
+            )
+        }
+    )
+    got = value_histogram(ray.data.from_arrow(t), "v", bins=10, lo=0.0, hi=10.0)
+    counts = dict(zip(got["bucket"].to_pylist(), got["n"].to_pylist()))
+    # 0.0, 0.999 -> bucket 0; 1.0 -> 1; 5.0 -> 5; 9.999 and 10.0 -> 9
+    assert counts == {0: 2, 1: 1, 2: 0, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0, 9: 2}
+    assert sum(counts.values()) == 6  # -0.1, 10.5, None, NaN dropped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        value_histogram(ray.data.from_arrow(t), "v", bins=0, lo=0, hi=1)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(ray.data.from_arrow(t), "v", bins=4, lo=1, hi=1)
+
+
+def test_embedding_dim_stats_skips_bad_rows(ray_session):
+    """NULL vectors and wrong-length vectors are excluded; min/max are
+    exact per dimension over the surviving rows."""
+    import ray.data
+
+    from jitsu_ray.ops.profile import embedding_dim_stats
+
+    t = pa.table(
+        {
+            "vec": pa.array(
+                [[1.0, -2.0], [3.0, 0.5], None, [9.0], [0.0, 7.0, 7.0]],
+                pa.list_(pa.float32()),
+            )
+        }
+    )
+    got = embedding_dim_stats(ray.data.from_arrow(t), "vec", dim=2)
+    assert got["dim"].to_pylist() == [0, 1]
+    assert got["n"].to_pylist() == [2, 2]
+    assert got["vmin"].to_pylist() == [1.0, -2.0]
+    assert got["vmax"].to_pylist() == [3.0, 0.5]
+
+
+def test_assign_splits_rule_and_validation(ray_session):
+    """Split assignment is the md5 % mod cumulative rule, drops null
+    ids, is exhaustive, and validates weights."""
+    import ray.data
+
+    from jitsu_ray.ops.corpus import assign_splits
+    from jitsu_ray.util import md5_lower64
+
+    ids = list(range(200)) + [None]
+    t = pa.table({"id": pa.array(ids, pa.int64())})
+    out = assign_splits(
+        ray.data.from_arrow(t), "id", [("a", 50), ("b", 30), ("c", 20)]
+    ).take_all()
+    assert len(out) == 200  # null id dropped
+    for r in out:
+        b = md5_lower64(str(r["id"])) % 100
+        want = "a" if b < 50 else ("b" if b < 80 else "c")
+        assert r["split"] == want, (r, b)
+    # every split nonempty at n=200 with these weights
+    assert {r["split"] for r in out} == {"a", "b", "c"}
+
+    import pytest as _pytest
+
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(ValueError, match="sum"):
+        assign_splits(ds, "id", [("a", 50), ("b", 30)])
+    with _pytest.raises(ValueError, match="positive"):
+        assign_splits(ds, "id", [("a", 100), ("b", 0)])
+    with _pytest.raises(ValueError, match="at least one"):
+        assign_splits(ds, "id", [])
+
+
+def test_bigram_counts_stay_inside_documents(ray_session):
+    """The bigram combiner must never pair the last token of one doc
+    with the first token of the next (shift is windowed per row)."""
+    import ray.data
+
+    from jitsu_ray.queries import _partial_bigram_counts
+
+    t = pa.table({"text": pa.array(["a b", "b c", "", None, "x"])})
+    got = {
+        r["word"]: r["n"]
+        for r in ray.data.from_arrow(t)
+        .map_batches(_partial_bigram_counts, batch_format="pyarrow")
+        .take_all()
+    }
+    # no "b b" (cross-doc), no pair involving the 1-token doc "x"
+    assert got == {"a b": 1, "b c": 1}
+
+
+def test_bucket_join_left_outer_zero_match(ray_session):
+    """LEFT OUTER bucket join: left keys with no right rows survive
+    with nulls — including buckets that contain ONLY left rows."""
+    import ray.data
+
+    from jitsu_ray.ops.join import bucket_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())})
+    right = pa.table(
+        {"rk": pa.array([2, 2, 4], pa.int64()), "v": pa.array([10, 20, 30], pa.int64())}
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bucket_hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            "k",
+            "rk",
+            num_buckets=8,
+            how="left outer",
+        ).take_all()
+    )
+    assert got == [(1, None), (2, 10), (2, 20), (3, None), (4, 30)]
