@@ -1045,6 +1045,11 @@ class LakeTable:
                         os.unlink(os.path.join(self.dir, path))
                     except OSError:
                         pass
+        # fold the ledger so the next apply/read replays O(rows since
+        # here), not O(all windows) — long-running streaming lakes
+        # otherwise reopen thousands of window JSONs per window
+        # (best-effort: a lost multi-writer claim just tries next time)
+        self.ledger.checkpoint()
         return entry
 
     def last_committed_hi(self) -> int:

@@ -70,6 +70,85 @@ class Ledger:
         finally:
             os.unlink(tmp)
 
+    def _append_at(self, entry: dict, seq: int) -> None:
+        """Commit ``entry`` at EXACTLY ``seq`` or raise FileExistsError —
+        the claim-or-abort primitive checkpoint() needs: a checkpoint
+        folds the rows it has READ, so it may only land at the very next
+        seq (any concurrently-committed row would be silently erased
+        from the fast path if the checkpoint landed after it)."""
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, os.path.join(self.dir, f"{seq:08d}.json"))
+        finally:
+            os.unlink(tmp)
+
+    def checkpoint(self, max_attempts: int = 5) -> int | None:
+        """Fold the current ledger into a ``checkpoint`` row so readers
+        of the CURRENT state replay O(rows since last checkpoint), not
+        O(all windows) — the recovery-time bound a long-running
+        1k-event streaming lake needs (thousands of window rows read
+        back as thousands of JSON opens on every apply/read otherwise).
+
+        The row carries the fully-folded live-file state (``parts``)
+        and the max committed window ``hi``; ``live_files()`` /
+        ``last_committed_hi()`` with no time-travel bound then start
+        from the newest checkpoint (``_tail_entries``). Time-travel
+        reads (``as_of_hi``) IGNORE checkpoint rows and full-replay —
+        a checkpoint may fold windows past the bound, so it is only
+        trustworthy for the unbounded view. History rows are never
+        removed: a checkpoint is an accelerator, not a compaction.
+
+        Multi-writer safety: the row is claimed at EXACTLY
+        ``folded_max_seq + 1`` (``_append_at``); if another writer
+        commits any row first, the claim fails and the fold re-runs
+        over the fresh tail — a checkpoint can never hide a
+        concurrently-committed window. Returns the checkpoint seq, or
+        None if the tail is already checkpointed (idempotent) or the
+        claim kept losing (callers just try again later; the ledger
+        stays correct without it)."""
+        for _ in range(max_attempts):
+            ents = self.entries()
+            if not ents or ents[-1]["kind"] == "checkpoint":
+                return None
+            parts = self.live_files(entries=ents)
+            hi = 0
+            for e in ents:
+                if e["kind"] == "window":
+                    hi = max(hi, int(e["hi"]))
+                elif e["kind"] == "checkpoint":
+                    hi = max(hi, int(e.get("hi", 0)))
+            entry = {
+                "kind": "checkpoint",
+                "hi": hi,
+                "parts": {str(p): fs for p, fs in parts.items()},
+            }
+            try:
+                seq = ents[-1]["_seq"] + 1
+                self._append_at(entry, seq)
+                return seq
+            except FileExistsError:
+                continue  # a row landed since we read; re-fold
+        return None
+
+    def _tail_entries(self) -> list[dict]:
+        """Entries from the newest checkpoint onward (all of them when
+        no checkpoint exists) — the unbounded-view fast path. Reads
+        files newest-first and stops at the first checkpoint, so the
+        cost is O(rows since last checkpoint)."""
+        names = sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
+        tail: list[dict] = []
+        for n in reversed(names):
+            with open(os.path.join(self.dir, n)) as f:
+                e = json.load(f)
+            e["_seq"] = self._seq_of(n)
+            tail.append(e)
+            if e["kind"] == "checkpoint":
+                break
+        tail.reverse()
+        return tail
+
     # -- derived state ------------------------------------------------------
 
     def live_files(
@@ -88,12 +167,25 @@ class Ledger:
         excluded data and are skipped — if such a compaction vacuumed
         needed deltas, the read raises FileNotFoundError (the standard
         lakehouse time-travel-until-vacuum contract)."""
+        if entries is None:
+            # unbounded view: start from the newest checkpoint (fast
+            # path); time travel full-replays — a checkpoint may fold
+            # windows past the bound, so it can't seed a bounded view
+            entries = self.entries() if as_of_hi is not None else self._tail_entries()
         parts: dict[int, list[str]] = {}
         seen: dict[int, set[str]] = {}  # per-partition membership (the
         # ordered list alone makes this replay O(windows^2) on
         # long-running streaming lakes — round-3 ADVICE)
         skipped_window = False
-        for e in self.entries() if entries is None else entries:
+        for e in entries:
+            if e["kind"] == "checkpoint":
+                if as_of_hi is None:
+                    # trusted only in the unbounded view; in a full
+                    # unbounded scan the reset equals the accumulated
+                    # state by construction
+                    parts = {int(p): list(fs) for p, fs in e["parts"].items()}
+                    seen = {pi: set(fs) for pi, fs in parts.items()}
+                continue
             if as_of_hi is not None and e["kind"] == "window" and int(e["hi"]) > as_of_hi:
                 skipped_window = True
                 continue
@@ -121,9 +213,11 @@ class Ledger:
 
     def last_committed_hi(self) -> int:
         hi = 0
-        for e in self.entries():
+        for e in self._tail_entries():  # checkpoints carry the folded hi
             if e["kind"] == "window":
                 hi = max(hi, int(e["hi"]))
+            elif e["kind"] == "checkpoint":
+                hi = max(hi, int(e.get("hi", 0)))
         return hi
 
     def window_metrics(self) -> list[dict]:

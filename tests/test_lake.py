@@ -797,3 +797,139 @@ def test_lookup_corrupt_bloom_sidecar_fails_open(ray_session, tmp_path):
     got = lake.lookup([{"repo": "r0150", "path": "f.py"}])
     assert got.num_rows == 1 and got["content"][0].as_py() == "body 150"
     assert lake.last_lookup_stats["files_bloom_skipped"] == 0
+
+
+def test_ledger_checkpoint_fast_path_equals_full_replay(tmp_path):
+    """checkpoint(): the tail-seeded unbounded view must equal a full
+    replay — before and after post-checkpoint rows — and be idempotent
+    on an already-checkpointed tail."""
+    from jitsu_ray.state.ledger import Ledger
+
+    led = Ledger(str(tmp_path / "ledger"))
+    for i in range(4):
+        led.append(
+            {"kind": "window", "lo": i, "hi": i + 1,
+             "files": {"0": f"part=00000/delta-{i}.parquet"}}
+        )
+    led.append(
+        {"kind": "compact", "parts": {"0": {
+            "file": "part=00000/base-1.parquet",
+            "replaces": ["part=00000/delta-0.parquet", "part=00000/delta-1.parquet"],
+        }}}
+    )
+    full = led.live_files(entries=led.entries())
+    seq = led.checkpoint()
+    assert seq == 6
+    assert led.checkpoint() is None  # idempotent: tail already folded
+    # fast path (reads back from the checkpoint only) == full replay
+    assert led.live_files() == full
+    assert led.last_committed_hi() == 4
+    assert len(led._tail_entries()) == 1  # just the checkpoint
+
+    # rows after the checkpoint keep accumulating on top of it
+    led.append(
+        {"kind": "window", "lo": 4, "hi": 5,
+         "files": {"0": "part=00000/delta-4.parquet", "3": "part=00003/delta-4.parquet"}}
+    )
+    assert led.live_files() == led.live_files(entries=led.entries())
+    assert led.last_committed_hi() == 5
+    assert "part=00003/delta-4.parquet" in led.live_files()[3]
+
+
+def test_ledger_checkpoint_ignored_by_time_travel(tmp_path):
+    """as_of views full-replay and skip checkpoint rows: a checkpoint
+    folding windows past the bound must not leak them into the past."""
+    from jitsu_ray.state.ledger import Ledger
+
+    led = Ledger(str(tmp_path / "ledger"))
+    led.append({"kind": "window", "lo": 0, "hi": 1, "files": {"0": "a.parquet"}})
+    led.append({"kind": "window", "lo": 1, "hi": 2, "files": {"0": "b.parquet"}})
+    led.checkpoint()
+    as_of = led.live_files(as_of_hi=1)
+    assert as_of == {0: ["a.parquet"]}
+
+
+def test_ledger_checkpoint_exact_seq_claim(tmp_path):
+    """_append_at claims EXACTLY the requested seq (raises on any
+    collision), and checkpoint() re-folds rows that land between its
+    read and its claim instead of hiding them."""
+    import pytest as _pytest
+
+    from jitsu_ray.state.ledger import Ledger
+
+    led = Ledger(str(tmp_path / "ledger"))
+    led.append({"kind": "window", "lo": 0, "hi": 1, "files": {"0": "a.parquet"}})
+    with _pytest.raises(FileExistsError):
+        led._append_at({"kind": "checkpoint", "hi": 0, "parts": {}}, 1)
+
+    # simulate a concurrent commit landing between fold and claim: the
+    # first fold's target seq is taken, checkpoint retries and the
+    # final row must include the late window
+    real_entries = led.entries
+
+    class Racer:
+        def __init__(self):
+            self.fired = False
+
+        def __call__(self):
+            ents = real_entries()
+            if not self.fired:
+                self.fired = True
+                led.append(
+                    {"kind": "window", "lo": 1, "hi": 2, "files": {"0": "late.parquet"}}
+                )
+            return ents
+
+    led.entries = Racer()
+    try:
+        seq = led.checkpoint()
+    finally:
+        led.entries = real_entries
+    assert seq is not None
+    assert led.live_files() == {0: ["a.parquet", "late.parquet"]}
+    assert led.last_committed_hi() == 2
+
+
+def test_lake_compact_checkpoints_and_stays_readable(ray_session, tmp_path):
+    """LakeTable.compact() folds the ledger; reads and resume skip keep
+    working across the checkpoint row, and the post-compaction state
+    as-of is unchanged."""
+    import ray.data
+
+    from jitsu_ray.sinks.lake import LakeTable
+    from jitsu_ray.state.ledger import Ledger
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["k"], 4)
+
+    def win(lo, hi, rows):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows], pa.string()),
+                "commit_seq": pa.array([r[2] for r in rows], pa.int64()),
+                "op": pa.array(["upsert"] * len(rows), pa.string()),
+            }
+        )
+        lake.apply_window(ray.data.from_arrow(t), lo, hi)
+
+    win(0, 10, [(1, "a", 1), (2, "b", 2)])
+    win(10, 20, [(1, "a2", 11), (3, "c", 12)])
+    lake.compact(min_files=1)
+    led = Ledger(str(tmp_path / "lake" / "_ledger"))
+    assert led.entries()[-1]["kind"] == "checkpoint"
+
+    win(20, 30, [(4, "d", 21)])
+    got = sorted((r["k"], r["v"]) for r in lake.read().take_all())
+    assert got == [(1, "a2"), (2, "b"), (3, "c"), (4, "d")]
+    # resume skip still works across the checkpoint row
+    assert lake.last_committed_hi() == 30
+    # as-of at the compaction fold point (full replay, checkpoint row
+    # ignored) still resolves the folded state
+    past = sorted((r["k"], r["v"]) for r in lake.read(as_of=20).take_all())
+    assert past == [(1, "a2"), (2, "b"), (3, "c")]
+    # a fresh process (new instance) opens the checkpointed lake fine
+    lake2 = LakeTable.open(str(tmp_path / "lake"))
+    assert lake2.last_committed_hi() == 30
+    assert sorted(
+        (r["k"], r["v"]) for r in lake2.read().take_all()
+    ) == got
