@@ -11,6 +11,7 @@ a cluster, `address="local"` here.
     python -m jitsu_ray read    --lake DIR --out DIR [--columns a,b]
     python -m jitsu_ray diff    --lake DIR --out DIR --from N [--to M] [--old]
     python -m jitsu_ray view-refresh --lake DIR --view DIR --group a,b --sum x,y
+    python -m jitsu_ray query   <name> [--sf-dir D] [--out DIR] [--limit N] [--list]
 """
 
 from __future__ import annotations
@@ -134,7 +135,34 @@ def main(argv=None):
     vr.add_argument("--sum", dest="sums", required=True,
                     help="comma-separated numeric value cols")
 
+    q = sub.add_parser(
+        "query", help="run a named pipeline from the query registry"
+    )
+    q.add_argument("name", nargs="?", default=None,
+                   help="registry name (omit with --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="input table directory")
+    q.add_argument("--out", default=None,
+                   help="write the result to this parquet dir instead of "
+                        "printing the first rows")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows printed without --out")
+    q.add_argument("--list", action="store_true", dest="list_names",
+                   help="print the registry names and exit")
+
     args = p.parse_args(argv)
+    if args.cmd == "query":
+        # list + name validation need no Ray session
+        from .queries import QUERIES
+
+        if args.list_names:
+            print(json.dumps(sorted(QUERIES)))
+            return
+        if args.name not in QUERIES:
+            p.error(
+                f"unknown query {args.name!r} — `query --list` prints the "
+                f"{len(QUERIES)} registered names"
+            )
     ray = _session()
     from .sinks.lake import LakeTable
 
@@ -215,6 +243,37 @@ def main(argv=None):
         m = view.refresh()
         m["view_groups"] = view.read().num_rows
         print(json.dumps(m))
+    elif args.cmd == "query":
+        from .queries import QUERIES
+
+        res = QUERIES[args.name](args.sf_dir)
+        import pyarrow as _pa
+
+        if args.out:
+            if isinstance(res, _pa.Table):
+                import pyarrow.parquet as _pq
+
+                os.makedirs(args.out, exist_ok=True)
+                _pq.write_table(res, os.path.join(args.out, "result.parquet"))
+                n = res.num_rows
+            else:
+                # Dataset: stream the write; count from written footers
+                res.write_parquet(args.out)
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(os.path.join(args.out, "*.parquet"))
+                )
+            print(json.dumps({"query": args.name, "rows": n, "out": args.out}))
+        else:
+            tbl = res if isinstance(res, _pa.Table) else _pa.Table.from_pylist(
+                res.limit(args.limit).take_all()
+            )
+            print(json.dumps({"query": args.name, "rows_shown": min(tbl.num_rows, args.limit)}))
+            print(tbl.slice(0, args.limit).to_pandas().to_string())
     ray.shutdown()
 
 

@@ -1676,3 +1676,28 @@ def test_write_sharded_parquet_meta_guard(ray_session, tmp_path):
     res = write_sharded_parquet(ds, out, "id", num_shards=4)
     assert all(n == -1 for n in res.values())
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_cli_query_list_and_validation():
+    """`python -m jitsu_ray query --list` prints the full registry and
+    an unknown name fails fast — both WITHOUT starting a Ray session
+    (subprocess so the shared test session is untouched)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "jitsu_ray", "query", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    names = _json.loads(r.stdout.strip().splitlines()[-1])
+    from jitsu_ray.queries import QUERIES
+
+    assert names == sorted(QUERIES)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "jitsu_ray", "query", "nope"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode != 0 and "unknown query" in r.stderr
