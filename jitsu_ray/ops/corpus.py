@@ -170,6 +170,58 @@ def exact_group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def quantile_bucketize(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+):
+    """Per-group quantile DISCRETIZATION — the feature-engineering step
+    that turns a continuous column into per-group rank buckets (e.g.
+    quartile labels per event type / token-count bands per language).
+
+    Rule (shared exactly with the SQL twin): with per-group
+    ``quantile_disc`` bounds b1..bk, a row's bucket is the count of
+    bounds its value exceeds — 0..k. quantile_disc returns ACTUAL data
+    values, so the comparisons are bit-exact across engines (no
+    interpolation floats). Rows with a NULL value, or whose group has
+    no non-null values (no bounds row), are dropped — mirroring the
+    oracle's INNER JOIN + ``value IS NOT NULL``.
+
+    Distributed shape: bounds come from the oracle-checked
+    ``exact_group_quantiles`` (tiny per-group table, driver-folded,
+    broadcast into the map); assignment is ONE vectorized pass —
+    ``index_in`` group gather + a (rows x k) comparison sum. No
+    shuffle beyond the quantile computation itself."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    qs = list(qs)
+    labels = [f"q{int(round(q * 100))}" for q in qs]
+    bounds = exact_group_quantiles(ds, group_col, value_col, qs).take_all()
+    groups = [r[group_col] for r in bounds if r[labels[0]] is not None]
+    keys = pa.array(groups)
+    mat = np.asarray(
+        [[float(r[lab]) for lab in labels] for r in bounds if r[labels[0]] is not None],
+        dtype=np.float64,
+    ).reshape(len(groups), len(qs))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        idx = (
+            pc.fill_null(pc.index_in(batch[group_col], value_set=keys), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ok = (idx >= 0) & ~np.isnan(v)
+        kept = batch.filter(pa.array(ok))
+        b = (v[ok, None] > mat[idx[ok]]).sum(axis=1).astype(np.int64)
+        return kept.append_column(out_col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def group_quantiles_auto(
     ds,
     group_col: str,

@@ -4310,6 +4310,37 @@ WHERE c_mktsegment = 'AUTOMOBILE'
 """
 
 
+def q_value_quartiles_assign(sf_dir: str):
+    """Per-event-type quartile discretization of value — the
+    feature-engineering bucketizer (ops/corpus.quantile_bucketize):
+    bucket = #quantile_disc bounds exceeded, bit-exact across engines
+    because disc bounds are actual data values."""
+    from .ops.corpus import quantile_bucketize
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return quantile_bucketize(
+        ds, "event_type", "value", qs=[0.25, 0.5, 0.75]
+    ).select_columns(["event_id", "event_type", "bucket"])
+
+
+SQL_QUARTILE_ASSIGN = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS b1,
+         quantile_disc(value, 0.50) AS b2,
+         quantile_disc(value, 0.75) AS b3
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST((e.value > b.b1) AS BIGINT) + CAST((e.value > b.b2) AS BIGINT)
+         + CAST((e.value > b.b3) AS BIGINT) AS bucket
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4413,6 +4444,7 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "top_unshipped_orders": q_top_unshipped_orders,
     "customer_order_counts": q_customer_order_counts,
+    "value_quartiles_assign": q_value_quartiles_assign,
 }
 
 ORACLES = {
@@ -4508,6 +4540,7 @@ ORACLES = {
     "value_outliers": SQL_OUTLIERS,
     "top_unshipped_orders": SQL_Q3_TOPORDERS,
     "customer_order_counts": SQL_CUST_ORDER_COUNTS,
+    "value_quartiles_assign": SQL_QUARTILE_ASSIGN,
 }
 
 

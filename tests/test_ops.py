@@ -2904,3 +2904,33 @@ def test_bucket_join_left_outer_zero_match(ray_session):
         ).take_all()
     )
     assert got == [(1, None), (2, 10), (2, 20), (3, None), (4, 30)]
+
+
+def test_quantile_bucketize_rule_and_nulls(ray_session):
+    """bucket = #disc-bounds strictly exceeded; null values and
+    all-null groups are dropped; boundary values (== bound) do NOT
+    advance the bucket."""
+    import ray.data
+
+    from jitsu_ray.ops.corpus import quantile_bucketize
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 4 + ["b"] * 2 + ["c"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, None, None], pa.float64()),
+        }
+    )
+    got = sorted(
+        (r["g"], r["v"], r["bucket"])
+        for r in quantile_bucketize(
+            ray.data.from_arrow(t), "g", "v", qs=[0.25, 0.5, 0.75]
+        ).take_all()
+    )
+    # group a bounds (disc over 1,2,3,4): b1=1, b2=2, b3=3
+    #   v=1 -> 0 (== b1 doesn't count), v=2 -> 1, v=3 -> 2, v=4 -> 3
+    # group b bounds (over single 5.0): all 5 -> v=5 -> 0
+    # group c: all null -> dropped entirely
+    assert got == [
+        ("a", 1.0, 0), ("a", 2.0, 1), ("a", 3.0, 2), ("a", 4.0, 3),
+        ("b", 5.0, 0),
+    ]
