@@ -61,6 +61,29 @@ def merge_spooled_records(spool_dir: str, records: list[dict]) -> list[dict]:
         release_pid_lock(lock)
 
 
+def _count_parquet_rows(out_dir: str) -> int:
+    """Row count of a just-written parquet dir from the file footers —
+    no second pipeline execution."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+    )
+
+
+def _require_fresh_dir(p, out_dir: str) -> None:
+    """write_parquet appends uniquely-named files — a reused output dir
+    would silently mix runs and inflate footer counts."""
+    import glob
+
+    if glob.glob(os.path.join(out_dir, "*.parquet")):
+        p.error(f"output dir {out_dir!r} already holds parquet files — "
+                "point --out at an empty or new directory")
+
+
 def _session():
     import ray
 
@@ -208,31 +231,18 @@ def main(argv=None):
         # stream the write (no materialize — the resolved table may not
         # fit the object store); row count comes from the written files'
         # parquet footers, not a second pipeline execution
+        _require_fresh_dir(p, args.out)
         lake.read(columns=cols).write_parquet(args.out)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        n = sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(args.out, "*.parquet"))
-        )
-        print(json.dumps({"rows": n, "out": args.out}))
+        print(json.dumps({"rows": _count_parquet_rows(args.out), "out": args.out}))
     elif args.cmd == "diff":
         lake = LakeTable.open(args.lake)
         to = args.seq_b if args.seq_b is not None else lake.ledger.last_committed_hi()
+        _require_fresh_dir(p, args.out)
         lake.diff_as_of(args.seq_a, to, include_old=args.old).write_parquet(
             args.out
         )
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        n = sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(args.out, "*.parquet"))
-        )
-        print(json.dumps({"changes": n, "from": args.seq_a, "to": to, "out": args.out}))
+        print(json.dumps({"changes": _count_parquet_rows(args.out),
+                          "from": args.seq_a, "to": to, "out": args.out}))
     elif args.cmd == "view-refresh":
         from .pipelines.matview import IncrementalAggView
 
@@ -244,12 +254,11 @@ def main(argv=None):
         m["view_groups"] = view.read().num_rows
         print(json.dumps(m))
     elif args.cmd == "query":
-        from .queries import QUERIES
-
-        res = QUERIES[args.name](args.sf_dir)
+        res = QUERIES[args.name](args.sf_dir)  # imported pre-session
         import pyarrow as _pa
 
         if args.out:
+            _require_fresh_dir(p, args.out)
             if isinstance(res, _pa.Table):
                 import pyarrow.parquet as _pq
 
@@ -257,16 +266,8 @@ def main(argv=None):
                 _pq.write_table(res, os.path.join(args.out, "result.parquet"))
                 n = res.num_rows
             else:
-                # Dataset: stream the write; count from written footers
-                res.write_parquet(args.out)
-                import glob as _glob
-
-                import pyarrow.parquet as _pq
-
-                n = sum(
-                    _pq.ParquetFile(f).metadata.num_rows
-                    for f in _glob.glob(os.path.join(args.out, "*.parquet"))
-                )
+                res.write_parquet(args.out)  # streamed; count from footers
+                n = _count_parquet_rows(args.out)
             print(json.dumps({"query": args.name, "rows": n, "out": args.out}))
         else:
             tbl = res if isinstance(res, _pa.Table) else _pa.Table.from_pylist(

@@ -193,17 +193,40 @@ def quantile_bucketize(
     ``exact_group_quantiles`` (tiny per-group table, driver-folded,
     broadcast into the map); assignment is ONE vectorized pass —
     ``index_in`` group gather + a (rows x k) comparison sum. No
-    shuffle beyond the quantile computation itself."""
+    shuffle beyond the quantile computation itself.
+
+    NaN caveat (same as q_value_outliers; absent from the test
+    tables): a NaN value is dropped here, while DuckDB keeps it
+    (``IS NOT NULL`` passes) and its NaN-sorts-greatest comparison
+    would assign the top bucket."""
     import numpy as np
     import pyarrow.compute as pc
 
     qs = list(qs)
     labels = [f"q{int(round(q * 100))}" for q in qs]
-    bounds = exact_group_quantiles(ds, group_col, value_col, qs).take_all()
-    groups = [r[group_col] for r in bounds if r[labels[0]] is not None]
-    keys = pa.array(groups)
+    # NULL group keys are dropped by the oracle's JOIN USING anyway —
+    # drop them BEFORE the quantile groupby (Ray's sort-based group
+    # shuffle can't order mixed None/str keys), and again from the
+    # bounds (index_in would NULL-MATCH them — pc.is_in/index_in match
+    # null to null, see ops/search.refresh_index_buckets)
+    nonnull = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[group_col])), batch_format="pyarrow"
+    )
+    bounds = exact_group_quantiles(nonnull, group_col, value_col, qs).take_all()
+    # all-null-value groups have no bounds row in the oracle (WHERE ..
+    # GROUP BY drops them before the join)
+    rows = [
+        r for r in bounds
+        if r[group_col] is not None and r[labels[0]] is not None
+    ]
+    groups = [r[group_col] for r in rows]
+    # pin the key set to the INPUT's group dtype: list inference would
+    # int64-widen an int32 key (the exact_group_quantiles trap) and
+    # null-type an empty set, making every index_in raise
+    gtype = ds.schema().base_schema.field(group_col).type
+    keys = pa.array(groups, gtype)
     mat = np.asarray(
-        [[float(r[lab]) for lab in labels] for r in bounds if r[labels[0]] is not None],
+        [[float(r[lab]) for lab in labels] for r in rows],
         dtype=np.float64,
     ).reshape(len(groups), len(qs))
 

@@ -4043,10 +4043,18 @@ def q_value_outliers(sf_dir: str):
     from .ops.corpus import exact_group_quantiles
 
     ds = _read_sized(_t(sf_dir, "events"), columns=["event_type", "value"])
+    # NULL group keys are dropped by the oracle's JOIN — drop them before
+    # the quantile groupby (Ray's sort shuffle can't order None vs str)
+    nonnull = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b["event_type"])), batch_format="pyarrow"
+    )
     q = (
-        exact_group_quantiles(ds, "event_type", "value", [0.25, 0.75])
+        exact_group_quantiles(nonnull, "event_type", "value", [0.25, 0.75])
         .take_all()
     )
+    # all-null-value groups have no bounds row in the oracle (WHERE ..
+    # GROUP BY drops them before the join)
+    q = [r for r in q if r["q25"] is not None]
     groups = sorted(r["event_type"] for r in q)
     q25 = {r["event_type"]: float(r["q25"]) for r in q}
     q75 = {r["event_type"]: float(r["q75"]) for r in q}

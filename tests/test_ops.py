@@ -2934,3 +2934,74 @@ def test_quantile_bucketize_rule_and_nulls(ray_session):
         ("a", 1.0, 0), ("a", 2.0, 1), ("a", 3.0, 2), ("a", 4.0, 3),
         ("b", 5.0, 0),
     ]
+
+
+def test_quantile_bucketize_int32_key_and_null_groups(ray_session):
+    """Review fixes pinned: (a) an int32 group key must not crash the
+    index_in gather (typed key set, no int64 inference widening);
+    (b) an all-null-value group and a NULL group key are dropped like
+    the oracle's JOIN; (c) an all-null input yields an empty result,
+    not a null-typed-keys crash."""
+    import ray.data
+
+    from jitsu_ray.ops.corpus import quantile_bucketize
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, None], pa.int32()),
+            "v": pa.array([1.0, 2.0, None, 5.0], pa.float64()),
+        }
+    )
+    got = sorted(
+        (r["g"], r["v"], r["bucket"])
+        for r in quantile_bucketize(
+            ray.data.from_arrow(t), "g", "v", qs=[0.5]
+        ).take_all()
+    )
+    # group 1 bounds: median of (1,2) disc = 1 -> v=1 bucket 0, v=2 bucket 1
+    # group 2: all-null values -> dropped; NULL group key -> dropped
+    assert got == [(1, 1.0, 0), (1, 2.0, 1)]
+
+    allnull = pa.table(
+        {
+            "g": pa.array([1, 2], pa.int32()),
+            "v": pa.array([None, None], pa.float64()),
+        }
+    )
+    assert (
+        quantile_bucketize(ray.data.from_arrow(allnull), "g", "v", qs=[0.5]).count()
+        == 0
+    )
+
+
+def test_value_outliers_skips_all_null_group(ray_session, tmp_path, monkeypatch):
+    """An event_type whose values are ALL NULL must be dropped (the
+    oracle's WHERE .. GROUP BY emits no bounds row), not crash the
+    float() fence arithmetic."""
+    import duckdb
+    import pyarrow.parquet as pqt
+
+    from jitsu_ray.queries import SQL_OUTLIERS, q_value_outliers
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array([None] * 8, pa.timestamp("us")),
+            "user_id": pa.array([1] * 8, pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", "a", "a", "nullgrp", "nullgrp", None, "a"], pa.string()
+            ),
+            "value": pa.array(
+                [1.0, 2.0, 3.0, 100.0, None, None, 7.0, None], pa.float64()
+            ),
+            "props": pa.array(["{}"] * 8, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pqt.write_table(t, str(d / "events.parquet"))
+    got = q_value_outliers(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(SQL_OUTLIERS).arrow()
+    assert got.to_pylist() == want.to_pylist()
