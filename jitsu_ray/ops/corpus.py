@@ -91,6 +91,66 @@ def chunk_documents(
     return ds.map_batches(chunker, batch_format="pyarrow")
 
 
+def split_sentences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary: str = r"[.!?]+ ",
+):
+    """Sentence-level chunking — the 1→N fan-out between document
+    cleaning and sentence-level dedup/packing. Splits each document on
+    ``boundary`` (an ASCII-only regex, deliberately: Rust regex and
+    RE2/DuckDB agree char-for-char on it — the shared-pattern
+    discipline of ops/text) and emits one row per piece:
+
+        (id, piece_id 1-based, sent_md5, n_chars)
+
+    Pieces are NOT trimmed or empty-filtered: the SQL twin is exactly
+    ``string_split_regex(coalesce(text,''), boundary)`` + subscripts,
+    so an empty document yields one empty piece on both sides, and the
+    delimiter itself is consumed. md5 of the piece stands in for the
+    text (same narrow-row choice as chunk_documents).
+
+    Vectorized: one polars replace_all(boundary -> NUL) + literal NUL
+    split + explode per batch (documents containing a literal NUL
+    would mis-split; parquet text columns don't). Fan-out rows stay
+    inside their batch — no shuffle, no state."""
+    import hashlib as _hashlib
+
+    def splitter(batch: pa.Table) -> pa.Table:
+        # window over a per-ROW index, not id_col: the SQL twin's
+        # subscripts restart per row, so a duplicate id must too
+        df = pl.from_arrow(batch.select([id_col, text_col])).with_row_index("__r")
+        out = (
+            df.with_columns(
+                pl.col(text_col)
+                .fill_null("")
+                .str.replace_all(boundary, "\x00")
+                .str.split("\x00")
+                .alias("__p")
+            )
+            .drop(text_col)
+            .explode("__p")
+            .with_columns(
+                (pl.int_range(pl.len()).over("__r") + 1).alias("piece_id"),
+                pl.col("__p").str.len_chars().cast(pl.Int64).alias("n_chars"),
+            )
+        )
+        md5s = [
+            _hashlib.md5(s.encode()).hexdigest() for s in out["__p"].to_list()
+        ]
+        return pa.table(
+            {
+                id_col: out[id_col].to_arrow().cast(batch.schema.field(id_col).type),
+                "piece_id": out["piece_id"].cast(pl.Int64).to_arrow(),
+                "sent_md5": pa.array(md5s, pa.string()),
+                "n_chars": out["n_chars"].to_arrow(),
+            }
+        )
+
+    return ds.map_batches(splitter, batch_format="pyarrow")
+
+
 def top_k_per_group(ds, group_col: str, k: int, sort_keys: list[tuple[str, bool]]):
     """Top-k rows per group, ordered by ``sort_keys`` [(col,
     descending), ...]. The tie-breaking order must be TOTAL (include a

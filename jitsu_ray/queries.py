@@ -4333,6 +4333,32 @@ def q_value_quartiles_assign(sf_dir: str):
     ).select_columns(["event_id", "event_type", "bucket"])
 
 
+def q_sentence_chunks(sf_dir: str):
+    """Sentence-level 1→N chunk fan-out (ops/corpus.split_sentences) —
+    every piece, untrimmed, md5-narrowed, with its 1-based index. The
+    synthetic corpus has no sentence punctuation, so the query passes a
+    boundary that actually occurs ('table ' / 'value ' word breaks) to
+    exercise a real multi-piece fan-out; the operator's default stays
+    the punctuation rule (pytest-covered)."""
+    from .ops.corpus import split_sentences
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return split_sentences(ds, "doc_id", "text", boundary=r"(table|value) ")
+
+
+SQL_SENTENCES = r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split_regex(coalesce(text, ''), '(table|value) ') AS ps
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS piece_id,
+       md5(ps[i]) AS sent_md5,
+       CAST(length(ps[i]) AS BIGINT) AS n_chars
+FROM s, unnest(generate_series(1, len(ps))) AS t(i)
+"""
+
+
 SQL_QUARTILE_ASSIGN = """
 WITH b AS (
   SELECT event_type,
@@ -4453,6 +4479,7 @@ QUERIES = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "customer_order_counts": q_customer_order_counts,
     "value_quartiles_assign": q_value_quartiles_assign,
+    "sentence_chunks": q_sentence_chunks,
 }
 
 ORACLES = {
@@ -4549,6 +4576,7 @@ ORACLES = {
     "top_unshipped_orders": SQL_Q3_TOPORDERS,
     "customer_order_counts": SQL_CUST_ORDER_COUNTS,
     "value_quartiles_assign": SQL_QUARTILE_ASSIGN,
+    "sentence_chunks": SQL_SENTENCES,
 }
 
 

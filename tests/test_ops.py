@@ -3005,3 +3005,41 @@ def test_value_outliers_skips_all_null_group(ray_session, tmp_path, monkeypatch)
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     want = con.sql(SQL_OUTLIERS).arrow()
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_split_sentences_default_boundary(ray_session):
+    """Default punctuation boundary: pieces untrimmed and unfiltered
+    (empty doc -> one empty piece), 1-based ids restart per ROW even
+    for duplicate doc ids, delimiter consumed."""
+    import hashlib as _h
+
+    import ray.data
+
+    from jitsu_ray.ops.corpus import split_sentences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["One two. Three four! Five", "Six seven.", "", None], pa.string()
+            ),
+        }
+    )
+    got = sorted(
+        (r["doc_id"], r["piece_id"], r["sent_md5"], r["n_chars"])
+        for r in split_sentences(ray.data.from_arrow(t)).take_all()
+    )
+
+    def m(s):
+        return _h.md5(s.encode()).hexdigest()
+
+    assert got == sorted(
+        [
+            (1, 1, m("One two"), 7),
+            (1, 2, m("Three four"), 10),
+            (1, 3, m("Five"), 4),
+            (1, 1, m("Six seven."), 10),  # trailing '.' has no space after
+            (2, 1, m(""), 0),
+            (3, 1, m(""), 0),  # null text -> '' like coalesce
+        ]
+    )
