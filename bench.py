@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "value_outliers",
     "top_unshipped_orders",
     "customer_order_counts",
+    "value_quartiles_assign",
+    "sentence_chunks",
 ]
 
 

@@ -157,13 +157,16 @@ def _key_zone_stats(tbl: pa.Table, key_cols: list[str]) -> dict:
     ever skip files that provably lack the key."""
     out = {}
     for c in key_cols:
-        col = tbl[c]
         bounds = [None, None]
-        if len(col) and col.null_count == 0:
-            mm = pc.min_max(col)
-            lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if isinstance(lo, (str, int, float, bool)):
-                bounds = [lo, hi]
+        # schema evolution: a window written before a stats column
+        # existed simply records unprunable bounds for it
+        if c in tbl.column_names:
+            col = tbl[c]
+            if len(col) and col.null_count == 0:
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if isinstance(lo, (str, int, float, bool)):
+                    bounds = [lo, hi]
         out[c] = bounds
     return out
 
@@ -229,10 +232,17 @@ class PartitionMerger:
 
     FOLD_ROWS = 500_000  # buffered rows before an incremental LWW fold
 
-    def __init__(self, lake_dir: str, key_cols: list[str], my_parts: list[int]):
+    def __init__(
+        self,
+        lake_dir: str,
+        key_cols: list[str],
+        my_parts: list[int],
+        stats_cols: list[str] | None = None,
+    ):
         self.lake_dir = lake_dir
         self.key_cols = key_cols
         self.my_parts = sorted(my_parts)
+        self.stats_cols = list(stats_cols or [])
         self.buf: list[pa.Table] = []
         self.buf_rows = 0
 
@@ -296,7 +306,9 @@ class PartitionMerger:
                         "rows": merged.num_rows,
                         "tombstones": n_tomb,
                         "bytes": os.path.getsize(final),
-                        "key_stats": _key_zone_stats(merged, self.key_cols),
+                        "key_stats": _key_zone_stats(
+                            merged, self.key_cols + self.stats_cols
+                        ),
                     }
                 )
         self.buf = []
@@ -331,6 +343,7 @@ class LakeTable:
             k: DataType[v] for k, v in meta.get("key_types", {}).items()
         }
         self.num_partitions: int = meta["num_partitions"]
+        self.stats_cols: list[str] = list(meta.get("stats_cols", []))
         self.schema_dir = os.path.join(lake_dir, "_schema")
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
         self.schema = LakeSchema.load(self.schema_dir)
@@ -363,6 +376,7 @@ class LakeTable:
                     self.dir,
                     self.key_cols,
                     [p for p in range(self.num_partitions) if p % m == a],
+                    self.stats_cols,
                 )
                 for a in range(m)
             ]
@@ -377,10 +391,17 @@ class LakeTable:
         key_cols: list[str],
         num_partitions: int = 64,
         key_types: dict[str, "DataType | str"] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``key_types`` optionally pins the key columns' logical types at
         creation (DataType or its name); keys not listed are recorded from
-        the first applied window's observed schema instead."""
+        the first applied window's observed schema instead.
+
+        ``stats_cols``: non-key columns whose per-file [min, max] zone
+        maps are recorded in every ledger row alongside the key stats —
+        the data-skipping input for ``scan_range``. Frozen at creation
+        (files written before a column was tracked are simply never
+        prunable on it)."""
         os.makedirs(lake_dir, exist_ok=True)
         os.makedirs(os.path.join(lake_dir, "_schema"), exist_ok=True)
         meta_path = os.path.join(lake_dir, "_meta.json")
@@ -396,6 +417,7 @@ class LakeTable:
                         "key_types": kt,
                         "num_partitions": num_partitions,
                         "hash_algo": HASH_ALGO,
+                        "stats_cols": list(stats_cols or []),
                     },
                     f,
                 )
@@ -709,6 +731,102 @@ class LakeTable:
             load_partition, batch_size=1, batch_format="pyarrow"
         )
 
+    def scan_range(
+        self, col: str, lo, hi, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
+        """Zone-map-pruned resolved RANGE scan: rows of the CURRENT
+        state with ``lo <= col <= hi`` (NULL never matches), reading the
+        wide payload ONLY from files whose recorded [min, max] for
+        ``col`` (a ``stats_cols`` entry or a key column) overlaps the
+        range — the data-skipping scan a 100-TB lake runs for
+        time/score-band queries over content-heavy tables.
+
+        Merge-on-read makes naive file skipping UNSOUND: dropping an
+        excluded file could drop the newest version of a key and
+        resurrect an older in-range row. The sound two-phase shape used
+        here: excluded files still contribute their (key, seq, op)
+        columns — a narrow columnar read that skips the payload bytes —
+        padded with NULL payload, so LWW resolution sees every version.
+        A winner padded from an excluded file then fails the residual
+        range filter, which is CORRECT: its true value is provably
+        outside the range (that is what its zone bounds excluded).
+        Files with no recorded bounds for ``col`` are read in full
+        (never pruned). ``self.last_scan_stats`` records files_full /
+        files_narrow for observability and tests."""
+        live = self.live_files()
+        ents = self.ledger.entries()
+        stats = self._file_key_stats(entries=ents)
+        target = self.full_arrow_schema()
+        out_cols = [f.name for f in target if f.name not in (PART_COL, OP_COL)]
+        if columns:
+            out_cols = [c for c in out_cols if c in columns or c in self.key_cols]
+        phys_cols = sorted({OP_COL, SEQ_COL, col, *self.key_cols, *out_cols})
+        narrow_cols = sorted({OP_COL, SEQ_COL, *self.key_cols})
+        key_cols = self.key_cols
+
+        def overlaps(f_abs: str) -> bool:
+            rel = os.path.relpath(f_abs, self.dir)
+            mn, mx = stats.get(rel, {}).get(col, [None, None])
+            if mn is None:
+                return True  # no bounds recorded -> never prunable
+            return not (mx < lo or mn > hi)
+
+        items = []
+        n_full = n_narrow = 0
+        for p, fs in sorted(live.items()):
+            full = [f for f in fs if overlaps(f)]
+            if not full:
+                continue  # no in-range version can exist in this partition
+            narrow = [f for f in fs if f not in set(full)]
+            n_full += len(full)
+            n_narrow += len(narrow)
+            items.append({"part": p, "full": full, "narrow": narrow})
+        self.last_scan_stats = {
+            "files_total": sum(len(fs) for fs in live.values()),
+            "files_full": n_full,
+            "files_narrow": n_narrow,
+        }
+        out_schema = pa.schema(
+            [target.field(c) for c in out_cols]
+        )
+        if not items:
+            return ray.data.from_arrow(out_schema.empty_table())
+
+        def load_partition(batch: pa.Table) -> pa.Table:
+            tables = []
+            for row in batch.to_pylist():
+                parts = [
+                    pq.ParquetDataset(row["full"], schema=target)
+                    .read(columns=phys_cols)
+                    .select(phys_cols)
+                ]
+                if row["narrow"]:
+                    nt = pq.ParquetDataset(row["narrow"], schema=target).read(
+                        columns=narrow_cols
+                    )
+                    parts.append(
+                        pa.table(
+                            {
+                                c: nt[c]
+                                if c in nt.column_names
+                                else pa.nulls(nt.num_rows, target.field(c).type)
+                                for c in phys_cols
+                            }
+                        )
+                    )
+                t = resolve_arrow(pa.concat_tables(parts), key_cols)
+                keep = pc.and_kleene(
+                    pc.greater_equal(t[col], lo), pc.less_equal(t[col], hi)
+                )
+                tables.append(
+                    t.filter(pc.fill_null(keep, False)).select(out_cols)
+                )
+            return pa.concat_tables(tables)
+
+        return ray.data.from_items(items).map_batches(
+            load_partition, batch_size=1, batch_format="pyarrow"
+        )
+
     def _file_key_stats(self, entries: list[dict] | None = None) -> dict[str, dict]:
         """{relative file path: per-key-col zone map} from one ledger
         scan. Files committed before zone maps existed simply have no
@@ -1003,6 +1121,7 @@ class LakeTable:
         """
         target = self.full_arrow_schema()
         key_cols = self.key_cols
+        zone_cols = self.key_cols + self.stats_cols
         lake_dir = self.dir
         gen = self.ledger.next_seq()
 
@@ -1027,7 +1146,7 @@ class LakeTable:
                 "file": rel,
                 "replaces": [os.path.relpath(f, lake_dir) for f in files],
                 "rows": merged.num_rows,
-                "key_stats": _key_zone_stats(merged, key_cols),
+                "key_stats": _key_zone_stats(merged, zone_cols),
             }
 
         todo = {p: fs for p, fs in self.live_files().items() if len(fs) >= min_files}

@@ -933,3 +933,64 @@ def test_lake_compact_checkpoints_and_stays_readable(ray_session, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in lake2.read().take_all()
     ) == got
+
+
+def test_scan_range_zone_pruned_and_resurrection_safe(ray_session, tmp_path):
+    """scan_range: zone maps skip the payload read of out-of-range
+    files (files_narrow > 0), results equal read()+filter, and — the
+    merge-on-read trap — a key whose NEWEST version lives in a pruned
+    file must NOT resurrect its older in-range version."""
+    import ray.data
+
+    from jitsu_ray.sinks.lake import LakeTable
+
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), ["k"], 4, stats_cols=["score"]
+    )
+
+    def win(lo, hi, rows):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+                "payload": pa.array([r[2] for r in rows], pa.string()),
+                "commit_seq": pa.array([r[3] for r in rows], pa.int64()),
+                "op": pa.array(["upsert"] * len(rows), pa.string()),
+            }
+        )
+        lake.apply_window(ray.data.from_arrow(t), lo, hi)
+
+    # window 1: low scores (1, 2) incl. key 7 IN range
+    win(0, 10, [(1, 10.0, "a", 1), (2, 20.0, "b", 2), (7, 15.0, "old7", 3)])
+    # window 2: high scores only — key 7's NEWER version is out of range
+    win(10, 20, [(3, 900.0, "c", 11), (7, 950.0, "new7", 12)])
+
+    got = sorted(
+        (r["k"], r["score"], r["payload"])
+        for r in lake.scan_range("score", 0.0, 100.0).take_all()
+    )
+    # key 7 must be ABSENT: its latest score (950) is out of range, and
+    # the old in-range row lost LWW — naive file skipping would leak it
+    assert got == [(1, 10.0, "a"), (2, 20.0, "b")]
+    st = lake.last_scan_stats
+    assert st["files_narrow"] >= 1  # window-2 files were payload-skipped
+
+    # ground truth: read() + residual filter gives the same rows
+    full = sorted(
+        (r["k"], r["score"], r["payload"])
+        for r in lake.read().take_all()
+        if r["score"] is not None and 0.0 <= r["score"] <= 100.0
+    )
+    assert got == full
+
+    # the high band returns the other side, incl. key 7's latest
+    hi_band = sorted(
+        (r["k"], r["payload"])
+        for r in lake.scan_range("score", 800.0, 1000.0).take_all()
+    )
+    assert hi_band == [(3, "c"), (7, "new7")]
+
+    # column pruning keeps keys + requested col; empty no-overlap band
+    slim = lake.scan_range("score", 0.0, 100.0, columns=["payload"]).take_all()
+    assert sorted(r["k"] for r in slim) == [1, 2]
+    assert lake.scan_range("score", 5000.0, 6000.0).count() == 0
