@@ -2313,6 +2313,61 @@ FROM events WHERE user_id % 37 = 5 GROUP BY user_id
 """
 
 
+def q_range_scan_values(sf_dir: str):
+    """Zone-map range scan (sinks/lake.LakeTable.scan_range): the
+    point-lookup lake rebuilt with value_c as a tracked stats column,
+    then one data-skipping band scan 1000 <= value_c <= 5000 over the
+    resolved LWW state. At test scale every window spans the whole
+    value range so nothing prunes (the pruning mechanics and the
+    merge-on-read resurrection guard are pinned by pytest); the oracle
+    checks the resolved-band SEMANTICS: per-user LWW winner first, band
+    filter second — a row whose latest value left the band must vanish
+    even though an older in-band version exists."""
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    _sweep_stale_lakes("lake_rs_")
+    lake_dir = os.path.join(
+        CACHE_DIR, f"lake_rs_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    lake = LakeTable.create(lake_dir, ["user_id"], 8, stats_cols=["value_c"])
+    c1, c2, hi = 3000, 6000, 20_000_000
+
+    def upto(c_lo, c_hi):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater(b["commit_seq"], c_lo), pc.less_equal(b["commit_seq"], c_hi)
+            )
+            return b.filter(m)
+
+        return f
+
+    lake.apply_window(ds.map_batches(upto(-1, c1), batch_format="pyarrow"), -1, c1)
+    lake.apply_window(ds.map_batches(upto(c1, c2), batch_format="pyarrow"), c1, c2)
+    lake.apply_window(ds.map_batches(upto(c2, hi), batch_format="pyarrow"), c2, hi)
+    out = pa.concat_tables(
+        b
+        for b in lake.scan_range("value_c", 1000, 5000)
+        .select_columns(["user_id", "event_type", "value_c"])
+        .iter_batches(batch_format="pyarrow")
+    )
+    return out
+
+
+SQL_RANGE_SCAN = """
+WITH s AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, value_c FROM s
+WHERE value_c BETWEEN 1000 AND 5000
+"""
+
+
 SQL_TIME_TRAVEL = """
 SELECT event_id, event_type,
        CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
@@ -4480,6 +4535,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "value_quartiles_assign": q_value_quartiles_assign,
     "sentence_chunks": q_sentence_chunks,
+    "range_scan_values": q_range_scan_values,
 }
 
 ORACLES = {
@@ -4577,6 +4633,7 @@ ORACLES = {
     "customer_order_counts": SQL_CUST_ORDER_COUNTS,
     "value_quartiles_assign": SQL_QUARTILE_ASSIGN,
     "sentence_chunks": SQL_SENTENCES,
+    "range_scan_values": SQL_RANGE_SCAN,
 }
 
 
