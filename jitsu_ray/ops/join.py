@@ -160,6 +160,7 @@ def bucket_hash_join(
     num_buckets: int = 32,
     how: str = "inner",
     right_pre_join=None,
+    salt: int = 1,
 ):
     """Partitioned hash join of two Datasets.
 
@@ -173,7 +174,27 @@ def bucket_hash_join(
     aggregate-then-join shape (e.g. per-key partial sums folded to one
     row per key without a separate global groupby shuffle). Bucketing
     by key guarantees the transform sees every row of its keys.
+
+    ``salt``: SKEW handling. With ``salt=K > 1`` each key's bucket is
+    split K ways: left rows scatter across their key's K salted buckets
+    (round-robin within the batch — placement only, results are
+    order-independent), and right rows are REPLICATED into all K, so a
+    hot key's join work runs as K parallel tasks instead of one
+    monster bucket. Costs K x the right side's shuffle bytes — use for
+    a skewed BIG left side against a small-ish right (the canonical
+    fact-x-dimension skew). Left-preserving joins only (each left row
+    lives in exactly one salted bucket; a right row is seen K times,
+    so 'right outer' / 'full outer' would duplicate right-unmatched
+    rows — rejected). ``right_pre_join`` still sees every row of its
+    keys inside each salted bucket (replication copies all of them).
     """
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and how not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(
+            f"salt > 1 supports left-preserving joins only, got how={how!r} "
+            "(right rows are replicated per salt bucket)"
+        )
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -191,6 +212,33 @@ def bucket_hash_join(
     rt = right.map_batches(
         _tag_stage(1, right_key, union_fields, num_buckets), batch_format="pyarrow"
     )
+    if salt > 1:
+        import numpy as np
+
+        def scatter_left(batch: pa.Table) -> pa.Table:
+            b = batch["__bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = np.arange(len(b), dtype=np.int64) % salt
+            return batch.set_column(
+                batch.schema.get_field_index("__bucket"),
+                "__bucket",
+                pa.array(b * salt + s, batch["__bucket"].type),
+            )
+
+        def replicate_right(batch: pa.Table) -> pa.Table:
+            b = batch["__bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = []
+            for s in range(salt):
+                out.append(
+                    batch.set_column(
+                        batch.schema.get_field_index("__bucket"),
+                        "__bucket",
+                        pa.array(b * salt + s, batch["__bucket"].type),
+                    )
+                )
+            return pa.concat_tables(out)
+
+        lt = lt.map_batches(scatter_left, batch_format="pyarrow")
+        rt = rt.map_batches(replicate_right, batch_format="pyarrow")
 
     def join_bucket(group: pa.Table) -> pa.Table:
         mask = pc.equal(group["__side"], 0)

@@ -3043,3 +3043,56 @@ def test_split_sentences_default_boundary(ray_session):
             (3, 1, m(""), 0),  # null text -> '' like coalesce
         ]
     )
+
+
+def test_bucket_join_salted_equals_unsalted(ray_session):
+    """salt=K must return exactly the unsalted join's multiset for
+    inner and left-outer (hot key spread across K tasks, right rows
+    replicated), and reject right-preserving modes."""
+    import numpy as np
+    import ray.data
+
+    from jitsu_ray.ops.join import bucket_hash_join
+
+    rng = np.random.default_rng(7)
+    # hot key 0 owns ~60% of the left side
+    lkeys = np.where(rng.random(500) < 0.6, 0, rng.integers(1, 30, 500))
+    left = pa.table(
+        {"k": pa.array(lkeys, pa.int64()), "lv": pa.array(range(500), pa.int64())}
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([0, 0, 3, 5, 99], pa.int64()),
+            "rv": pa.array([10, 20, 30, 50, 990], pa.int64()),
+        }
+    )
+
+    def run(how, salt):
+        return sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in bucket_hash_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                "k",
+                "rk",
+                num_buckets=4,
+                how=how,
+                salt=salt,
+            ).take_all()
+        )
+
+    assert run("inner", 4) == run("inner", 1)
+    assert run("left outer", 4) == run("left outer", 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left-preserving"):
+        bucket_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "rk", how="full outer", salt=2,
+        )
+    with _pytest.raises(ValueError, match="salt"):
+        bucket_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "rk", salt=0,
+        )
