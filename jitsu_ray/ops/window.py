@@ -180,6 +180,21 @@ _WINDOW_FNS = {
     .first().over(key).alias("first_value"),
     "last_value": lambda key, order, val: pl.col(val)
     .last().over(key).alias("last_value"),
+    # PERCENT_RANK / CUME_DIST: integer rank / integer count divided
+    # once in float64 — the SAME two integers on both engines, so the
+    # float results hash-compare exactly (no cross-engine summation).
+    # percent_rank of a single-row partition is 0.0 by SQL definition.
+    "percent_rank": lambda key, order, val: pl.when(pl.len().over(key) > 1)
+    .then(
+        (pl.struct(order).rank("min").over(key).cast(pl.Int64) - 1)
+        / (pl.len().over(key).cast(pl.Int64) - 1)
+    )
+    .otherwise(0.0)
+    .alias("percent_rank"),
+    "cume_dist": lambda key, order, val: (
+        pl.struct(order).rank("max").over(key).cast(pl.Int64)
+        / pl.len().over(key).cast(pl.Int64)
+    ).alias("cume_dist"),
 }
 
 
@@ -260,7 +275,9 @@ def ordered_window_fns(ds, key_col: str, order_cols: list[str],
         raise ValueError("fns including 'ntile' requires ntile_n >= 1")
     if "rolling_value" in fns and (rolling_k is None or rolling_k < 1):
         raise ValueError("fns including 'rolling_value' requires rolling_k >= 1")
-    keep = [key_col, *order_cols, value_col]
+    # dedupe: value_col may itself be an order column (e.g. rank over
+    # the value) — a repeated name would make select() raise
+    keep = list(dict.fromkeys([key_col, *order_cols, value_col]))
 
     shard = _shard_stage([key_col], num_shards, keep=keep)
 

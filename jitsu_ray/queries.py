@@ -822,6 +822,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_value_rank_dist(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per event type over (value, event_id)
+    order — distribution-position features whose float64 values are
+    integer-ratio exact across engines (same rank and count integers,
+    one division). NULL values filtered on both sides (ordering nulls
+    diverges between polars struct-rank and SQL NULLS LAST)."""
+    from .ops.window import ordered_window_fns
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b["value"])), batch_format="pyarrow"
+    )
+    return ordered_window_fns(
+        ds, "event_type", ["value", "event_id"], "value",
+        fns=("percent_rank", "cume_dist"),
+    )
+
+
+SQL_RANK_DIST = """
+SELECT event_type, event_id, value,
+       percent_rank() OVER w AS percent_rank,
+       cume_dist() OVER w AS cume_dist
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """UNPIVOT (wide -> long melt, ops.pivot.unpivot): every 100th
     order's lineitem measures (quantity/extendedprice/discount/tax) as
@@ -4536,6 +4565,7 @@ QUERIES = {
     "value_quartiles_assign": q_value_quartiles_assign,
     "sentence_chunks": q_sentence_chunks,
     "range_scan_values": q_range_scan_values,
+    "value_rank_dist": q_value_rank_dist,
 }
 
 ORACLES = {
@@ -4634,6 +4664,7 @@ ORACLES = {
     "value_quartiles_assign": SQL_QUARTILE_ASSIGN,
     "sentence_chunks": SQL_SENTENCES,
     "range_scan_values": SQL_RANGE_SCAN,
+    "value_rank_dist": SQL_RANK_DIST,
 }
 
 

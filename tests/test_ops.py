@@ -3096,3 +3096,33 @@ def test_bucket_join_salted_equals_unsalted(ray_session):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             "k", "rk", salt=0,
         )
+
+
+def test_percent_rank_cume_dist_edges(ray_session):
+    """Single-row partition -> percent_rank 0.0; ties share min-rank
+    for percent_rank and max-rank for cume_dist (SQL definitions)."""
+    import ray.data
+
+    from jitsu_ray.ops.window import ordered_window_fns
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b"], pa.string()),
+            "o": pa.array([1, 1, 2, 9], pa.int64()),
+            "v": pa.array([10.0, 10.0, 20.0, 5.0], pa.float64()),
+        }
+    )
+    got = sorted(
+        (r["k"], r["o"], r["percent_rank"], r["cume_dist"])
+        for r in ordered_window_fns(
+            ray.data.from_arrow(t), "k", ["o"], "v",
+            fns=("percent_rank", "cume_dist"),
+        ).take_all()
+    )
+    third = 1.0 / 3.0
+    assert got == [
+        ("a", 1, 0.0, 2 * third),   # tie: min-rank 1 -> pr 0; max-rank 2
+        ("a", 1, 0.0, 2 * third),
+        ("a", 2, 1.0, 1.0),
+        ("b", 9, 0.0, 1.0),         # single-row partition
+    ]
