@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "customer_order_counts",
     "value_quartiles_assign",
     "sentence_chunks",
+    "value_rank_dist",
+    "range_scan_values",
 ]
 
 
