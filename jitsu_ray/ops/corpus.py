@@ -305,6 +305,98 @@ def quantile_bucketize(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def group_moments(ds, group_col: str, value_col: str):
+    """Per-group count / mean / population variance with CROSS-ENGINE
+    EXACT floats — the summary-statistics step that normally can't be
+    oracle-checked because avg()/var_pop() sum floats in engine-specific
+    order. The trick is the repo's integer-cents discipline one level
+    up: the distributed pass accumulates only INTEGER moments
+
+        n, s1 = sum(c), s2 = sum(c^2)     with c = floor(v*100 + 0.5)
+
+    (order-independent integer adds), and the driver derives
+
+        mean_c = s1 / n
+        var_c  = s2 / n - (s1 / n)^2
+
+    with ONE fixed float64 expression that the SQL twin repeats
+    verbatim from the same integers — so the floats are bit-identical.
+    NULL values are skipped (SQL ``WHERE v IS NOT NULL``); a NULL group
+    key is its own group in SQL GROUP BY, but Ray's sort shuffle can't
+    order mixed None keys, so null-group rows are dropped here and the
+    oracle must filter them too (the established q_value_outliers rule).
+
+    Shape: per-batch integer-moment partials (one row per group per
+    batch — the combiner), one tiny Sum groupby, driver float derive.
+    s2 in int64 holds ~1e18: at 100-TB row counts put ``value`` in
+    smaller units or shard the fold; the overflow is loud (Arrow raises
+    on the Sum), never silent."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch[group_col]), pc.is_valid(batch[value_col])
+        )
+        t = batch.filter(keep)
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(pc.cast(t[value_col], pa.float64()), pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        df = pl.from_arrow(
+            pa.table({group_col: t[group_col], "c": cents})
+        ).group_by(group_col).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("c").sum().cast(pl.Int64).alias("s1"),
+            (pl.col("c") * pl.col("c")).sum().cast(pl.Int64).alias("s2"),
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    (group_col, batch.schema.field(group_col).type),
+                    ("n", pa.int64()),
+                    ("s1", pa.int64()),
+                    ("s2", pa.int64()),
+                ]
+            )
+        )
+
+    rows = sorted(
+        (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(
+                _Sum("n", alias_name="n"),
+                _Sum("s1", alias_name="s1"),
+                _Sum("s2", alias_name="s2"),
+            )
+            .take_all()
+        ),
+        key=lambda r: r[group_col],
+    )
+    n = np.asarray([r["n"] for r in rows], dtype=np.float64)
+    s1 = np.asarray([r["s1"] for r in rows], dtype=np.float64)
+    s2 = np.asarray([r["s2"] for r in rows], dtype=np.float64)
+    mean = s1 / n
+    var = s2 / n - (s1 / n) * (s1 / n)
+    gtype = ds.schema().base_schema.field(group_col).type
+    return pa.table(
+        {
+            group_col: pa.array([r[group_col] for r in rows], gtype),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "mean_c": pa.array(mean, pa.float64()),
+            "var_c": pa.array(var, pa.float64()),
+        }
+    )
+
+
 def group_quantiles_auto(
     ds,
     group_col: str,

@@ -851,6 +851,37 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+def q_value_mean_var(sf_dir: str):
+    """Per-event-type count/mean/variance with EXACT float parity —
+    integer cents moments distributed, one shared float64 derivation
+    (ops/corpus.group_moments docstring has the trick)."""
+    from .ops.corpus import group_moments
+
+    ds = _read_sized(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return group_moments(ds, "event_type", "value")
+
+
+SQL_MEAN_VAR = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM (
+    SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  )
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_c
+FROM m ORDER BY event_type
+"""
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """UNPIVOT (wide -> long melt, ops.pivot.unpivot): every 100th
     order's lineitem measures (quantity/extendedprice/discount/tax) as
@@ -4566,6 +4597,7 @@ QUERIES = {
     "sentence_chunks": q_sentence_chunks,
     "range_scan_values": q_range_scan_values,
     "value_rank_dist": q_value_rank_dist,
+    "value_mean_var": q_value_mean_var,
 }
 
 ORACLES = {
@@ -4665,6 +4697,7 @@ ORACLES = {
     "sentence_chunks": SQL_SENTENCES,
     "range_scan_values": SQL_RANGE_SCAN,
     "value_rank_dist": SQL_RANK_DIST,
+    "value_mean_var": SQL_MEAN_VAR,
 }
 
 

@@ -3126,3 +3126,23 @@ def test_percent_rank_cume_dist_edges(ray_session):
         ("a", 2, 1.0, 1.0),
         ("b", 9, 0.0, 1.0),         # single-row partition
     ]
+
+
+def test_group_moments_exact_and_null_rules(ray_session):
+    """group_moments: integer-moment math matches hand computation;
+    NULL values and NULL group keys are skipped."""
+    import ray.data
+
+    from jitsu_ray.ops.corpus import group_moments
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", None, "b"], pa.string()),
+            "v": pa.array([1.0, 2.0, None, 9.0, 3.0], pa.float64()),
+        }
+    )
+    got = group_moments(ray.data.from_arrow(t), "g", "v").to_pylist()
+    # group a: cents 100, 200 -> n=2, mean 150, var (100^2+200^2)/2 - 150^2
+    a, b = got
+    assert (a["g"], a["n"], a["mean_c"], a["var_c"]) == ("a", 2, 150.0, 2500.0)
+    assert (b["g"], b["n"], b["mean_c"], b["var_c"]) == ("b", 1, 300.0, 0.0)
