@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sentence_chunks",
     "value_rank_dist",
     "range_scan_values",
+    "value_mean_var",
 ]
 
 
