@@ -115,7 +115,7 @@ def split_sentences(
     split + explode per batch (documents containing a literal NUL
     would mis-split; parquet text columns don't). Fan-out rows stay
     inside their batch — no shuffle, no state."""
-    import hashlib as _hashlib
+    from ..util import md5_hex_column
 
     def splitter(batch: pa.Table) -> pa.Table:
         # window over a per-ROW index, not id_col: the SQL twin's
@@ -136,14 +136,14 @@ def split_sentences(
                 pl.col("__p").str.len_chars().cast(pl.Int64).alias("n_chars"),
             )
         )
-        md5s = [
-            _hashlib.md5(s.encode()).hexdigest() for s in out["__p"].to_list()
-        ]
+        # for a single never-null string column md5_hex_column is
+        # byte-identical to md5(piece): str() is identity, no sep joined
+        md5s = md5_hex_column(out["__p"].to_arrow())
         return pa.table(
             {
                 id_col: out[id_col].to_arrow().cast(batch.schema.field(id_col).type),
                 "piece_id": out["piece_id"].cast(pl.Int64).to_arrow(),
-                "sent_md5": pa.array(md5s, pa.string()),
+                "sent_md5": md5s,
                 "n_chars": out["n_chars"].to_arrow(),
             }
         )
@@ -328,9 +328,15 @@ def group_moments(ds, group_col: str, value_col: str):
 
     Shape: per-batch integer-moment partials (one row per group per
     batch — the combiner), one tiny Sum groupby, driver float derive.
-    s2 in int64 holds ~1e18: at 100-TB row counts put ``value`` in
-    smaller units or shard the fold; the overflow is loud (Arrow raises
-    on the Sum), never silent."""
+    s2 in int64 holds ~1e18; polars and Arrow both WRAP int64 silently
+    (measured: (c*c).sum() on ~3.1e9-cent values returns a negative
+    number, pc.sum likewise), so the fold carries a float64 SHADOW of
+    each integer moment and the driver raises OverflowError when the
+    two diverge by > 2^60 — an int64 wrap shifts the value by a
+    multiple of 2^64 while the float shadow's error is ~n*2^-53*|s|,
+    orders of magnitude below the threshold for any true |s| < 2^63.
+    At 100-TB row counts put ``value`` in smaller units or shard the
+    fold; either way the overflow is loud, never silent."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -356,6 +362,9 @@ def group_moments(ds, group_col: str, value_col: str):
             pl.len().cast(pl.Int64).alias("n"),
             pl.col("c").sum().cast(pl.Int64).alias("s1"),
             (pl.col("c") * pl.col("c")).sum().cast(pl.Int64).alias("s2"),
+            # float64 shadows: wrap detectors for the int64 moments
+            pl.col("c").cast(pl.Float64).sum().alias("s1f"),
+            (pl.col("c").cast(pl.Float64) ** 2).sum().alias("s2f"),
         )
         return df.to_arrow().cast(
             pa.schema(
@@ -364,6 +373,8 @@ def group_moments(ds, group_col: str, value_col: str):
                     ("n", pa.int64()),
                     ("s1", pa.int64()),
                     ("s2", pa.int64()),
+                    ("s1f", pa.float64()),
+                    ("s2f", pa.float64()),
                 ]
             )
         )
@@ -376,11 +387,21 @@ def group_moments(ds, group_col: str, value_col: str):
                 _Sum("n", alias_name="n"),
                 _Sum("s1", alias_name="s1"),
                 _Sum("s2", alias_name="s2"),
+                _Sum("s1f", alias_name="s1f"),
+                _Sum("s2f", alias_name="s2f"),
             )
             .take_all()
         ),
         key=lambda r: r[group_col],
     )
+    for r in rows:
+        for ic, fc in (("s1", "s1f"), ("s2", "s2f")):
+            if abs(r[fc] - float(r[ic])) > 2.0**60:
+                raise OverflowError(
+                    f"group_moments: int64 {ic} wrapped for group "
+                    f"{r[group_col]!r} (int fold {r[ic]}, float shadow "
+                    f"{r[fc]:.3e}); rescale value_col to smaller units"
+                )
     n = np.asarray([r["n"] for r in rows], dtype=np.float64)
     s1 = np.asarray([r["s1"] for r in rows], dtype=np.float64)
     s2 = np.asarray([r["s2"] for r in rows], dtype=np.float64)

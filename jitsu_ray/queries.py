@@ -2407,13 +2407,13 @@ def q_range_scan_values(sf_dir: str):
     lake.apply_window(ds.map_batches(upto(-1, c1), batch_format="pyarrow"), -1, c1)
     lake.apply_window(ds.map_batches(upto(c1, c2), batch_format="pyarrow"), c1, c2)
     lake.apply_window(ds.map_batches(upto(c2, hi), batch_format="pyarrow"), c2, hi)
-    out = pa.concat_tables(
-        b
-        for b in lake.scan_range("value_c", 1000, 5000)
-        .select_columns(["user_id", "event_type", "value_c"])
-        .iter_batches(batch_format="pyarrow")
+    scan = lake.scan_range("value_c", 1000, 5000).select_columns(
+        ["user_id", "event_type", "value_c"]
     )
-    return out
+    tabs = list(scan.iter_batches(batch_format="pyarrow"))
+    if not tabs:  # iter_batches yields ZERO batches on an empty result
+        return scan.schema().base_schema.empty_table()
+    return pa.concat_tables(tabs)
 
 
 SQL_RANGE_SCAN = """

@@ -753,8 +753,8 @@ class LakeTable:
         Files with no recorded bounds for ``col`` are read in full
         (never pruned). ``self.last_scan_stats`` records files_full /
         files_narrow for observability and tests."""
-        live = self.live_files()
         ents = self.ledger.entries()
+        live = self.live_files(entries=ents)
         stats = self._file_key_stats(entries=ents)
         target = self.full_arrow_schema()
         out_cols = [f.name for f in target if f.name not in (PART_COL, OP_COL)]
@@ -774,10 +774,11 @@ class LakeTable:
         items = []
         n_full = n_narrow = 0
         for p, fs in sorted(live.items()):
-            full = [f for f in fs if overlaps(f)]
+            full, narrow = [], []
+            for f in fs:
+                (full if overlaps(f) else narrow).append(f)
             if not full:
                 continue  # no in-range version can exist in this partition
-            narrow = [f for f in fs if f not in set(full)]
             n_full += len(full)
             n_narrow += len(narrow)
             items.append({"part": p, "full": full, "narrow": narrow})

@@ -3146,3 +3146,22 @@ def test_group_moments_exact_and_null_rules(ray_session):
     a, b = got
     assert (a["g"], a["n"], a["mean_c"], a["var_c"]) == ("a", 2, 150.0, 2500.0)
     assert (b["g"], b["n"], b["mean_c"], b["var_c"]) == ("b", 1, 300.0, 0.0)
+
+
+def test_group_moments_overflow_is_loud(ray_session):
+    """An s2 int64 wrap (polars/Arrow both wrap SILENTLY) must raise,
+    not return a silently wrong variance: a single value of ~$3.1e7
+    gives c^2 ~ 9.6e18 > int64 max, which the float64 shadow detects."""
+    import ray.data
+    import pytest
+
+    from jitsu_ray.ops.corpus import group_moments
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a"], pa.string()),
+            "v": pa.array([31_000_000.0, 1.0], pa.float64()),
+        }
+    )
+    with pytest.raises(OverflowError, match="s2 wrapped"):
+        group_moments(ray.data.from_arrow(t), "g", "v")
