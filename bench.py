@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "value_rank_dist",
     "range_scan_values",
     "value_mean_var",
+    "shuffle_positions",
 ]
 
 

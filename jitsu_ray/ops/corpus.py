@@ -667,6 +667,85 @@ def assign_splits(
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def global_shuffle_positions(
+    ds, id_col: str, num_shards: int = 16, salt: str = "|shuffle"
+):
+    """DETERMINISTIC corpus-wide shuffle for training-data export: the
+    final prep step before sharded serving, where row order must be
+    pseudo-random yet byte-reproducible across re-runs, row order,
+    batch boundaries and cluster sizes (``ds.random_shuffle`` is none
+    of those). Every row gets
+
+        shard = md5_lower64(str(id)) % num_shards
+        pos   = 1-based rank of md5_lower64(str(id) + salt) inside
+                its shard (id tiebreak — total order even under a
+                64-bit hash collision)
+
+    so the (shard, pos) layout is a pure function of the ids; a failed
+    export rerun reproduces the exact same order, and the SQL twin
+    (``row_number() OVER (PARTITION BY h % N ORDER BY h2, id)``) makes
+    the shuffle auditable anywhere. The SALTED second hash decorrelates
+    within-shard order from shard routing (unsalted, pos would be the
+    rank of the same hash that chose the shard — a striped, not
+    uniform, order). NULL ids are dropped (no defined bucket — the
+    hash_sample / assign_splits rule).
+
+    Shape: one vectorized per-batch tag (two md5 passes), ONE shuffle
+    (groupby shard), per-shard sort in ``map_groups``. Each shard sorts
+    on one worker: at 100 TB pick ``num_shards`` so a shard's (id,
+    hash) rows fit a worker heap — rows are 24 bytes, so even 1e9-row
+    shards sort comfortably; the payload itself is NOT shuffled, join
+    it back by id or feed (shard, pos) to write_sharded_parquet-style
+    writers."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nshard = np.uint64(int(num_shards))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv, null_mask = _md5_lower64_column(batch[id_col])
+        keep = ~null_mask
+        t = batch.select([id_col]).filter(pa.array(keep))
+        c = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray
+        ) else t[id_col]
+        ty = c.type
+        if pa.types.is_integer(ty) or pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            salted = pc.binary_join_element_wise(
+                pc.cast(c, pa.large_string()),
+                pa.scalar(salt, pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+        else:
+            salted = pa.array(
+                [str(v) + salt for v in c.to_pylist()], pa.large_string()
+            )
+        h2, _ = _md5_lower64_column(salted)
+        return pa.table(
+            {
+                id_col: c,
+                "shard": pa.array((hv[keep] % nshard).astype(np.int64)),
+                "__h2": pa.array(h2),
+            }
+        )
+
+    def order_group(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort(["__h2", id_col])
+        return pa.table(
+            {
+                id_col: df[id_col].to_arrow().cast(g.schema.field(id_col).type),
+                "shard": df["shard"].to_arrow().cast(pa.int64()),
+                "pos": pa.array(np.arange(1, df.height + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order_group, batch_format="pyarrow")
+    )
+
+
 def _md5_lower64_column(col) -> tuple:
     """(lower-64-bit md5 of each value's canonical string as uint64,
     null mask). Exactly DuckDB's ``md5_number_lower(CAST(v AS

@@ -4089,6 +4089,30 @@ FROM documents WHERE doc_id IS NOT NULL
 """
 
 
+def q_shuffle_positions(sf_dir: str):
+    """Deterministic training-data shuffle: every doc gets a (shard,
+    pos) slot that is a pure function of its id
+    (ops/corpus.global_shuffle_positions) — reproducible across
+    re-runs/cluster sizes, auditable via the SQL row_number twin."""
+    from .ops.corpus import global_shuffle_positions
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id"])
+    return global_shuffle_positions(ds, "doc_id", num_shards=16)
+
+
+SQL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || '|shuffle') AS h2
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
     """Per-batch word-BIGRAM count combiner: the vocab combiner's shape
     one n-gram order up — tokenize once (shared TOKEN_RE twin), pair
@@ -4589,6 +4613,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "embedding_dim_stats": q_embedding_dim_stats,
     "doc_splits": q_doc_splits,
+    "shuffle_positions": q_shuffle_positions,
     "bigram_top20": q_bigram_top20,
     "value_outliers": q_value_outliers,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -4689,6 +4714,7 @@ ORACLES = {
     "value_histogram": SQL_HISTOGRAM,
     "embedding_dim_stats": SQL_DIM_STATS,
     "doc_splits": SQL_SPLITS,
+    "shuffle_positions": SQL_SHUFFLE,
     "bigram_top20": SQL_BIGRAMS,
     "value_outliers": SQL_OUTLIERS,
     "top_unshipped_orders": SQL_Q3_TOPORDERS,

@@ -2863,6 +2863,44 @@ def test_assign_splits_rule_and_validation(ray_session):
         assign_splits(ds, "id", [])
 
 
+def test_global_shuffle_positions_deterministic(ray_session):
+    """(shard, pos) is a pure function of the id: identical across row
+    orders and batch boundaries; positions are contiguous 1..n per
+    shard; null ids are dropped; shard routing matches the md5 rule."""
+    import ray.data
+
+    from jitsu_ray.ops.corpus import global_shuffle_positions
+    from jitsu_ray.util import md5_lower64
+
+    ids = list(range(300)) + [None]
+    t = pa.table({"id": pa.array(ids, pa.int64())})
+    out = sorted(
+        global_shuffle_positions(
+            ray.data.from_arrow(t), "id", num_shards=4
+        ).take_all(),
+        key=lambda r: r["id"],
+    )
+    assert len(out) == 300  # null id dropped
+    # reversed row order, different block split -> identical layout
+    rev = pa.table({"id": pa.array(list(reversed(ids)), pa.int64())})
+    out2 = sorted(
+        global_shuffle_positions(
+            ray.data.from_arrow(rev).repartition(7), "id", num_shards=4
+        ).take_all(),
+        key=lambda r: r["id"],
+    )
+    assert out == out2
+    by_shard: dict = {}
+    for r in out:
+        assert r["shard"] == md5_lower64(str(r["id"])) % 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # within-shard order is the salted hash's rank, not id order
+    shard0 = [r["id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"])) if r["shard"] == 0]
+    assert shard0 != sorted(shard0)
+
+
 def test_bigram_counts_stay_inside_documents(ray_session):
     """The bigram combiner must never pair the last token of one doc
     with the first token of the next (shift is windowed per row)."""
