@@ -127,7 +127,40 @@ def _write_csv_dir(ds, out_dir: str, fields: list[str]) -> int:
 
 
 def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
-    """RESUMABLE hash-sharded corpus export: ``out_dir/shard=NNNN.parquet``
+    """Resumable hash-sharded Parquet export (see ``_write_sharded``
+    for the full contract). Read back with
+    ``ray.data.read_parquet(out_dir)``."""
+    import pyarrow.parquet as pq
+
+    return _write_sharded(
+        ds, out_dir, id_col, num_shards, "parquet", pq.write_table
+    )
+
+
+def write_sharded_jsonl(ds, out_dir: str, id_col: str, num_shards: int = 64):
+    """Resumable hash-sharded JSONL (NDJSON) export — the training-data
+    interchange format (see ``_write_sharded`` for the resume/manifest
+    contract, identical to the Parquet variant).
+
+    Serialization is polars ``write_ndjson`` (vectorized Rust, one JSON
+    object per line): nulls emit ``null``, timestamps ISO-8601, nested
+    list/struct columns as JSON arrays/objects. Use it for
+    JSON-representable schemas (text corpora); raw ``binary`` payloads
+    belong in the Parquet variant. Read back with
+    ``ray.data.read_json(out_dir, file_extensions=["jsonl"])`` — the
+    extension pin keeps ``_export_meta.json`` out of the dataset.
+    """
+    import polars as pl
+
+    def _write(body, path: str) -> None:
+        pl.from_arrow(body).write_ndjson(path)
+
+    return _write_sharded(ds, out_dir, id_col, num_shards, "jsonl", _write)
+
+
+def _write_sharded(ds, out_dir: str, id_col: str, num_shards: int,
+                   fmt: str, write_table) -> dict[str, int]:
+    """RESUMABLE hash-sharded corpus export: ``out_dir/shard=NNNN.<fmt>``
     with a ``_shard=NNNN.done`` row-count manifest per shard (the ``_``
     prefix keeps manifests invisible to parquet dataset readers) — the
     training-data-export analog of the lake's per-partition manifests.
@@ -140,29 +173,28 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
 
     Resume: finished shards are filtered out BEFORE the shuffle — a
     rerun ships only the missing shards' rows through the exchange, not
-    the corpus. Each shard writes its parquet atomically (tmp +
+    the corpus. Each shard writes its file atomically (tmp +
     os.replace, the lake convention) and only then its ``.done``; a
-    crash between the two leaves an orphan parquet that the rerun
+    crash between the two leaves an orphan data file that the rerun
     simply overwrites. Empty shards get a driver-written ``rows=0``
     manifest so a fully-complete directory skips everything.
 
     Writers run inside ``map_groups`` tasks, so ``out_dir`` must be a
     filesystem every worker can reach (same contract as the lake).
+    ``write_table(pa.Table, path)`` does the actual serialization.
     Returns ``{shard: rows_written}`` for THIS run; completed shards
-    are reported as ``-1`` (skipped). Read the export back with
-    ``ray.data.read_parquet(out_dir)``.
+    are reported as ``-1`` (skipped).
     """
     import json
     import tempfile
 
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..ops.corpus import _md5_lower64_column
 
     if num_shards < 1:
-        raise ValueError("write_sharded_parquet needs num_shards >= 1")
+        raise ValueError("sharded export needs num_shards >= 1")
     os.makedirs(out_dir, exist_ok=True)
 
     def _atomic(dest: str, write_fn) -> None:
@@ -186,13 +218,16 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
         return w
 
     meta_path = os.path.join(out_dir, "_export_meta.json")
-    meta = {"num_shards": num_shards, "id_col": id_col}
+    meta = {"num_shards": num_shards, "id_col": id_col, "format": fmt}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
+        # exports written before the jsonl variant existed carry no
+        # format key — they are all parquet
+        prev.setdefault("format", "parquet")
         if prev != meta:
             raise ValueError(
-                f"write_sharded_parquet: {out_dir} was written with {prev}; "
+                f"sharded export: {out_dir} was written with {prev}; "
                 f"resuming with {meta} would corrupt the export"
             )
     else:
@@ -220,8 +255,8 @@ def write_sharded_parquet(ds, out_dir: str, id_col: str, num_shards: int = 64):
         shard = g["__shard"][0].as_py()
         body = g.drop_columns(["__shard"])
         _atomic(
-            os.path.join(out_dir, f"shard={shard:04d}.parquet"),
-            lambda t: pq.write_table(body, t),
+            os.path.join(out_dir, f"shard={shard:04d}.{fmt}"),
+            lambda t: write_table(body, t),
         )
         _atomic(
             os.path.join(out_dir, f"_shard={shard:04d}.done"),

@@ -1678,6 +1678,58 @@ def test_write_sharded_parquet_meta_guard(ray_session, tmp_path):
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
 
 
+def test_write_sharded_jsonl(ray_session, tmp_path):
+    """JSONL sharded export: same resume/manifest contract as parquet
+    (shared skeleton), NDJSON payload, cross-format resume refused."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from jitsu_ray.sinks.files import (
+        write_sharded_jsonl,
+        write_sharded_parquet,
+    )
+    from jitsu_ray.util import md5_lower64
+
+    out = str(tmp_path / "exp_jsonl")
+    tbl = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "text": pa.array(
+                [f"doc {i}" if i % 10 else None for i in range(100)]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    res = write_sharded_jsonl(ds, out, "id", num_shards=4)
+    assert set(res) == set(range(4)) and sum(res.values()) == 100
+
+    # payload round-trips (nulls as JSON null) and lands in its md5 shard
+    back = ray.data.read_json(out, file_extensions=["jsonl"]).take_all()
+    assert {(r["id"], r["text"]) for r in back} == {
+        (i, f"doc {i}" if i % 10 else None) for i in range(100)
+    }
+    with open(os.path.join(out, "shard=0002.jsonl")) as f:
+        got2 = sorted(json.loads(line)["id"] for line in f)
+    assert got2 == [i for i in range(100) if md5_lower64(str(i)) % 4 == 2]
+
+    # kill one shard -> rerun rebuilds ONLY it
+    os.remove(os.path.join(out, "shard=0001.jsonl"))
+    os.remove(os.path.join(out, "_shard=0001.done"))
+    res2 = write_sharded_jsonl(ds, out, "id", num_shards=4)
+    assert {s for s, n in res2.items() if n >= 0} == {1}
+    assert len(ray.data.read_json(out, file_extensions=["jsonl"]).take_all()) == 100
+
+    # a parquet export can't be resumed as jsonl (and vice versa)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="would corrupt"):
+        write_sharded_parquet(ds, out, "id", num_shards=4)
+
+
 def test_cli_query_list_and_validation():
     """`python -m jitsu_ray query --list` prints the full registry and
     an unknown name fails fast — both WITHOUT starting a Ray session
