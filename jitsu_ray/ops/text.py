@@ -423,3 +423,149 @@ def normalize_text(ds, text_col: str, out_col: str = "norm_text",
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+# (group, line) composite broadcast key. U+001F cannot appear in the
+# corpus line derivation used by the oracle-checked query (word-soup
+# text split on a literal separator); the generic operator documents
+# the no-US-in-group/line assumption in strip_repeated_lines below.
+_LINE_KEY_SEP = "\x1f"
+
+
+def _partial_line_doc_counts(
+    id_col: str, group_col: str, text_col: str, line_sep: str
+):
+    """Per-batch combiner for strip_repeated_lines pass 1: explode each
+    document into lines, dedupe (group, line, doc) WITHIN the batch
+    (a doc never spans batches — one row per doc), and emit one
+    (key, n) partial per distinct line. Partials sum exactly to
+    count(DISTINCT doc_id) because doc_ids are globally unique."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, group_col, text_col]))
+        out = (
+            df.select(
+                pl.col(id_col),
+                pl.col(group_col).fill_null("").alias("__g"),
+                pl.col(text_col).fill_null("").str.split(line_sep).alias("__line"),
+            )
+            .explode("__line")
+            .unique(["__g", "__line", id_col])
+            .group_by("__g", "__line")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(
+                (pl.col("__g") + pl.lit(_LINE_KEY_SEP) + pl.col("__line")).alias("key"),
+                "n",
+            )
+        )
+        return out.to_arrow()
+
+    return partial
+
+
+def strip_repeated_lines(
+    ds,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    max_broadcast_bytes: int = 64 << 20,
+):
+    """Line-level boilerplate removal (the C4 / RefinedWeb cleaning
+    rule): within each ``group_col`` partition (site / crawl source), a
+    line that appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, footers) and is stripped
+    from every document; the survivors are re-joined with ``line_sep``
+    in their original order. Returns one row per input document:
+    (id_col, out_col, removed) — documents whose every line was
+    boilerplate keep their row with an empty string.
+
+    Distributed shape (two passes, one narrow shuffle):
+      pass 1 — map_batches combiner emits per-batch (group+line -> n
+        distinct docs) partials (exact: doc rows never span batches),
+        then ONE groupby-sum over the line keys; only keys crossing
+        ``min_docs`` leave the fold — by construction the small tail
+        of the line-frequency distribution (true boilerplate), not the
+        corpus. Broadcast once via ray.put under a
+        ``max_broadcast_bytes`` guard (same 64 MB bar as the
+        recognition/jaccard broadcasts); above it raise with guidance
+        rather than silently shipping per task.
+      pass 2 — map_batches strip: split once, explode with a row
+        index, anti-filter against the broadcast key set (polars
+        ``is_in`` hash probe), re-join per row index with
+        maintain_order='left' (polars join does NOT keep left order by
+        default — CLAUDE.md trap).
+
+    Oracle twin notes: composite key is group + U+001F + line, so
+    group/line values must not contain U+001F (the SQL side anti-joins
+    on the (g, line) pair directly); split semantics are leftmost
+    non-overlapping literal — measured identical across polars
+    ``str.split``, Python ``str.split`` and DuckDB ``string_split``,
+    including '' -> [''] and ' a ' -> ['', ''].
+    """
+    import ray
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from ..util import once_per_process
+
+    partials = ds.map_batches(
+        _partial_line_doc_counts(id_col, group_col, text_col, line_sep),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("key").aggregate(Sum("n", alias_name="n"))
+    freq = agg.map_batches(
+        lambda b: b.filter(_pc.greater_equal(b["n"], pa.scalar(min_docs, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    keys = [r["key"] for r in freq.take_all()]
+    nbytes = sum(len(k.encode()) for k in keys)
+    if nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"boilerplate key set is {nbytes >> 20} MiB (> "
+            f"{max_broadcast_bytes >> 20} MiB guard); raise min_docs or "
+            "max_broadcast_bytes — a set this large means the threshold "
+            "is catching corpus body text, not boilerplate"
+        )
+    boiler_ref = ray.put(keys)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        boiler = once_per_process(
+            "text.strip_repeated_lines", boiler_ref,
+            build=lambda ks: pl.Series("k", ks, dtype=pl.String),
+        )
+        df = (
+            pl.from_arrow(batch.select([id_col, group_col, text_col]))
+            .with_row_index("__i")
+            .with_columns(
+                __g=pl.col(group_col).fill_null(""),
+                __parts=pl.col(text_col).fill_null("").str.split(line_sep),
+            )
+            .with_columns(__n0=pl.col("__parts").list.len().cast(pl.Int64))
+        )
+        kept = (
+            df.select("__i", "__g", "__parts")
+            .explode("__parts")
+            .filter(
+                ~(pl.col("__g") + pl.lit(_LINE_KEY_SEP) + pl.col("__parts")).is_in(
+                    boiler
+                )
+            )
+            .group_by("__i", maintain_order=True)
+            .agg(
+                pl.col("__parts").str.join(line_sep).alias(out_col),
+                pl.len().cast(pl.Int64).alias("__nk"),
+            )
+        )
+        res = df.join(kept, on="__i", how="left", maintain_order="left")
+        out = res.select(
+            pl.col(id_col),
+            pl.col(out_col).fill_null("").cast(pl.String),
+            (pl.col("__n0") - pl.col("__nk").fill_null(0)).alias("removed"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(strip, batch_format="pyarrow")

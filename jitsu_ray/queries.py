@@ -3099,6 +3099,58 @@ GROUP BY p.w ORDER BY word
 """
 
 
+def q_strip_boilerplate(sf_dir: str):
+    """Line-level boilerplate removal (ops/text.strip_repeated_lines):
+    the documents corpus has no newlines, so both engines derive lines
+    by splitting on the literal ' a ' separator (measured identical
+    leftmost non-overlapping semantics across polars / Python / DuckDB
+    string_split, including '' -> ['']). A line repeated across >= 2
+    distinct documents of one source is boilerplate — at sf0.01 this
+    catches the generator's planted near-dup segments."""
+    from .ops.text import strip_repeated_lines
+
+    ds = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+    return strip_repeated_lines(
+        ds, text_col="text", group_col="source", id_col="doc_id",
+        line_sep=" a ", min_docs=2,
+    )
+
+
+# Zipped equal-length unnests (parts + generate_series) give per-doc
+# line ordinals; ANTI JOIN strips (g, line) pairs crossing the
+# distinct-doc threshold; string_agg(... ORDER BY ord) re-joins in
+# original order. coalesce('') keeps all-boilerplate docs as empty
+# strings, matching the Ray side's left join + fill_null('').
+SQL_STRIP_BOILER = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(source, '') AS g,
+         string_split(coalesce(text, ''), ' a ') AS parts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, g, unnest(parts) AS line,
+         unnest(generate_series(1, len(parts))) AS ord
+  FROM d
+),
+boiler AS (
+  SELECT g, line FROM lines GROUP BY g, line
+  HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.ord
+  FROM lines l ANTI JOIN boiler b ON l.g = b.g AND l.line = b.line
+),
+folded AS (
+  SELECT doc_id, string_agg(line, ' a ' ORDER BY ord) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.clean_text, '') AS clean_text,
+       CAST(len(d.parts) - coalesce(f.kept_n, 0) AS BIGINT) AS removed
+FROM d LEFT JOIN folded f USING (doc_id)
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape over the full six-table chain (region → nation →
     {customer, supplier} → orders → lineitem) — the canonical multi-way
@@ -4570,6 +4622,7 @@ QUERIES = {
     "incremental_near_dup": q_incremental_near_dup,
     "simhash_docs": q_simhash_docs,
     "doc_quality": q_doc_quality,
+    "strip_boilerplate": q_strip_boilerplate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
@@ -4665,6 +4718,7 @@ ORACLES = {
     "ngram_jaccard_docs": SQL_NGRAM,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "doc_quality": SQL_DOC_QUALITY,
+    "strip_boilerplate": SQL_STRIP_BOILER,
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,
     "frame_sample": SQL_FRAME_SAMPLE,

@@ -3203,3 +3203,63 @@ def test_group_moments_overflow_is_loud(ray_session):
     )
     with pytest.raises(OverflowError, match="s2 wrapped"):
         group_moments(ray.data.from_arrow(t), "g", "v")
+
+
+def test_strip_repeated_lines_semantics():
+    """Hand-built boilerplate: the cookie-banner line repeats across 3
+    docs of src1 (within-doc repeats count ONCE toward the distinct-doc
+    threshold), survives in src2 where it appears once, an
+    all-boilerplate doc keeps its row as '', null text/source behave as
+    ''/'' — and surviving line order is preserved."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.text import strip_repeated_lines
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "source": ["src1", "src1", "src1", "src2", "src1", None],
+            "text": [
+                "accept cookies\nreal body one\naccept cookies",
+                "intro\naccept cookies\nreal body two",
+                "accept cookies",            # all boilerplate -> ''
+                "accept cookies\nother site", # src2: only 1 doc -> kept
+                "unique one\nunique two",
+                None,                         # null text -> [''] line
+            ],
+        }
+    )
+    out = strip_repeated_lines(
+        ray.data.from_arrow(tbl), min_docs=3, line_sep="\n"
+    ).take_all()
+    got = {r["doc_id"]: (r["clean_text"], r["removed"]) for r in out}
+    assert got == {
+        1: ("real body one", 2),
+        2: ("intro\nreal body two", 1),
+        3: ("", 1),
+        4: ("accept cookies\nother site", 0),
+        5: ("unique one\nunique two", 0),
+        6: ("", 0),
+    }
+
+
+def test_strip_repeated_lines_broadcast_guard():
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from jitsu_ray.ops.text import strip_repeated_lines
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": ["s", "s"],
+            "text": ["same line", "same line"],
+        }
+    )
+    with pytest.raises(ValueError, match="boilerplate key set"):
+        strip_repeated_lines(
+            ray.data.from_arrow(tbl), min_docs=2, line_sep="\n",
+            max_broadcast_bytes=4,
+        )
