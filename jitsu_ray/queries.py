@@ -3629,6 +3629,62 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (ops/spans.decontaminate): the held-out
+    eval slice is the deterministic doc_id % 97 == 0 cut; every train
+    document sharing a word 4-gram with it is flagged (n=4 so the
+    planted near-dup segments actually collide at sf0.01 — 8 hits).
+    Zero-shuffle probe: eval grams fold driver-side (benchmark-sized by
+    nature) and broadcast once."""
+    from .ops.spans import decontaminate
+
+    def side(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b)
+            m = pl.col("doc_id") % 97 == 0
+            return df.filter(m if keep_eval else ~m).to_arrow()
+
+        return f
+
+    cols = ["doc_id", "text"]
+    train = _read_sized(_t(sf_dir, "documents"), columns=cols).map_batches(
+        side(False), batch_format="pyarrow"
+    )
+    ev = _read_sized(_t(sf_dir, "documents"), columns=cols).map_batches(
+        side(True), batch_format="pyarrow"
+    )
+    return decontaminate(train, ev, "doc_id", "text", n=4)
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT array_to_string(words[i : i + 3], ' ') AS g
+  FROM w, unnest(generate_series(1, len(words) - 3)) AS s(i)
+  WHERE doc_id % 97 = 0
+),
+tg AS (
+  SELECT doc_id, array_to_string(words[i : i + 3], ' ') AS g
+  FROM w, unnest(generate_series(1, len(words) - 3)) AS s(i)
+  WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT tg.doc_id, CAST(count(DISTINCT tg.g) AS BIGINT) AS n_matched
+  FROM tg JOIN ev USING (g) GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_matched, 0) > 0 AS contaminated,
+       CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Corpus mixture assembly (ops/corpus.mixture_sample): downsample
     each language toward a 200-row corpus at en 50% / zh 20% / de 15% /
@@ -4623,6 +4679,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "doc_quality": q_doc_quality,
     "strip_boilerplate": q_strip_boilerplate,
+    "decontaminate": q_decontaminate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
@@ -4719,6 +4776,7 @@ ORACLES = {
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "doc_quality": SQL_DOC_QUALITY,
     "strip_boilerplate": SQL_STRIP_BOILER,
+    "decontaminate": SQL_DECONTAMINATE,
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,
     "frame_sample": SQL_FRAME_SAMPLE,

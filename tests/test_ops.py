@@ -3263,3 +3263,44 @@ def test_strip_repeated_lines_broadcast_guard():
             ray.data.from_arrow(tbl), min_docs=2, line_sep="\n",
             max_broadcast_bytes=4,
         )
+
+
+def test_decontaminate_semantics():
+    """Known overlaps: train doc 10 shares one 3-gram with eval, doc 11
+    shares two distinct 3-grams, doc 12 is clean, doc 13 is shorter
+    than n (can never match), repeated matched grams in one doc count
+    ONCE (distinct grams)."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.spans import decontaminate
+
+    ev = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the quick brown fox", "lazy dog sleeps"],
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": [
+                "a the quick brown cat quick brown fox the quick brown z",
+                "quick brown fox met the lazy dog sleeps well",
+                "entirely different words here",
+                "too short",
+            ],
+        }
+    )
+    out = decontaminate(
+        ray.data.from_arrow(train), ray.data.from_arrow(ev), n=3
+    ).take_all()
+    got = {r["doc_id"]: (r["contaminated"], r["n_matched"]) for r in out}
+    # doc 10 grams include 'the quick brown' (twice -> once) and
+    # 'quick brown fox'; both are eval grams -> n_matched = 2
+    assert got == {
+        10: (True, 2),
+        11: (True, 2),  # 'quick brown fox' + 'lazy dog sleeps'
+        12: (False, 0),
+        13: (False, 0),
+    }
