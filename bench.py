@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "range_scan_values",
     "value_mean_var",
     "shuffle_positions",
+    "strip_boilerplate",
+    "decontaminate",
 ]
 
 
