@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "value_mean_var",
     "shuffle_positions",
     "strip_boilerplate",
-    "decontaminate",
+    "decontaminate_ngram",
 ]
 
 

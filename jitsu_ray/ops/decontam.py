@@ -37,7 +37,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+import polars as pl
+
 from ..util import md5_lower64
+from .search import TOKEN_RE
 
 # Horner multiplier for combining word hashes into an n-gram hash
 # (odd => invertible mod 2^64, so windows differing in any word differ)
@@ -170,3 +173,121 @@ def decontaminate_auto(ds, text_col: str, bench_texts: list[str | None],
     if len(snips) <= substring_limit:
         return decontaminate_substring(ds, text_col, snips, out_col)
     return decontaminate_ngram(ds, text_col, snips, n=n, out_col=out_col)
+
+
+def decontaminate_exact_ngram(
+    train_ds,
+    eval_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    token_pattern: str = TOKEN_RE,
+    max_broadcast_bytes: int = 64 << 20,
+):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM eval-
+    overlap rule): flag every training document sharing at least one
+    word n-gram with the evaluation/benchmark corpus, so leaked test
+    data can be dropped before training. One row per train document:
+    ``(id_col, contaminated, n_matched)`` where ``n_matched`` counts
+    DISTINCT matched grams (docs shorter than ``n`` tokens can never
+    match).
+
+    Distributed shape: eval sets are small by nature (benchmarks are
+    thousands of documents, not corpora), so the eval gram set is
+    folded driver-side from per-batch DISTINCT partials and broadcast
+    ONCE via ray.put under a ``max_broadcast_bytes`` guard — the train
+    corpus then streams through a single map_batches probe (polars
+    ``is_in`` hash probe, no shuffle at all). Above the guard, raise
+    with guidance: a >64 MiB benchmark gram set should go through the
+    partitioned semi-join path (``ops/join.bucket_hash_join`` over the
+    gram stream) instead of a per-task ship.
+
+    Role in this family: decontaminate_ngram above is the hash-probe
+    scale mode (pytest-checked, 64-bit collisions tolerated, benchmark
+    as a driver-side list); THIS is the exact-gram-string mode — eval
+    set streamed as a Dataset, collision-FREE, with a full SQL oracle
+    twin (the SQL_DEDUP_SPANS ``array_to_string(words[i : i+n-1])``
+    gram pattern + semi join) and DISTINCT matched-gram counts per doc.
+    Tokenization is the RE2-parity class shared with
+    ops/spans.duplicate_span_stats."""
+    import ray
+
+    from ..util import once_per_process
+
+    if n < 1:
+        raise ValueError("decontaminate needs n >= 1")
+
+    def _grams(batch: pa.Table) -> pl.DataFrame:
+        df = (
+            pl.from_arrow(batch.select([id_col, text_col]))
+            .with_columns(
+                pl.col(text_col)
+                .fill_null("")
+                .str.extract_all(token_pattern)
+                .alias("tok")
+            )
+            .drop(text_col)
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        parts = [pl.col("tok")] + [
+            pl.col("tok").shift(-i).over(id_col) for i in range(1, n)
+        ]
+        return (
+            df.with_columns(pl.concat_str(parts, separator=" ").alias("g"))
+            .drop_nulls("g")
+            .select(id_col, "g")
+        )
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        out = _grams(batch).select("g").unique()
+        return out.to_arrow().cast(pa.schema([("g", pa.string())]))
+
+    ev: set[str] = set()
+    nbytes = 0
+    for b in eval_ds.map_batches(eval_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g in b["g"].to_pylist():
+            if g not in ev:
+                ev.add(g)
+                nbytes += len(g.encode())
+        if nbytes > max_broadcast_bytes:
+            raise ValueError(
+                f"eval gram set exceeds {max_broadcast_bytes >> 20} MiB — "
+                "this is corpus-sized, not benchmark-sized; route through a "
+                "partitioned semi-join (bucket_hash_join on the gram stream) "
+                "or raise max_broadcast_bytes"
+            )
+    ev_ref = ray.put(sorted(ev))
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("contaminated", pa.bool_()),
+            ("n_matched", pa.int64()),
+        ]
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        grams_set = once_per_process(
+            "spans.decontaminate", ev_ref,
+            build=lambda ks: pl.Series("g", ks, dtype=pl.String),
+        )
+        docs = pl.from_arrow(batch.select([id_col]))
+        hits = (
+            _grams(batch)
+            .filter(pl.col("g").is_in(grams_set))
+            .unique([id_col, "g"])
+            .group_by(id_col)
+            .agg(pl.len().cast(pl.Int64).alias("n_matched"))
+        )
+        out = (
+            docs.join(hits, on=id_col, how="left", maintain_order="left")
+            .with_columns(pl.col("n_matched").fill_null(0))
+            .with_columns((pl.col("n_matched") > 0).alias("contaminated"))
+            .select(id_col, "contaminated", "n_matched")
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return train_ds.map_batches(probe, batch_format="pyarrow")

@@ -3630,13 +3630,14 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 
 
 def q_decontaminate(sf_dir: str):
-    """Benchmark decontamination (ops/spans.decontaminate): the held-out
+    """Benchmark decontamination (ops/decontam.decontaminate_exact_ngram): the held-out
     eval slice is the deterministic doc_id % 97 == 0 cut; every train
     document sharing a word 4-gram with it is flagged (n=4 so the
     planted near-dup segments actually collide at sf0.01 — 8 hits).
     Zero-shuffle probe: eval grams fold driver-side (benchmark-sized by
-    nature) and broadcast once."""
-    from .ops.spans import decontaminate
+    nature) and broadcast once. Exact-gram complement of the hash-probe
+    decontaminate_ngram scale mode exercised by decontaminate_docs."""
+    from .ops.decontam import decontaminate_exact_ngram
 
     def side(keep_eval: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -3653,10 +3654,10 @@ def q_decontaminate(sf_dir: str):
     ev = _read_sized(_t(sf_dir, "documents"), columns=cols).map_batches(
         side(True), batch_format="pyarrow"
     )
-    return decontaminate(train, ev, "doc_id", "text", n=4)
+    return decontaminate_exact_ngram(train, ev, "doc_id", "text", n=4)
 
 
-SQL_DECONTAMINATE = r"""
+SQL_DECONTAM_NGRAM = r"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
@@ -4679,7 +4680,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "doc_quality": q_doc_quality,
     "strip_boilerplate": q_strip_boilerplate,
-    "decontaminate": q_decontaminate,
+    "decontaminate_ngram": q_decontaminate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
@@ -4776,7 +4777,7 @@ ORACLES = {
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "doc_quality": SQL_DOC_QUALITY,
     "strip_boilerplate": SQL_STRIP_BOILER,
-    "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_ngram": SQL_DECONTAM_NGRAM,
     "simhash_docs": SQL_SIMHASH,
     "multimodal_decode": SQL_MULTIMODAL,
     "frame_sample": SQL_FRAME_SAMPLE,

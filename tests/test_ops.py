@@ -3273,7 +3273,7 @@ def test_decontaminate_semantics():
     import pyarrow as pa
     import ray
 
-    from jitsu_ray.ops.spans import decontaminate
+    from jitsu_ray.ops.decontam import decontaminate_exact_ngram
 
     ev = pa.table(
         {
@@ -3292,7 +3292,7 @@ def test_decontaminate_semantics():
             ],
         }
     )
-    out = decontaminate(
+    out = decontaminate_exact_ngram(
         ray.data.from_arrow(train), ray.data.from_arrow(ev), n=3
     ).take_all()
     got = {r["doc_id"]: (r["contaminated"], r["n_matched"]) for r in out}
