@@ -261,15 +261,17 @@ def decontaminate_exact_ngram(
             )
     ev_ref = ray.put(sorted(ev))
 
-    out_schema = pa.schema(
-        [
-            (id_col, pa.int64()),
-            ("contaminated", pa.bool_()),
-            ("n_matched", pa.int64()),
-        ]
-    )
-
     def probe(batch: pa.Table) -> pa.Table:
+        # id column keeps the INPUT's type (string doc ids are legal for
+        # this generic operator — a hardcoded int64 cast would crash on
+        # them, the ADVICE r3 group-key-typing trap)
+        out_schema = pa.schema(
+            [
+                (id_col, batch.schema.field(id_col).type),
+                ("contaminated", pa.bool_()),
+                ("n_matched", pa.int64()),
+            ]
+        )
         grams_set = once_per_process(
             "spans.decontaminate", ev_ref,
             build=lambda ks: pl.Series("g", ks, dtype=pl.String),

@@ -521,15 +521,21 @@ def strip_repeated_lines(
         lambda b: b.filter(_pc.greater_equal(b["n"], pa.scalar(min_docs, pa.int64()))),
         batch_format="pyarrow",
     )
-    keys = [r["key"] for r in freq.take_all()]
-    nbytes = sum(len(k.encode()) for k in keys)
-    if nbytes > max_broadcast_bytes:
-        raise ValueError(
-            f"boilerplate key set is {nbytes >> 20} MiB (> "
-            f"{max_broadcast_bytes >> 20} MiB guard); raise min_docs or "
-            "max_broadcast_bytes — a set this large means the threshold "
-            "is catching corpus body text, not boilerplate"
-        )
+    # stream the fold so the guard fires BEFORE the driver holds an
+    # over-budget set (take_all-then-check would OOM first)
+    keys: list[str] = []
+    nbytes = 0
+    for b in freq.iter_batches(batch_format="pyarrow"):
+        for k in b["key"].to_pylist():
+            keys.append(k)
+            nbytes += len(k.encode())
+        if nbytes > max_broadcast_bytes:
+            raise ValueError(
+                f"boilerplate key set exceeds {max_broadcast_bytes >> 20} "
+                "MiB; raise min_docs or max_broadcast_bytes — a set this "
+                "large means the threshold is catching corpus body text, "
+                "not boilerplate"
+            )
     boiler_ref = ray.put(keys)
 
     def strip(batch: pa.Table) -> pa.Table:

@@ -3304,3 +3304,22 @@ def test_decontaminate_semantics():
         12: (False, 0),
         13: (False, 0),
     }
+
+
+def test_decontaminate_string_ids():
+    """Generic operator: non-int64 id columns pass through with their
+    input type (the r3-ADVICE hardcoded-typing trap)."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.decontam import decontaminate_exact_ngram
+
+    ev = pa.table({"doc_id": ["e1"], "text": ["the quick brown fox"]})
+    train = pa.table(
+        {"doc_id": ["t1", "t2"], "text": ["the quick brown fox ran", "clean"]}
+    )
+    out = decontaminate_exact_ngram(
+        ray.data.from_arrow(train), ray.data.from_arrow(ev), n=3
+    ).take_all()
+    got = {r["doc_id"]: r["contaminated"] for r in out}
+    assert got == {"t1": True, "t2": False}
