@@ -700,6 +700,10 @@ def global_shuffle_positions(
     import numpy as np
     import pyarrow.compute as pc
 
+    if num_shards < 1:
+        # numpy uint64 % 0 'returns' 0 with only a RuntimeWarning —
+        # a valid-looking single-shard layout instead of an error
+        raise ValueError("global_shuffle_positions needs num_shards >= 1")
     nshard = np.uint64(int(num_shards))
 
     def tag(batch: pa.Table) -> pa.Table:

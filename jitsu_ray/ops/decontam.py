@@ -217,48 +217,49 @@ def decontaminate_exact_ngram(
     if n < 1:
         raise ValueError("decontaminate needs n >= 1")
 
-    def _grams(batch: pa.Table) -> pl.DataFrame:
-        df = (
-            pl.from_arrow(batch.select([id_col, text_col]))
-            .with_columns(
+    def _row_grams(df: pl.DataFrame) -> pl.DataFrame:
+        """(__r, text) -> (__r, g). Grams are ROW-scoped — the shift
+        window partitions on the row index, NOT the id column, so
+        duplicate or NULL doc ids can never concatenate two rows' token
+        streams into phantom boundary-spanning grams (review-found
+        bleed; polars ``over`` groups all NULL keys together)."""
+        t = (
+            df.with_columns(
                 pl.col(text_col)
                 .fill_null("")
                 .str.extract_all(token_pattern)
                 .alias("tok")
             )
-            .drop(text_col)
+            .select("__r", "tok")
             .explode("tok")
             .drop_nulls("tok")
         )
         parts = [pl.col("tok")] + [
-            pl.col("tok").shift(-i).over(id_col) for i in range(1, n)
+            pl.col("tok").shift(-i).over("__r") for i in range(1, n)
         ]
         return (
-            df.with_columns(pl.concat_str(parts, separator=" ").alias("g"))
+            t.with_columns(pl.concat_str(parts, separator=" ").alias("g"))
             .drop_nulls("g")
-            .select(id_col, "g")
+            .select("__r", "g")
         )
 
     def eval_partial(batch: pa.Table) -> pa.Table:
-        out = _grams(batch).select("g").unique()
+        df = pl.from_arrow(batch.select([text_col])).with_row_index("__r")
+        out = _row_grams(df).select("g").unique()
         return out.to_arrow().cast(pa.schema([("g", pa.string())]))
 
-    ev: set[str] = set()
-    nbytes = 0
-    for b in eval_ds.map_batches(eval_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for g in b["g"].to_pylist():
-            if g not in ev:
-                ev.add(g)
-                nbytes += len(g.encode())
-        if nbytes > max_broadcast_bytes:
-            raise ValueError(
-                f"eval gram set exceeds {max_broadcast_bytes >> 20} MiB — "
-                "this is corpus-sized, not benchmark-sized; route through a "
-                "partitioned semi-join (bucket_hash_join on the gram stream) "
-                "or raise max_broadcast_bytes"
-            )
+    from ..util import fold_broadcast_keys
+
+    ev = fold_broadcast_keys(
+        eval_ds.map_batches(eval_partial, batch_format="pyarrow"),
+        "g",
+        max_broadcast_bytes,
+        "eval gram set",
+        hint="this is corpus-sized, not benchmark-sized; route through a "
+        "partitioned semi-join (bucket_hash_join on the gram stream) "
+        "or raise max_broadcast_bytes",
+        unique=True,
+    )
     ev_ref = ray.put(sorted(ev))
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -273,19 +274,21 @@ def decontaminate_exact_ngram(
             ]
         )
         grams_set = once_per_process(
-            "spans.decontaminate", ev_ref,
+            "decontam.exact_ngram", ev_ref,
             build=lambda ks: pl.Series("g", ks, dtype=pl.String),
         )
-        docs = pl.from_arrow(batch.select([id_col]))
+        # one output row per INPUT row (ids pass through untouched, so
+        # duplicate ids get independent per-row verdicts)
+        docs = pl.from_arrow(batch.select([id_col, text_col])).with_row_index("__r")
         hits = (
-            _grams(batch)
+            _row_grams(docs)
             .filter(pl.col("g").is_in(grams_set))
-            .unique([id_col, "g"])
-            .group_by(id_col)
+            .unique(["__r", "g"])
+            .group_by("__r")
             .agg(pl.len().cast(pl.Int64).alias("n_matched"))
         )
         out = (
-            docs.join(hits, on=id_col, how="left", maintain_order="left")
+            docs.join(hits, on="__r", how="left", maintain_order="left")
             .with_columns(pl.col("n_matched").fill_null(0))
             .with_columns((pl.col("n_matched") > 0).alias("contaminated"))
             .select(id_col, "contaminated", "n_matched")

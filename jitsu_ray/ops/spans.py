@@ -87,7 +87,12 @@ def duplicate_span_stats(
     is the md5 of the uncovered tokens re-joined with single spaces —
     the document after span removal — or NULL when every token is
     covered. Documents shorter than ``n`` tokens contribute no grams
-    but still appear (their spans can never duplicate).
+    but still appear (their spans can never duplicate). PRECONDITION:
+    one row per document with a unique non-null ``id_col`` — duplicate
+    (or multiple NULL) ids in one batch would concatenate their token
+    streams (``over(doc)`` groups them), producing phantom
+    boundary-spanning grams; see ops/decontam._row_grams for the
+    row-scoped alternative.
 
     ``emit="text"`` returns the cleaned CORPUS instead — ``(doc_id,
     cleaned_text)`` with the uncovered tokens space-rejoined (NULL when

@@ -439,12 +439,17 @@ def _partial_line_doc_counts(
     document into lines, dedupe (group, line, doc) WITHIN the batch
     (a doc never spans batches — one row per doc), and emit one
     (key, n) partial per distinct line. Partials sum exactly to
-    count(DISTINCT doc_id) because doc_ids are globally unique."""
+    count(DISTINCT doc_id) because doc_ids are globally unique; NULL-id
+    rows are excluded from COUNTING (SQL count(DISTINCT) semantics —
+    otherwise two null-id docs in one batch collapse to one vote but
+    two votes across batches, a batch-boundary-dependent result). They
+    still get cleaned in pass 2 like any other row."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_col, group_col, text_col]))
         out = (
-            df.select(
+            df.filter(pl.col(id_col).is_not_null())
+            .select(
                 pl.col(id_col),
                 pl.col(group_col).fill_null("").alias("__g"),
                 pl.col(text_col).fill_null("").str.split(line_sep).alias("__line"),
@@ -512,6 +517,17 @@ def strip_repeated_lines(
 
     from ..util import once_per_process
 
+    if min_docs < 2:
+        raise ValueError(
+            "strip_repeated_lines needs min_docs >= 2 — at 1 every line "
+            "is 'repeated' (it appears in its own document) and the whole "
+            "corpus would be stripped"
+        )
+    if out_col in (id_col, "removed"):
+        raise ValueError(
+            f"out_col {out_col!r} collides with an output column"
+        )
+
     partials = ds.map_batches(
         _partial_line_doc_counts(id_col, group_col, text_col, line_sep),
         batch_format="pyarrow",
@@ -521,21 +537,16 @@ def strip_repeated_lines(
         lambda b: b.filter(_pc.greater_equal(b["n"], pa.scalar(min_docs, pa.int64()))),
         batch_format="pyarrow",
     )
-    # stream the fold so the guard fires BEFORE the driver holds an
-    # over-budget set (take_all-then-check would OOM first)
-    keys: list[str] = []
-    nbytes = 0
-    for b in freq.iter_batches(batch_format="pyarrow"):
-        for k in b["key"].to_pylist():
-            keys.append(k)
-            nbytes += len(k.encode())
-        if nbytes > max_broadcast_bytes:
-            raise ValueError(
-                f"boilerplate key set exceeds {max_broadcast_bytes >> 20} "
-                "MiB; raise min_docs or max_broadcast_bytes — a set this "
-                "large means the threshold is catching corpus body text, "
-                "not boilerplate"
-            )
+    from ..util import fold_broadcast_keys
+
+    keys = fold_broadcast_keys(
+        freq,
+        "key",
+        max_broadcast_bytes,
+        "boilerplate key set",
+        hint="raise min_docs or max_broadcast_bytes — a set this large "
+        "means the threshold is catching corpus body text, not boilerplate",
+    )
     boiler_ref = ray.put(keys)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -562,14 +573,18 @@ def strip_repeated_lines(
             )
             .group_by("__i", maintain_order=True)
             .agg(
-                pl.col("__parts").str.join(line_sep).alias(out_col),
+                # internal name: aliasing out_col HERE would collide
+                # with a same-named input column after the join (polars
+                # suffixes it _right and the select silently returns
+                # the ORIGINAL text — review-found)
+                pl.col("__parts").str.join(line_sep).alias("__cleaned"),
                 pl.len().cast(pl.Int64).alias("__nk"),
             )
         )
         res = df.join(kept, on="__i", how="left", maintain_order="left")
         out = res.select(
             pl.col(id_col),
-            pl.col(out_col).fill_null("").cast(pl.String),
+            pl.col("__cleaned").fill_null("").cast(pl.String).alias(out_col),
             (pl.col("__n0") - pl.col("__nk").fill_null(0)).alias("removed"),
         )
         return out.to_arrow()

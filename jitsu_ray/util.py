@@ -151,6 +151,35 @@ def pad_and_cast(tbl: pa.Table, target: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
+def fold_broadcast_keys(
+    ds, col: str, max_bytes: int, what: str, hint: str = "", unique: bool = False
+) -> list:
+    """Stream a small-by-construction string key column to the driver
+    under a byte budget, for a ray.put broadcast: the guard fires
+    DURING the fold, before the driver ever holds an over-budget set
+    (a take_all-then-check would OOM first). ``unique=True`` dedupes
+    incrementally so repeated keys across batches don't double-count
+    bytes. Shared skeleton of the strip_repeated_lines /
+    decontaminate_exact_ngram broadcast folds."""
+    seen: set | None = set() if unique else None
+    keys: list = []
+    nbytes = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for k in b[col].to_pylist():
+            if seen is not None:
+                if k in seen:
+                    continue
+                seen.add(k)
+            keys.append(k)
+            nbytes += len(k.encode())
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"{what} exceeds {max_bytes >> 20} MiB"
+                + (f" — {hint}" if hint else "")
+            )
+    return keys
+
+
 _PROC_CACHE: dict[tuple[str, str], object] = {}
 _PROC_CACHE_MAX = 8
 

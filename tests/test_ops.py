@@ -3205,7 +3205,7 @@ def test_group_moments_overflow_is_loud(ray_session):
         group_moments(ray.data.from_arrow(t), "g", "v")
 
 
-def test_strip_repeated_lines_semantics():
+def test_strip_repeated_lines_semantics(ray_session):
     """Hand-built boilerplate: the cookie-banner line repeats across 3
     docs of src1 (within-doc repeats count ONCE toward the distinct-doc
     threshold), survives in src2 where it appears once, an
@@ -3244,7 +3244,7 @@ def test_strip_repeated_lines_semantics():
     }
 
 
-def test_strip_repeated_lines_broadcast_guard():
+def test_strip_repeated_lines_broadcast_guard(ray_session):
     import pyarrow as pa
     import pytest
     import ray
@@ -3265,7 +3265,7 @@ def test_strip_repeated_lines_broadcast_guard():
         )
 
 
-def test_decontaminate_semantics():
+def test_decontaminate_semantics(ray_session):
     """Known overlaps: train doc 10 shares one 3-gram with eval, doc 11
     shares two distinct 3-grams, doc 12 is clean, doc 13 is shorter
     than n (can never match), repeated matched grams in one doc count
@@ -3306,7 +3306,7 @@ def test_decontaminate_semantics():
     }
 
 
-def test_decontaminate_string_ids():
+def test_decontaminate_string_ids(ray_session):
     """Generic operator: non-int64 id columns pass through with their
     input type (the r3-ADVICE hardcoded-typing trap)."""
     import pyarrow as pa
@@ -3323,3 +3323,72 @@ def test_decontaminate_string_ids():
     ).take_all()
     got = {r["doc_id"]: r["contaminated"] for r in out}
     assert got == {"t1": True, "t2": False}
+
+
+def test_decontaminate_no_gram_bleed_across_rows(ray_session):
+    """Grams are ROW-scoped: two eval rows sharing a doc_id (or null
+    ids) must NOT produce a phantom gram spanning the row boundary."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.decontam import decontaminate_exact_ngram
+
+    ev = pa.table(
+        {
+            "doc_id": pa.array([1, 1, None, None], pa.int64()),
+            "text": ["alpha beta gamma", "delta epsilon zeta", "one two", "three four"],
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            # exactly the phantom boundary grams — inside NO single eval row
+            "text": ["gamma delta epsilon", "two three four"],
+        }
+    )
+    out = decontaminate_exact_ngram(
+        ray.data.from_arrow(train), ray.data.from_arrow(ev), n=3
+    ).take_all()
+    assert {r["doc_id"]: r["contaminated"] for r in out} == {10: False, 11: False}
+
+
+def test_strip_repeated_lines_inplace_out_col(ray_session):
+    """out_col may shadow the input text column (in-place cleaning):
+    the cleaned text must come back, not the original (join-suffix
+    collision regression)."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.text import strip_repeated_lines
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": ["s", "s"],
+            "text": ["boiler\nkeep one", "boiler\nkeep two"],
+        }
+    )
+    out = strip_repeated_lines(
+        ray.data.from_arrow(tbl), min_docs=2, line_sep="\n", out_col="text"
+    ).take_all()
+    assert {r["doc_id"]: r["text"] for r in out} == {1: "keep one", 2: "keep two"}
+
+
+def test_strip_repeated_lines_param_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from jitsu_ray.ops.corpus import global_shuffle_positions
+    from jitsu_ray.ops.text import strip_repeated_lines
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "source": ["s"], "text": ["x"]}
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="min_docs >= 2"):
+        strip_repeated_lines(ds, min_docs=1)
+    with pytest.raises(ValueError, match="collides"):
+        strip_repeated_lines(ds, out_col="removed")
+    with pytest.raises(ValueError, match="num_shards >= 1"):
+        global_shuffle_positions(ds, "doc_id", num_shards=0)
