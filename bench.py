@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "shuffle_positions",
     "strip_boilerplate",
     "decontaminate_ngram",
+    "training_export",
 ]
 
 

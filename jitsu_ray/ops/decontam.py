@@ -183,14 +183,19 @@ def decontaminate_exact_ngram(
     n: int = 8,
     token_pattern: str = TOKEN_RE,
     max_broadcast_bytes: int = 64 << 20,
+    eval_text_col: str | None = None,
 ):
     """Benchmark decontamination (the GPT-3 appendix-C / PaLM eval-
     overlap rule): flag every training document sharing at least one
     word n-gram with the evaluation/benchmark corpus, so leaked test
-    data can be dropped before training. One row per train document:
-    ``(id_col, contaminated, n_matched)`` where ``n_matched`` counts
-    DISTINCT matched grams (docs shorter than ``n`` tokens can never
-    match).
+    data can be dropped before training. APPENDS ``contaminated`` and
+    ``n_matched`` (DISTINCT matched grams; docs shorter than ``n``
+    tokens can never match) to every train row — composable in place,
+    select the columns you need downstream (``id_col`` is kept in the
+    signature for caller stability; every input column, id included,
+    passes through untouched). ``eval_text_col`` names the benchmark
+    side's text column when it differs (e.g. probing CLEANED train
+    text against a raw benchmark).
 
     Distributed shape: eval sets are small by nature (benchmarks are
     thousands of documents, not corpora), so the eval gram set is
@@ -217,15 +222,17 @@ def decontaminate_exact_ngram(
     if n < 1:
         raise ValueError("decontaminate needs n >= 1")
 
-    def _row_grams(df: pl.DataFrame) -> pl.DataFrame:
-        """(__r, text) -> (__r, g). Grams are ROW-scoped — the shift
+    ev_text = eval_text_col or text_col
+
+    def _row_grams(df: pl.DataFrame, col: str) -> pl.DataFrame:
+        """(__r, <col>) -> (__r, g). Grams are ROW-scoped — the shift
         window partitions on the row index, NOT the id column, so
         duplicate or NULL doc ids can never concatenate two rows' token
         streams into phantom boundary-spanning grams (review-found
         bleed; polars ``over`` groups all NULL keys together)."""
         t = (
             df.with_columns(
-                pl.col(text_col)
+                pl.col(col)
                 .fill_null("")
                 .str.extract_all(token_pattern)
                 .alias("tok")
@@ -244,8 +251,8 @@ def decontaminate_exact_ngram(
         )
 
     def eval_partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select([text_col])).with_row_index("__r")
-        out = _row_grams(df).select("g").unique()
+        df = pl.from_arrow(batch.select([ev_text])).with_row_index("__r")
+        out = _row_grams(df, ev_text).select("g").unique()
         return out.to_arrow().cast(pa.schema([("g", pa.string())]))
 
     from ..util import fold_broadcast_keys
@@ -263,25 +270,17 @@ def decontaminate_exact_ngram(
     ev_ref = ray.put(sorted(ev))
 
     def probe(batch: pa.Table) -> pa.Table:
-        # id column keeps the INPUT's type (string doc ids are legal for
-        # this generic operator — a hardcoded int64 cast would crash on
-        # them, the ADVICE r3 group-key-typing trap)
-        out_schema = pa.schema(
-            [
-                (id_col, batch.schema.field(id_col).type),
-                ("contaminated", pa.bool_()),
-                ("n_matched", pa.int64()),
-            ]
-        )
         grams_set = once_per_process(
             "decontam.exact_ngram", ev_ref,
             build=lambda ks: pl.Series("g", ks, dtype=pl.String),
         )
-        # one output row per INPUT row (ids pass through untouched, so
-        # duplicate ids get independent per-row verdicts)
-        docs = pl.from_arrow(batch.select([id_col, text_col])).with_row_index("__r")
+        # one output row per INPUT row, all input columns passed through
+        # untouched (schema incl. the id type stays the caller's — the
+        # ADVICE r3 hardcoded-typing trap); duplicate ids get
+        # independent per-row verdicts
+        docs = pl.from_arrow(batch.select([text_col])).with_row_index("__r")
         hits = (
-            _row_grams(docs)
+            _row_grams(docs, text_col)
             .filter(pl.col("g").is_in(grams_set))
             .unique(["__r", "g"])
             .group_by("__r")
@@ -291,8 +290,11 @@ def decontaminate_exact_ngram(
             docs.join(hits, on="__r", how="left", maintain_order="left")
             .with_columns(pl.col("n_matched").fill_null(0))
             .with_columns((pl.col("n_matched") > 0).alias("contaminated"))
-            .select(id_col, "contaminated", "n_matched")
         )
-        return out.to_arrow().cast(out_schema)
+        return batch.append_column(
+            "contaminated", out["contaminated"].to_arrow().cast(pa.bool_())
+        ).append_column(
+            "n_matched", out["n_matched"].to_arrow().cast(pa.int64())
+        )
 
     return train_ds.map_batches(probe, batch_format="pyarrow")

@@ -3654,7 +3654,9 @@ def q_decontaminate(sf_dir: str):
     ev = _read_sized(_t(sf_dir, "documents"), columns=cols).map_batches(
         side(True), batch_format="pyarrow"
     )
-    return decontaminate_exact_ngram(train, ev, "doc_id", "text", n=4)
+    return decontaminate_exact_ngram(train, ev, "doc_id", "text", n=4).select_columns(
+        ["doc_id", "contaminated", "n_matched"]
+    )
 
 
 SQL_DECONTAM_NGRAM = r"""
@@ -4222,6 +4224,125 @@ FROM h
 """
 
 
+def q_training_export(sf_dir: str):
+    """END-TO-END training-export prep — the modern corpus recipe
+    composed from three proven stages: (1) line-level boilerplate
+    removal per source (strip_repeated_lines, ' a ' line derivation),
+    dropping documents emptied by cleaning; (2) benchmark
+    decontamination of the CLEANED text against the raw held-out eval
+    slice (doc_id % 97 == 0, exact 4-grams), dropping contaminated
+    docs; (3) the deterministic (shard, pos) export layout over the
+    survivors (global_shuffle_positions), clean text joined back with
+    ONE bucket shuffle. Output: (doc_id, shard, pos, clean_text). The
+    filtered corpus is pinned once (_materialize_or_stage) because two
+    consumers read it (the id-only shuffle + the join's right side).
+    Oracle: every stage recomputed in one chained-CTE statement."""
+    from .ops.corpus import global_shuffle_positions
+    from .ops.decontam import decontaminate_exact_ngram
+    from .ops.join import bucket_hash_join
+    from .ops.text import strip_repeated_lines
+
+    def side(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b)
+            m = pl.col("doc_id") % 97 == 0
+            return df.filter(m if keep_eval else ~m).to_arrow()
+
+        return f
+
+    train = _read_sized(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    ).map_batches(side(False), batch_format="pyarrow")
+    ev = _read_sized(_t(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        side(True), batch_format="pyarrow"
+    )
+    cleaned = strip_repeated_lines(
+        train, text_col="text", group_col="source", id_col="doc_id",
+        line_sep=" a ", min_docs=2,
+    )
+    surv = cleaned.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["clean_text"], ""))),
+        batch_format="pyarrow",
+    )
+    flagged = decontaminate_exact_ngram(
+        surv, ev, "doc_id", "clean_text", n=4, eval_text_col="text"
+    )
+    kept = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["contaminated"])).select(
+            ["doc_id", "clean_text"]
+        ),
+        batch_format="pyarrow",
+    )
+    kept = _materialize_or_stage(
+        kept, os.path.getsize(_t(sf_dir, "documents")), "train_export"
+    )
+    pos = global_shuffle_positions(
+        kept.select_columns(["doc_id"]), "doc_id", num_shards=8
+    )
+    return bucket_hash_join(pos, kept, "doc_id", "doc_id")
+
+
+SQL_TRAINING_EXPORT = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(source, '') AS g,
+         string_split(coalesce(text, ''), ' a ') AS parts
+  FROM documents WHERE doc_id % 97 <> 0
+),
+lines AS (
+  SELECT doc_id, g, unnest(parts) AS line,
+         unnest(generate_series(1, len(parts))) AS ord
+  FROM d
+),
+boiler AS (
+  SELECT g, line FROM lines GROUP BY g, line
+  HAVING count(DISTINCT doc_id) >= 2
+),
+keptl AS (
+  SELECT l.doc_id, l.line, l.ord
+  FROM lines l ANTI JOIN boiler b ON l.g = b.g AND l.line = b.line
+),
+cleaned AS (
+  SELECT doc_id, string_agg(line, ' a ' ORDER BY ord) AS clean_text
+  FROM keptl GROUP BY doc_id
+),
+surv AS (SELECT doc_id, clean_text FROM cleaned WHERE clean_text <> ''),
+evw AS (
+  SELECT list_filter(string_split_regex(trim(coalesce(text, ''), ' '), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents WHERE doc_id % 97 = 0
+),
+evg AS (
+  SELECT DISTINCT array_to_string(words[i : i + 3], ' ') AS gm
+  FROM evw, unnest(generate_series(1, len(words) - 3)) AS s(i)
+),
+tw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(clean_text, ' '), '\s+'),
+                     x -> x <> '') AS words
+  FROM surv
+),
+tg AS (
+  SELECT doc_id, array_to_string(words[i : i + 3], ' ') AS gm
+  FROM tw, unnest(generate_series(1, len(words) - 3)) AS s(i)
+),
+cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN evg USING (gm)),
+keep AS (
+  SELECT s.doc_id, s.clean_text
+  FROM surv s ANTI JOIN cont c ON s.doc_id = c.doc_id
+),
+h AS (
+  SELECT doc_id, clean_text,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS shard,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || '|shuffle') AS h2
+  FROM keep
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos,
+       clean_text
+FROM h
+"""
+
+
 def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
     """Per-batch word-BIGRAM count combiner: the vocab combiner's shape
     one n-gram order up — tokenize once (shared TOKEN_RE twin), pair
@@ -4725,6 +4846,7 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "doc_splits": q_doc_splits,
     "shuffle_positions": q_shuffle_positions,
+    "training_export": q_training_export,
     "bigram_top20": q_bigram_top20,
     "value_outliers": q_value_outliers,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -4828,6 +4950,7 @@ ORACLES = {
     "embedding_dim_stats": SQL_DIM_STATS,
     "doc_splits": SQL_SPLITS,
     "shuffle_positions": SQL_SHUFFLE,
+    "training_export": SQL_TRAINING_EXPORT,
     "bigram_top20": SQL_BIGRAMS,
     "value_outliers": SQL_OUTLIERS,
     "top_unshipped_orders": SQL_Q3_TOPORDERS,

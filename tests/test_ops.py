@@ -3352,6 +3352,40 @@ def test_decontaminate_no_gram_bleed_across_rows(ray_session):
     assert {r["doc_id"]: r["contaminated"] for r in out} == {10: False, 11: False}
 
 
+def test_decontaminate_passthrough_and_eval_text_col(ray_session):
+    """Append mode: every input column (id, extras) passes through
+    untouched with its input type, and ``eval_text_col`` probes the
+    train text against a differently-named benchmark column."""
+    import pyarrow as pa
+    import ray
+
+    from jitsu_ray.ops.decontam import decontaminate_exact_ngram
+
+    ev = pa.table({"bench_id": ["b1"], "question": ["the quick brown fox"]})
+    train = pa.table(
+        {
+            "doc_id": ["t1", "t2"],
+            "text": ["the quick brown fox ran", "clean text entirely"],
+            "lang": ["en", "de"],
+            "score": pa.array([1.5, 2.5], pa.float32()),
+        }
+    )
+    out = decontaminate_exact_ngram(
+        ray.data.from_arrow(train),
+        ray.data.from_arrow(ev),
+        n=3,
+        eval_text_col="question",
+    )
+    tbl = pa.Table.from_pylist(out.take_all())
+    assert set(tbl.column_names) == {
+        "doc_id", "text", "lang", "score", "contaminated", "n_matched"
+    }
+    got = {r["doc_id"]: r for r in tbl.to_pylist()}
+    assert got["t1"]["contaminated"] and got["t1"]["n_matched"] == 2
+    assert not got["t2"]["contaminated"]
+    assert got["t1"]["lang"] == "en" and got["t2"]["score"] == 2.5
+
+
 def test_strip_repeated_lines_inplace_out_col(ray_session):
     """out_col may shadow the input text column (in-place cleaning):
     the cleaned text must come back, not the original (join-suffix
