@@ -184,6 +184,8 @@ def decontaminate_exact_ngram(
     token_pattern: str = TOKEN_RE,
     max_broadcast_bytes: int = 64 << 20,
     eval_text_col: str | None = None,
+    out_col: str = "contaminated",
+    count_col: str = "n_matched",
 ):
     """Benchmark decontamination (the GPT-3 appendix-C / PaLM eval-
     overlap rule): flag every training document sharing at least one
@@ -195,7 +197,10 @@ def decontaminate_exact_ngram(
     signature for caller stability; every input column, id included,
     passes through untouched). ``eval_text_col`` names the benchmark
     side's text column when it differs (e.g. probing CLEANED train
-    text against a raw benchmark).
+    text against a raw benchmark). Stacked passes (two benchmarks, two
+    gram orders) rename their verdicts via ``out_col``/``count_col``;
+    a name already present in the input raises instead of silently
+    duplicating the column (sibling ``strip_repeated_lines`` rule).
 
     Distributed shape: eval sets are small by nature (benchmarks are
     thousands of documents, not corpora), so the eval gram set is
@@ -221,6 +226,13 @@ def decontaminate_exact_ngram(
 
     if n < 1:
         raise ValueError("decontaminate needs n >= 1")
+    if out_col == count_col:
+        raise ValueError(f"out_col and count_col are both {out_col!r}")
+    if text_col in (out_col, count_col) or id_col in (out_col, count_col):
+        raise ValueError(
+            f"out_col/count_col ({out_col!r}/{count_col!r}) shadow an "
+            f"input column — rename the verdict columns"
+        )
 
     ev_text = eval_text_col or text_col
 
@@ -278,6 +290,12 @@ def decontaminate_exact_ngram(
         # untouched (schema incl. the id type stays the caller's — the
         # ADVICE r3 hardcoded-typing trap); duplicate ids get
         # independent per-row verdicts
+        clash = [c for c in (out_col, count_col) if c in batch.column_names]
+        if clash:
+            raise ValueError(
+                f"input already has column(s) {clash} — a stacked "
+                f"decontamination pass must rename via out_col/count_col"
+            )
         docs = pl.from_arrow(batch.select([text_col])).with_row_index("__r")
         hits = (
             _row_grams(docs, text_col)
@@ -292,9 +310,9 @@ def decontaminate_exact_ngram(
             .with_columns((pl.col("n_matched") > 0).alias("contaminated"))
         )
         return batch.append_column(
-            "contaminated", out["contaminated"].to_arrow().cast(pa.bool_())
+            out_col, out["contaminated"].to_arrow().cast(pa.bool_())
         ).append_column(
-            "n_matched", out["n_matched"].to_arrow().cast(pa.int64())
+            count_col, out["n_matched"].to_arrow().cast(pa.int64())
         )
 
     return train_ds.map_batches(probe, batch_format="pyarrow")

@@ -3629,6 +3629,21 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def _eval_split_side(keep_eval: bool):
+    """Deterministic held-out benchmark cut shared by the two
+    decontamination queries: doc_id % 97 == 0 is the eval slice,
+    everything else trains. One definition so the rule can only ever
+    change in lockstep with BOTH SQL oracles (which spell the same
+    predicate inline)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        m = pl.col("doc_id") % 97 == 0
+        return df.filter(m if keep_eval else ~m).to_arrow()
+
+    return f
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (ops/decontam.decontaminate_exact_ngram): the held-out
     eval slice is the deterministic doc_id % 97 == 0 cut; every train
@@ -3639,14 +3654,7 @@ def q_decontaminate(sf_dir: str):
     decontaminate_ngram scale mode exercised by decontaminate_docs."""
     from .ops.decontam import decontaminate_exact_ngram
 
-    def side(keep_eval: bool):
-        def f(b: pa.Table) -> pa.Table:
-            df = pl.from_arrow(b)
-            m = pl.col("doc_id") % 97 == 0
-            return df.filter(m if keep_eval else ~m).to_arrow()
-
-        return f
-
+    side = _eval_split_side
     cols = ["doc_id", "text"]
     train = _read_sized(_t(sf_dir, "documents"), columns=cols).map_batches(
         side(False), batch_format="pyarrow"
@@ -4242,14 +4250,7 @@ def q_training_export(sf_dir: str):
     from .ops.join import bucket_hash_join
     from .ops.text import strip_repeated_lines
 
-    def side(keep_eval: bool):
-        def f(b: pa.Table) -> pa.Table:
-            df = pl.from_arrow(b)
-            m = pl.col("doc_id") % 97 == 0
-            return df.filter(m if keep_eval else ~m).to_arrow()
-
-        return f
-
+    side = _eval_split_side
     train = _read_sized(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
     ).map_batches(side(False), batch_format="pyarrow")

@@ -3386,6 +3386,51 @@ def test_decontaminate_passthrough_and_eval_text_col(ray_session):
     assert got["t1"]["lang"] == "en" and got["t2"]["score"] == 2.5
 
 
+def test_decontaminate_stacked_passes_collision_guard(ray_session):
+    """Stacking two decontamination passes: default verdict names on a
+    batch that already carries them must raise (not silently duplicate
+    the column), and renaming via out_col/count_col composes cleanly.
+    Bad-name combos are rejected driver-side."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from jitsu_ray.ops.decontam import decontaminate_exact_ngram
+
+    ev1 = pa.table({"text": ["alpha beta gamma"]})
+    ev2 = pa.table({"text": ["delta epsilon zeta"]})
+    train = pa.table(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma tail", "delta epsilon zeta x"]}
+    )
+    first = decontaminate_exact_ngram(
+        ray.data.from_arrow(train), ray.data.from_arrow(ev1), n=3
+    )
+    # second pass, default names -> batch-time collision must surface
+    with pytest.raises(Exception, match="out_col/count_col"):
+        decontaminate_exact_ngram(
+            first, ray.data.from_arrow(ev2), n=3
+        ).take_all()
+    # renamed pass composes: both verdicts side by side
+    out = decontaminate_exact_ngram(
+        first, ray.data.from_arrow(ev2), n=3,
+        out_col="contaminated2", count_col="n_matched2",
+    )
+    got = {r["doc_id"]: r for r in out.take_all()}
+    assert got[1]["contaminated"] and not got[1]["contaminated2"]
+    assert not got[2]["contaminated"] and got[2]["contaminated2"]
+    # driver-side param validation
+    with pytest.raises(ValueError, match="both"):
+        decontaminate_exact_ngram(
+            ray.data.from_arrow(train), ray.data.from_arrow(ev1),
+            out_col="v", count_col="v",
+        )
+    with pytest.raises(ValueError, match="shadow"):
+        decontaminate_exact_ngram(
+            ray.data.from_arrow(train), ray.data.from_arrow(ev1),
+            count_col="text",
+        )
+
+
 def test_strip_repeated_lines_inplace_out_col(ray_session):
     """out_col may shadow the input text column (in-place cleaning):
     the cleaned text must come back, not the original (join-suffix
