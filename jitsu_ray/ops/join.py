@@ -155,14 +155,15 @@ def bucket_asof_join(
 def bucket_hash_join(
     left,
     right,
-    left_key: str,
-    right_key: str,
+    left_key: str | list[str],
+    right_key: str | list[str],
     num_buckets: int = 32,
     how: str = "inner",
     right_pre_join=None,
     salt: int = 1,
 ):
-    """Partitioned hash join of two Datasets.
+    """Partitioned hash join of two Datasets (single- or multi-column
+    keys — pass matching-length lists; bucketing hashes the tuple).
 
     Both sides get a ``__bucket`` column and are unioned with a side
     tag; one groupby co-locates each bucket's rows from both sides, and
@@ -196,11 +197,15 @@ def bucket_hash_join(
             "(right rows are replicated per salt bucket)"
         )
 
+    lk = [left_key] if isinstance(left_key, str) else list(left_key)
+    rk = [right_key] if isinstance(right_key, str) else list(right_key)
+    if len(lk) != len(rk):
+        raise ValueError(f"key arity mismatch: {lk} vs {rk}")
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_names = [f.name for f in l_schema]
     r_names = [f.name for f in r_schema]
-    overlap = (set(l_names) & set(r_names)) - {left_key}
+    overlap = (set(l_names) & set(r_names)) - set(lk)
     if overlap:
         raise ValueError(f"non-key column overlap in bucket join: {overlap}")
     # union schema both tagged sides are padded to (union() needs it uniform)
@@ -247,7 +252,7 @@ def bucket_hash_join(
         if right_pre_join is not None:
             rg = right_pre_join(rg)
         # arrow's hash join handles empty sides with the correct schema
-        return lg.join(rg, keys=left_key, right_keys=right_key, join_type=how)
+        return lg.join(rg, keys=lk, right_keys=rk, join_type=how)
 
     # union of tagged sides -> ONE shuffle on __bucket co-locates both
     both = lt.union(rt)

@@ -2522,6 +2522,45 @@ def q_matview_revenue(sf_dir: str):
     return view.read()
 
 
+def q_lake_replica(sf_dir: str):
+    """Lake -> lake incremental replication (pipelines/replicate): a
+    downstream replica on a DIFFERENT partition count is maintained from
+    the source's change data feed — one round after the first window
+    (bootstrap = diff from the empty watermark), one after the second
+    window + tombstone wave (folds only the new changes; deletes
+    propagate as anti-entropy tombstones). The replica's resolved state
+    must equal a direct LWW query over the source events, which is what
+    the oracle computes. The replica's ledger is the watermark, so
+    re-running a round is an idempotent window skip."""
+    from .pipelines.replicate import replicate
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    CUT, HI = 5000, 20_000_000
+    _sweep_stale_lakes("lake_rep_")
+    base = os.path.join(CACHE_DIR, f"lake_rep_{os.path.basename(sf_dir)}_{os.getpid()}")
+    src = LakeTable.create(os.path.join(base, "src"), ["user_id"], 8)
+    dst = LakeTable.create(os.path.join(base, "dst"), ["user_id"], 4)
+    src.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
+    replicate(src, dst)  # bootstrap round (diff from the empty state)
+    src.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
+    src.delete_where(_uid_mod7_is0)
+    replicate(src, dst)  # incremental round: only the (CUT, hi] changes
+    return dst.read(
+        columns=["user_id", "event_type", "value_c"]
+    ).select_columns(["user_id", "event_type", "value_c"])
+
+
+SQL_REPLICA = f"""
+WITH sb AS (
+  {_SQL_LWW_SB}
+)
+SELECT user_id, event_type, value_c FROM sb
+"""
+
+
 SQL_MATVIEW = f"""
 WITH sb AS (
   {_SQL_LWW_SB}
@@ -4812,6 +4851,7 @@ QUERIES = {
     "point_lookup_users": q_point_lookup_users,
     "cdc_diff": q_cdc_diff,
     "matview_revenue": q_matview_revenue,
+    "lake_replica": q_lake_replica,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -4913,6 +4953,7 @@ ORACLES = {
     "point_lookup_users": SQL_POINT_LOOKUP,
     "cdc_diff": SQL_CDC_DIFF,
     "matview_revenue": SQL_MATVIEW,
+    "lake_replica": SQL_REPLICA,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

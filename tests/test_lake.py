@@ -994,3 +994,119 @@ def test_scan_range_zone_pruned_and_resurrection_safe(ray_session, tmp_path):
     slim = lake.scan_range("score", 0.0, 100.0, columns=["payload"]).take_all()
     assert sorted(r["k"] for r in slim) == [1, 2]
     assert lake.scan_range("score", 5000.0, 6000.0).count() == 0
+
+
+# -- lake -> lake replication (pipelines/replicate) -------------------------
+
+
+def _state(lake):
+    """Visible replica-comparable state: key -> payload values (seqs
+    are rewritten by replication, so they are excluded on purpose)."""
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+        for r in lake.read().take_all()
+    }
+
+
+def test_replica_incremental_tracks_source(ray_session, tmp_path):
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    # replica on a DIFFERENT partition count — layouts are independent
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+
+    assert replicate(src, dst)["mode"] == "noop"  # both empty
+
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        2,
+    )
+    m1 = replicate(src, dst)
+    assert m1["mode"] == "incremental" and m1["rows"] == 2
+    assert _state(dst) == _state(src)
+
+    # update a, tombstone b, insert c — all three change kinds propagate
+    src.apply_window(
+        make_ds(
+            [
+                ev(3, "update", "r1", "a", "c2", "py", "v2"),
+                ev(4, "delete", "r1", "b"),
+                ev(5, "insert", "r2", "c", "c1", "go", "v1"),
+            ]
+        ),
+        2,
+        5,
+    )
+    m2 = replicate(src, dst)
+    assert m2["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+    assert ("r1", "b") not in _state(dst)
+
+    # idempotent: nothing new -> noop, state untouched
+    before = _state(dst)
+    assert replicate(src, dst)["mode"] == "noop"
+    assert _state(dst) == before
+
+
+def test_replica_resync_after_source_vacuum(ray_session, tmp_path):
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        2,
+    )
+    assert replicate(src, dst)["mode"] == "incremental"
+
+    src.apply_window(
+        make_ds(
+            [
+                ev(3, "update", "r1", "a", "c2", "py", "v2"),
+                ev(4, "delete", "r1", "b"),
+                ev(5, "insert", "r2", "c", "c1", "go", "v1"),
+            ]
+        ),
+        2,
+        5,
+    )
+    # vacuum the history behind the replica watermark: the incremental
+    # diff path is gone, replicate must fall back to a full re-sync
+    src.compact(min_files=1, tombstone_watermark=4)
+    m = replicate(src, dst)
+    assert m["mode"] == "resync"
+    assert _state(dst) == _state(src)
+    # the deleted key was found by the anti join and tombstoned
+    assert ("r1", "b") not in _state(dst)
+    assert _state(dst)[("r1", "a")] == ("c2", "py", "v2")
+    assert replicate(src, dst)["mode"] == "noop"
+
+
+def test_replica_rejects_nonreplication_writes(ray_session, tmp_path):
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1)
+    replicate(src, dst)
+    # a direct write squats seq territory ahead of the source
+    dst.apply_window(make_ds([ev(50, "insert", "rX", "z", "c1", "py", "v")]), 1, 50)
+    with pytest.raises(ValueError, match="AHEAD"):
+        replicate(src, dst)
+
+    # mismatched key columns are rejected up front
+    other = LakeTable.create(str(tmp_path / "other"), ["repo"], 2)
+    with pytest.raises(ValueError, match="key columns"):
+        replicate(src, other)
