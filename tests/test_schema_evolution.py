@@ -151,3 +151,56 @@ def test_shared_schema_actor_serializes_widening(ray_session, tmp_path):
     cols = set(rows[0].keys())
     assert {"stars", "rating"} <= cols  # both writers' columns merged
     assert len(rows) == 2
+
+
+def test_replication_propagates_additive_schema(ray_session, tmp_path):
+    """A column added on the SOURCE between replication rounds flows
+    through the CDC diff into the replica (additive patch there too),
+    with old replica rows null-padded — destination table patching
+    (server/adapters/table.go:52-87 semantics) across a lake boundary."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+
+    w1 = pa.table(
+        {
+            **base_cols([(1, "insert", "r", "a")]),
+            "content": pa.array(["ca"], pa.large_string()),
+        }
+    )
+    src.apply_window(ds_of(w1), 0, 1)
+    replicate(src, dst)
+    assert "stars" not in dst.schema.fields
+
+    w2 = pa.table(
+        {
+            **base_cols([(2, "insert", "r", "b"), (3, "update", "r", "a")]),
+            "content": pa.array(["cb", "ca2"], pa.large_string()),
+            "stars": pa.array([7, None], pa.int64()),
+        }
+    )
+    src.apply_window(ds_of(w2), 1, 3)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert dst.schema.fields["stars"] == T.INT64
+    rows = {(r["repo"], r["path"]): r for r in dst.read().take_all()}
+    assert rows[("r", "b")]["stars"] == 7
+    assert rows[("r", "a")]["stars"] is None  # updated row, null stars
+    assert rows[("r", "a")]["content"] == "ca2"
+
+    # the widening case survives the RESYNC path too: src widens stars
+    # to float and vacuums its history behind the replica watermark
+    w3 = pa.table(
+        {
+            **base_cols([(4, "insert", "r", "c")]),
+            "content": pa.array(["cc"], pa.large_string()),
+            "stars": pa.array([2.5], pa.float64()),
+        }
+    )
+    src.apply_window(ds_of(w3), 3, 4)
+    src.compact(min_files=1, tombstone_watermark=4)
+    m = replicate(src, dst)
+    assert m["mode"] == "resync"
+    assert dst.schema.fields["stars"] == T.FLOAT64
+    got = {(r["repo"], r["path"]): r["stars"] for r in dst.read().take_all()}
+    assert got == {("r", "a"): None, ("r", "b"): 7.0, ("r", "c"): 2.5}
