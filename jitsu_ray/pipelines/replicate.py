@@ -17,26 +17,58 @@ Design:
   (an already-committed window is skipped, M8), concurrent replicators
   are serialized by the ledger's optimistic seq claim, and a crash
   between diff and commit just re-derives the same delta. No second
-  watermark file to keep consistent. Corollary: a replica lake must not
-  receive direct writes (they would squat seq territory the source has
-  not reached — detected and rejected below when the replica is AHEAD
-  of the source).
+  watermark file to keep consistent.
+- **Every replication window is TAGGED** (``metrics.replication``) with
+  the src/dst ledger POSITIONS (row counts, monotone even across
+  recovery re-applies) observed when the round scanned. The next round
+  walks each ledger newest-first only down to the previous tag's
+  recorded position — O(rows since last round), not O(all rows) — and
+  uses the two positions to detect the conditions a bare hi-watermark
+  cannot see:
+
+  * **Late source windows** (``Replayer.replay_spooled`` force-commits
+    a spooled window at its ORIGINAL lower bounds after the stream —
+    and possibly the replica — advanced past them). Such a window sits
+    inside ``(0, frm]`` so every future ``diff_as_of(frm, to)`` sees it
+    in BOTH states and emits nothing; without detection the replica
+    silently diverges forever. A src window row newer than the
+    recorded src position with ``hi <= frm`` triggers a full RE-SYNC.
+  * **A swapped source.** The tag records the source lake's identity
+    (absolute path); a round that finds a different source re-syncs
+    instead of trusting positions recorded against another ledger.
+  * **Foreign writes to the replica.** Any dst window row without the
+    replication tag — regardless of where its ``hi`` lands — raises
+    ``ValueError``: a direct write at-or-below the source's hi would
+    otherwise silently advance the watermark past unreplicated source
+    windows (and a stray row would never be tombstoned). Pass
+    ``resync=True`` to HEAL: the re-sync rewrites the replica from
+    source state and later rounds stop scanning at the heal tag.
+    A replica whose watermark is AHEAD of the source is NOT healable
+    (its stray rows carry seqs the LWW repair cannot beat) — recreate.
+
 - **Incremental cost is O(changes) + O(touched partitions).** The diff
   is per-source-partition with no shuffle; the apply exchange moves
   only changed rows. Delta rows all carry ``commit_seq = to``: the diff
   is a consistent state delta (one row per changed key), and ``to``
   strictly exceeds every seq a previous round wrote, so LWW converges.
-- **Vacuumed history falls back to a full RE-SYNC**, not a wedge: if a
-  source ``compact()`` removed the files behind the watermark, the
-  round re-inserts the source's entire resolved state at ``seq = to``
-  (NOT at each row's original seq — an original seq can be OLDER than
-  a previous round's rewritten delta seq for the same key and lose the
-  LWW race; that is only benign when the values happen to be equal,
-  an invariant a uniform ``seq = to`` never has to rely on) and
-  tombstones every replica key
-  the source no longer has, found with one bucketed multi-key ANTI
-  join (``ops/join.bucket_hash_join`` how='left anti') — never a
-  driver-side key set.
+- **RE-SYNC** (vacuumed diff history / late window / forced heal)
+  re-inserts the source's entire resolved state at ``seq = to`` (NOT at
+  each row's original seq — an original seq can be OLDER than a
+  previous round's rewritten delta seq for the same key and lose the
+  LWW race) and tombstones every replica key the source no longer has,
+  found with one bucketed multi-key ANTI join (NULL-SAFE: the join
+  runs over ``(value-as-string, is-null)`` helper key pairs, because
+  Arrow join semantics never match null keys and a null-keyed row
+  present in both lakes would otherwise be emitted as tombstone AND
+  insert at the same seq). The window commits with ``force=True`` and
+  its rows win any equal-seq tie against rows an earlier round wrote
+  at the same ``to`` (``resolve_keep_tombstones`` last-arrival tie
+  rule), so the repair is authoritative even when ``frm == to``.
+- **A vacuum RACING the apply** (``diff_as_of`` passes its eager
+  existence check, then a source ``compact()`` deletes the files while
+  the lazy window streams) degrades to the same re-sync instead of
+  crashing: ``apply_window`` commits no ledger row on failure and
+  discards its merger pool, so the retry is clean.
 """
 
 from __future__ import annotations
@@ -56,34 +88,143 @@ def _visible_cols(lake) -> list[str]:
     ]
 
 
-def replicate(src, dst) -> dict:
+def _is_file_not_found(e: BaseException) -> bool:
+    """True when a FileNotFoundError is anywhere in the exception chain.
+    Ray Data flattens a task-side FileNotFoundError into
+    RayTaskError(UserCodeException) whose object graph no longer
+    CONTAINS the original (measured on ray 2.49: only the formatted
+    remote traceback text survives), so for Ray-origin wrappers the
+    check falls back to that text — a false positive merely degrades an
+    incremental round to a (correct, slower) re-sync."""
+    import ray.exceptions
+
+    seen: set[int] = set()
+    stack: list[BaseException | None] = [e]
+    while stack:
+        x = stack.pop()
+        if x is None or id(x) in seen:
+            continue
+        seen.add(id(x))
+        if isinstance(x, FileNotFoundError):
+            return True
+        if isinstance(x, ray.exceptions.RayError) and "FileNotFoundError" in str(x):
+            return True
+        stack.extend((x.__cause__, x.__context__, getattr(x, "cause", None)))
+    return False
+
+
+def _scan_dst(dst) -> tuple[dict | None, list[int]]:
+    """Walk the replica's ledger newest-first: return (newest replication
+    tag, foreign window seqs above the previous round's vetted
+    position). Stops at the previous tag's recorded dst position, so
+    steady-state cost is O(1 row)."""
+    prev: dict | None = None
+    floor = -1
+    foreign: list[int] = []
+    for e in dst.ledger.iter_entries_desc():
+        if prev is not None and e["_seq"] <= floor:
+            break
+        if e["kind"] != "window":
+            continue
+        rep = (e.get("metrics") or {}).get("replication")
+        if rep is None:
+            foreign.append(e["_seq"])
+        elif prev is None:
+            prev = rep
+            floor = int(rep.get("dst_lseq", 0))
+    return prev, foreign
+
+
+def _src_has_late_window(src, src_floor: int, frm: int) -> bool:
+    """A source window committed AFTER the previous round's scan whose
+    hi lands at-or-below the replica watermark — invisible to every
+    future incremental diff (both as-of states already contain it)."""
+    for e in src.ledger.iter_entries_desc():
+        if e["_seq"] <= src_floor:
+            break
+        if e["kind"] == "window" and int(e["hi"]) <= frm:
+            return True
+    return False
+
+
+def replicate(src, dst, resync: bool = False) -> dict:
     """One replication round: fold src changes since the replica
-    watermark into dst. Returns ``{"mode": noop|incremental|resync,
-    "from_seq", "to_seq", "rows"}``."""
+    watermark into dst. ``resync=True`` forces a full re-sync (the
+    manual HEAL path for a replica flagged with foreign writes).
+    Returns ``{"mode": noop|incremental|resync, "from_seq", "to_seq",
+    "rows"}``."""
     if list(src.key_cols) != list(dst.key_cols):
         raise ValueError(
             f"replica key columns {dst.key_cols} do not match the "
             f"source's {src.key_cols}"
         )
+    # ledger positions FIRST: anything committed after this scan is
+    # (conservatively) re-examined by the next round
+    src_lseq = src.ledger.max_seq()
+    dst_lseq = dst.ledger.max_seq()
     frm = dst.ledger.last_committed_hi()
     to = src.ledger.last_committed_hi()
-    if frm == to:
-        return {"mode": "noop", "from_seq": frm, "to_seq": to, "rows": 0}
     if frm > to:
         raise ValueError(
             f"replica watermark {frm} is AHEAD of the source's committed "
             f"hi {to} — this lake has received non-replication writes "
-            f"(or the source lake was swapped); a replica must be fed "
-            f"only by replicate()"
+            f"(or the source lake was swapped); the stray rows carry "
+            f"seqs an LWW repair cannot beat, so even resync=True "
+            f"cannot heal this: recreate the replica"
         )
-    try:
-        delta = _incremental_delta(src, dst, frm, to)
-        mode = "incremental"
-    except FileNotFoundError:
-        # source history behind the watermark was vacuumed by compact()
+    prev, foreign = _scan_dst(dst)
+    if foreign and not resync:
+        raise ValueError(
+            f"replica received {len(foreign)} direct (non-replication) "
+            f"window write(s) at ledger row(s) {sorted(foreign)[:5]} — "
+            f"their rows were never vetted against the source and the "
+            f"watermark may have skipped unreplicated source windows; "
+            f"pass resync=True to heal the replica from source state"
+        )
+    import os as _os
+
+    src_id = _os.path.abspath(src.dir)
+    need_resync = bool(resync or foreign)
+    if not need_resync and prev is not None:
+        if prev.get("src") not in (None, src_id):
+            # the source lake was SWAPPED (replica now follows a
+            # different lake whose hi happens to be >= frm): recorded
+            # ledger positions are meaningless — re-sync from scratch
+            need_resync = True
+        else:
+            need_resync = _src_has_late_window(
+                src, int(prev.get("src_lseq", 0)), frm
+            )
+    if frm == to and not need_resync:
+        return {"mode": "noop", "from_seq": frm, "to_seq": to, "rows": 0}
+
+    tag = {
+        "replication": {
+            "src": src_id,
+            "src_lseq": src_lseq,
+            "dst_lseq": dst_lseq,
+            "mode": "resync" if need_resync else "incremental",
+        }
+    }
+    entry = None
+    mode = "resync" if need_resync else "incremental"
+    if mode == "incremental":
+        try:
+            delta = _incremental_delta(src, dst, frm, to)
+            entry = dst.apply_window(delta, frm, to, extra_metrics=tag)
+        except Exception as e:
+            # vacuumed diff history — eagerly (diff_as_of's existence
+            # check) or lazily (a compact racing the streamed apply):
+            # either way no ledger row landed, fall back to re-sync
+            if not _is_file_not_found(e):
+                raise
+            mode = "resync"
+            tag["replication"]["mode"] = "resync"
+    if entry is None:
         delta = _resync_delta(src, dst, to)
-        mode = "resync"
-    entry = dst.apply_window(delta, frm, to)
+        # force: a late-window repair legally re-commits at (frm == to];
+        # its rows beat equal-seq rows via the last-arrival tie rule
+        entry = dst.apply_window(delta, frm, to, extra_metrics=tag, force=True)
     rows = int(entry.get("metrics", {}).get("rows_written", 0))
     return {"mode": mode, "from_seq": frm, "to_seq": to, "rows": rows}
 
@@ -112,6 +253,30 @@ def _incremental_delta(src, dst, frm: int, to: int):
     return diff.map_batches(to_events, batch_format="pyarrow")
 
 
+def _null_safe_keys(key_cols: list[str], keep_original: bool):
+    """Batch fn projecting per-key NULL-SAFE join columns: the value
+    cast to string with nulls filled (``__nsk{i}``) plus an is-null
+    flag as 't'/'f' (``__nsn{i}``) — (value, flag) pairs are distinct
+    for null vs real empty string, so a join on them implements
+    IS NOT DISTINCT FROM key equality exactly."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols: dict[str, object] = (
+            {n: batch[n] for n in batch.column_names} if keep_original else {}
+        )
+        for i, k in enumerate(key_cols):
+            v = batch[k]
+            isnull = pc.is_null(v)
+            cols[f"__nsk{i}"] = pc.fill_null(pc.cast(v, pa.large_string()), "")
+            cols[f"__nsn{i}"] = pc.if_else(
+                isnull, pa.scalar("t", pa.string()), pa.scalar("f", pa.string())
+            )
+        return pa.table(cols)
+
+    return fn
+
+
 def _resync_delta(src, dst, to: int):
     """Full re-sync: the source's resolved state as inserts at ``to``
     plus anti-join tombstones for replica keys the source dropped."""
@@ -138,11 +303,18 @@ def _resync_delta(src, dst, to: int):
     inserts = src.read(columns=cols, as_of=to).map_batches(
         to_inserts, batch_format="pyarrow"
     )
+    helper_keys = [
+        n for i in range(len(key_cols)) for n in (f"__nsk{i}", f"__nsn{i}")
+    ]
     gone = bucket_hash_join(
-        dst.read(columns=key_cols),
-        src.read(columns=key_cols, as_of=to),
-        key_cols,
-        key_cols,
+        dst.read(columns=key_cols).map_batches(
+            _null_safe_keys(key_cols, keep_original=True), batch_format="pyarrow"
+        ),
+        src.read(columns=key_cols, as_of=to).map_batches(
+            _null_safe_keys(key_cols, keep_original=False), batch_format="pyarrow"
+        ),
+        helper_keys,
+        helper_keys,
         how="left anti",
     )
 

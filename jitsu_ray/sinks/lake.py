@@ -608,28 +608,44 @@ class LakeTable:
             mode = "shared" if len(alive) <= 1 else "split"
         acks: list = []
         max_in_flight = 8 * pool
-        for bundle in prepped.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                if mode == "split":
-                    slices = _split_block.options(num_returns=pool).remote(
-                        block_ref, pool
-                    )
-                    if pool == 1:
-                        slices = [slices]
-                    acks.extend(
-                        handles[g].ingest_block.remote(slices[g]) for g in range(pool)
-                    )
-                else:
-                    acks.extend(h.ingest_block.remote(block_ref) for h in handles)
-                if len(acks) >= max_in_flight:
-                    _, pending = ray.wait(acks, num_returns=len(acks) - max_in_flight // 2)
-                    acks = list(pending)
-        ray.get(acks)  # every slice acknowledged by its owning merger
-        stats_rows = [
-            r
-            for rows in ray.get([h.finish.remote(window_tag) for h in handles])
-            for r in rows
-        ]
+        try:
+            for bundle in prepped.iter_internal_ref_bundles():
+                for block_ref in bundle.block_refs:
+                    if mode == "split":
+                        slices = _split_block.options(num_returns=pool).remote(
+                            block_ref, pool
+                        )
+                        if pool == 1:
+                            slices = [slices]
+                        acks.extend(
+                            handles[g].ingest_block.remote(slices[g]) for g in range(pool)
+                        )
+                    else:
+                        acks.extend(h.ingest_block.remote(block_ref) for h in handles)
+                    if len(acks) >= max_in_flight:
+                        _, pending = ray.wait(acks, num_returns=len(acks) - max_in_flight // 2)
+                        acks = list(pending)
+            ray.get(acks)  # every slice acknowledged by its owning merger
+            stats_rows = [
+                r
+                for rows in ray.get([h.finish.remote(window_tag) for h in handles])
+                for r in rows
+            ]
+        except BaseException:
+            # A failed window (e.g. FileNotFoundError from a vacuumed
+            # upstream read surfacing inside the streamed exchange) may
+            # leave PARTIAL rows buffered in the merger actors; reusing
+            # that pool would leak them into the next window's delta
+            # files. Discard the pool — the next apply_window builds a
+            # fresh one. No ledger row was committed, so lake state is
+            # untouched and the caller may simply retry.
+            for h in handles:
+                try:
+                    ray.kill(h)
+                except Exception:
+                    pass
+            self._mergers = None
+            raise
 
         entry = {
             "kind": "window",
@@ -1244,6 +1260,15 @@ def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     collisions: any sort run whose adjacent rows hash equal but compare
     key-unequal (a real 64-bit collision, ~2^-64 per pair) is re-resolved
     exactly via polars on just those rows.
+
+    EQUAL-seq tie rule: the LAST row in table order wins. Within a lake
+    read the concatenation order is the ledger-replay file order, so a
+    later-COMMITTED window beats an earlier one at the same commit_seq —
+    this is what makes a replication re-sync (pipelines/replicate, which
+    stamps its repair rows at the watermark seq) deterministically
+    authoritative over rows an earlier window wrote at that same seq.
+    Normal CDC feeds never emit two seqs for one key, so the rule only
+    ever decides repair/heal windows and malformed duplicate feeds.
     """
     if tbl.num_rows == 0:
         return tbl
@@ -1253,7 +1278,10 @@ def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
 
     h = hash64_column(tbl, key_cols).to_numpy(zero_copy_only=False)
     seq = tbl[SEQ_COL].to_numpy(zero_copy_only=False)
-    order = np.lexsort((-seq, h))  # by hash asc, then seq desc
+    idx = np.arange(len(h))
+    # by hash asc, then seq desc, then position desc (last arrival wins
+    # equal-seq ties — see the tie rule in the docstring)
+    order = np.lexsort((-idx, -seq, h))
     hs = h[order]
     run_start = np.ones(len(hs), dtype=bool)
     run_start[1:] = hs[1:] != hs[:-1]
@@ -1288,10 +1316,14 @@ def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     clean_winners = order[run_start & ~dirty_mask_sorted]
     dirty_rows = order[dirty_mask_sorted]
     sub = tbl.take(pa.array(dirty_rows))
-    df = pl.from_arrow(sub)
+    df = pl.from_arrow(sub).with_columns(pl.Series("__pos", dirty_rows))
     fixed = (
-        df.sort(SEQ_COL, descending=True)
+        # seq desc then original position desc: polars sort is not
+        # guaranteed stable, and the tie rule (docstring) needs the
+        # LAST-arriving row to win equal-seq ties here too
+        df.sort([SEQ_COL, "__pos"], descending=[True, True])
         .unique(subset=key_cols, keep="first", maintain_order=True)
+        .drop("__pos")
         .to_arrow()
         .cast(tbl.schema)
     )

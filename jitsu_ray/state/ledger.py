@@ -43,6 +43,26 @@ class Ledger:
         names = [n for n in os.listdir(self.dir) if n.endswith(".json")]
         return 1 + max((self._seq_of(n) for n in names), default=0)
 
+    def max_seq(self) -> int:
+        """Highest committed ledger row number (0 when empty) — a pure
+        filename scan, no JSON reads. This is the 'ledger position'
+        fingerprint replication rounds record: unlike a window's ``hi``
+        it is monotone even across recovery re-applies, which legally
+        commit LOWER-hi windows after higher ones."""
+        return self.next_seq() - 1
+
+    def iter_entries_desc(self):
+        """Lazily yield entries NEWEST-first. Callers that stop early
+        (e.g. 'walk back to the last replication-tagged window') pay
+        O(rows inspected), not O(all rows) — the ledger can hold
+        thousands of rows on a long-running streaming lake."""
+        names = sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
+        for n in reversed(names):
+            with open(os.path.join(self.dir, n)) as f:
+                e = json.load(f)
+            e["_seq"] = self._seq_of(n)
+            yield e
+
     def append(self, entry: dict) -> int:
         """Commit one ledger row under OPTIMISTIC multi-writer locking:
         the entry is written fully to a tmp file, then the sequence

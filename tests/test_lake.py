@@ -1110,3 +1110,231 @@ def test_replica_rejects_nonreplication_writes(ray_session, tmp_path):
     other = LakeTable.create(str(tmp_path / "other"), ["repo"], 2)
     with pytest.raises(ValueError, match="key columns"):
         replicate(src, other)
+
+
+def test_lww_equal_seq_tie_last_arrival_wins(ray_session, tmp_path):
+    """The equal-seq tie rule: within one table the LAST row wins;
+    across lake files the LATER-committed window wins — what makes a
+    replication re-sync authoritative at the watermark seq."""
+    from jitsu_ray.sinks.lake import resolve_keep_tombstones
+
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array([5, 5, 5], pa.int64()),
+            "op": pa.array(["insert"] * 3, pa.string()),
+            "repo": pa.array(["r1", "r1", "r2"], pa.string()),
+            "path": pa.array(["a", "a", "b"], pa.string()),
+            "commit": pa.array(["first", "second", "only"], pa.string()),
+            "lang": pa.array(["py"] * 3, pa.string()),
+            "content": pa.array(["v1", "v2", "x"], pa.large_string()),
+        }
+    )
+    win = resolve_keep_tombstones(tbl, ["repo", "path"])
+    got = {(r["repo"], r["path"]): r["commit"] for r in win.to_pylist()}
+    assert got == {("r1", "a"): "second", ("r2", "b"): "only"}
+
+    # lake-level: a later force-committed window at the SAME seq wins
+    lake = LakeTable.create(str(tmp_path / "tie"), ["repo", "path"], 2)
+    lake.apply_window(make_ds([ev(5, "insert", "r1", "a", "c1", "py", "old")]), 0, 5)
+    lake.apply_window(
+        make_ds([ev(5, "insert", "r1", "a", "c2", "py", "new")]), 3, 5, force=True
+    )
+    assert read_rows(lake)[("r1", "a")]["content"] == "new"
+
+
+def test_replica_resyncs_after_late_spooled_window(ray_session, tmp_path):
+    """A source window force-committed at its ORIGINAL lower bounds
+    (the replay_spooled recovery path) AFTER the replica advanced past
+    them is invisible to every incremental diff — replicate must detect
+    it via the recorded ledger position and fall back to a re-sync."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    # stream advanced to hi=20 with a hole: window (10, 12] spooled
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 10)
+    src.apply_window(make_ds([ev(20, "insert", "r1", "b", "c1", "py", "v1")]), 12, 20)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+
+    # spool recovery: the held-back window force-applies at (10, 12]
+    src.apply_window(
+        make_ds([ev(12, "insert", "r9", "late", "c1", "go", "vL")]),
+        10,
+        12,
+        force=True,
+    )
+    assert src.ledger.last_committed_hi() == 20  # watermark unmoved
+    m = replicate(src, dst)
+    assert m["mode"] == "resync"
+    assert ("r9", "late") in _state(dst)
+    assert _state(dst) == _state(src)
+    # back to steady state afterwards
+    assert replicate(src, dst)["mode"] == "noop"
+    src.apply_window(make_ds([ev(21, "insert", "r1", "c", "c1", "py", "v")]), 20, 21)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+
+
+def test_replica_foreign_write_detected_and_healed(ray_session, tmp_path):
+    """A direct write to the replica whose hi lands AT-OR-BELOW the
+    source's hi (so the old AHEAD check cannot see it) is detected via
+    the missing replication tag; resync=True heals from source state."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 2)
+    src.apply_window(make_ds([ev(4, "insert", "r1", "b", "c1", "py", "v1")]), 2, 5)
+    assert replicate(src, dst)["mode"] == "incremental"
+
+    # foreign write: squats (2, 4] inside the source's committed range
+    # and plants a stray row — silently skippable without the tag check
+    dst.apply_window(
+        make_ds([ev(4, "insert", "rX", "stray", "c1", "py", "v")]), 2, 4, force=True
+    )
+    src.apply_window(make_ds([ev(6, "update", "r1", "a", "c2", "py", "v2")]), 5, 6)
+    with pytest.raises(ValueError, match="resync=True"):
+        replicate(src, dst)
+    m = replicate(src, dst, resync=True)
+    assert m["mode"] == "resync"
+    assert ("rX", "stray") not in _state(dst)  # stray row tombstoned
+    assert _state(dst) == _state(src)
+    assert _state(dst)[("r1", "a")] == ("c2", "py", "v2")
+    # the heal tag resets the scan floor: rounds resume incrementally
+    src.apply_window(make_ds([ev(7, "insert", "r2", "c", "c1", "go", "v")]), 6, 7)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+
+
+def test_replica_resync_null_safe_anti_join(ray_session, tmp_path):
+    """A null-keyed row present in BOTH lakes must survive a re-sync
+    unchanged: Arrow join semantics never match null keys, so without
+    the null-safe helper keys the anti join would tombstone it at the
+    same seq as its re-insert (a nondeterministic LWW tie)."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", None, "orphan", "c1", "py", "vN"),
+                ev(2, "insert", "r1", "a", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        2,
+    )
+    assert replicate(src, dst)["mode"] == "incremental"
+    # force re-syncs repeatedly: the null-keyed row must never flicker
+    for _ in range(3):
+        m = replicate(src, dst, resync=True)
+        assert m["mode"] == "resync"
+        assert _state(dst) == _state(src)
+        assert (None, "orphan") in _state(dst)
+    # a null-keyed row the source DROPPED is still tombstoned by resync
+    src.apply_window(make_ds([ev(3, "delete", None, "orphan")]), 2, 3)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert (None, "orphan") not in _state(dst)
+    assert replicate(src, dst, resync=True)["mode"] == "resync"
+    assert _state(dst) == _state(src)
+
+
+def test_replica_lazy_vacuum_race_degrades_to_resync(ray_session, tmp_path, monkeypatch):
+    """diff_as_of passes its EAGER existence check, then the source
+    files vanish while the lazy window streams (a compact racing the
+    apply): apply_window must discard its partially-fed merger pool
+    (no leaked rows) and replicate must degrade to a re-sync."""
+    import ray.data
+
+    from jitsu_ray.pipelines import replicate as rep_mod
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1)
+    assert replicate(src, dst)["mode"] == "incremental"
+    src.apply_window(make_ds([ev(2, "insert", "r1", "b", "c1", "py", "v2")]), 1, 2)
+
+    real = rep_mod._incremental_delta
+
+    def poisoned(src_, dst_, frm, to):
+        ds = real(src_, dst_, frm, to)
+
+        def leak_then_raise(batch):
+            # first feed the exchange a row that must NOT survive the
+            # failed window, then fail like a mid-stream vacuumed read
+            if batch.num_rows and batch["path"][0].as_py() == "LEAK":
+                raise FileNotFoundError("simulated vacuumed file")
+            return batch
+
+        leak = make_ds([ev(2, "insert", "rL", "LEAK-marker", "c", "py", "x")])
+        poison = make_ds([ev(2, "insert", "rL", "LEAK", "c", "py", "x")])
+        return ds.union(leak, poison).map_batches(
+            leak_then_raise, batch_format="pyarrow"
+        )
+
+    monkeypatch.setattr(rep_mod, "_incremental_delta", poisoned)
+    m = replicate(src, dst)
+    monkeypatch.undo()
+    assert m["mode"] == "resync"
+    state = _state(dst)
+    assert state == _state(src)
+    assert ("rL", "LEAK-marker") not in state  # failed window fully discarded
+    assert replicate(src, dst)["mode"] == "noop"
+
+
+def test_replica_resyncs_on_swapped_source(ray_session, tmp_path):
+    """Pointing an existing replica at a DIFFERENT source lake (whose
+    hi happens to be >= the watermark, so the AHEAD check passes) must
+    re-sync: ledger positions recorded against the old source's ledger
+    are meaningless for the new one."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src1 = LakeTable.create(str(tmp_path / "src1"), ["repo", "path"], 2)
+    src2 = LakeTable.create(str(tmp_path / "src2"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src1.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 2)
+    src2.apply_window(make_ds([ev(2, "insert", "r2", "b", "c1", "go", "vX")]), 0, 3)
+    assert replicate(src1, dst)["mode"] == "incremental"
+    m = replicate(src2, dst)
+    assert m["mode"] == "resync"
+    assert _state(dst) == _state(src2)
+    assert ("r1", "a") not in _state(dst)
+    assert replicate(src2, dst)["mode"] == "noop"  # identity re-pinned
+
+
+def test_replica_chain_cascades(ray_session, tmp_path):
+    """Cascading replicas (src -> mid -> leaf): a mid replica is a
+    legal SOURCE for a further replica, and a late spool-recovered
+    window on the root cascades as resync -> incremental down the
+    chain."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    mid = LakeTable.create(str(tmp_path / "mid"), ["repo", "path"], 2)
+    leaf = LakeTable.create(str(tmp_path / "leaf"), ["repo", "path"], 3)
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 10)
+    src.apply_window(make_ds([ev(20, "insert", "r1", "b", "c1", "py", "v1")]), 12, 20)
+    assert replicate(src, mid)["mode"] == "incremental"
+    assert replicate(mid, leaf)["mode"] == "incremental"
+    assert _state(leaf) == _state(src)
+
+    # root recovery: late force-commit below the watermark
+    src.apply_window(
+        make_ds([ev(12, "insert", "r9", "late", "c1", "go", "vL")]), 10, 12, force=True
+    )
+    assert replicate(src, mid)["mode"] == "resync"
+    # mid's repair commits at (frm == to], advancing NOTHING — but it
+    # is a NEW mid ledger row, so the leaf round sees a late window
+    # and repairs itself the same way
+    m = replicate(mid, leaf)
+    assert m["mode"] == "resync"
+    assert _state(leaf) == _state(mid) == _state(src)
+    assert ("r9", "late") in _state(leaf)
+    # steady state resumes down the chain
+    src.apply_window(make_ds([ev(21, "insert", "r2", "c", "c1", "py", "v")]), 20, 21)
+    assert replicate(src, mid)["mode"] == "incremental"
+    assert replicate(mid, leaf)["mode"] == "incremental"
+    assert _state(leaf) == _state(src)
