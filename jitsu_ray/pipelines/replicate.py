@@ -174,16 +174,42 @@ def replicate(src, dst, resync: bool = False) -> dict:
         )
     prev, foreign = _scan_dst(dst)
     if foreign and not resync:
+        legacy = (
+            " (a replica maintained by a pre-position-tagging version "
+            "shows ALL its windows here — one resync=True round adopts "
+            "tagging and resumes incrementally)"
+            if prev is None
+            else ""
+        )
         raise ValueError(
             f"replica received {len(foreign)} direct (non-replication) "
             f"window write(s) at ledger row(s) {sorted(foreign)[:5]} — "
             f"their rows were never vetted against the source and the "
             f"watermark may have skipped unreplicated source windows; "
-            f"pass resync=True to heal the replica from source state"
+            f"pass resync=True to heal the replica from source "
+            f"state{legacy}"
         )
     import os as _os
 
-    src_id = _os.path.abspath(src.dir)
+    # realpath, not abspath: two path aliases for one lake (symlink,
+    # bind mount) must not trip the swapped-source check — alternating
+    # daemons would otherwise force a full O(table) re-sync every round
+    src_id = _os.path.realpath(src.dir)
+    if foreign:
+        # Replication's own writes stamp every row at the watermark seq,
+        # but a foreign window may carry ROW seqs above its own hi (the
+        # lake's out-of-order delivery contract) — above the source's
+        # committed hi such rows win every LWW race against a repair
+        # stamped at ``to``, so the heal would silently fail. Footer
+        # stats prove it out before any work.
+        stray_max = dst.max_row_seq()
+        if stray_max > to:
+            raise ValueError(
+                f"replica's foreign write(s) planted rows at "
+                f"commit_seq={stray_max} above the source's committed hi "
+                f"{to}; an LWW repair stamped at {to} cannot beat them, "
+                f"so resync=True cannot heal this replica: recreate it"
+            )
     need_resync = bool(resync or foreign)
     if not need_resync and prev is not None:
         if prev.get("src") not in (None, src_id):

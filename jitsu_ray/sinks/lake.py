@@ -695,6 +695,27 @@ class LakeTable:
             if fs
         }
 
+    def max_row_seq(self) -> int:
+        """Max ROW-level commit_seq across live files (tombstones
+        included) from parquet FOOTER stats — no data scan. Distinct
+        from the ledger watermark: window bounds are feed offsets, so a
+        window may legally carry rows above its own ``hi``.
+        Replication's heal path uses this to prove a foreign write did
+        not plant seqs its watermark-stamped repair could never beat.
+        Cost is one footer read per live file, driver-side — live-file
+        count is bounded by compaction, and a heal is a rare manual
+        event; not for hot paths."""
+        hi = 0
+        for files in self.live_files().values():
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(SEQ_COL)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.max is not None:
+                        hi = max(hi, st.max)
+        return hi
+
     def read(
         self, columns: list[str] | None = None, as_of: int | None = None
     ) -> "ray.data.Dataset":
@@ -1075,7 +1096,18 @@ class LakeTable:
 
                 da = state(row["files_a"]).with_columns(pl.lit(True).alias("__a"))
                 db = state(row["files_b"]).with_columns(pl.lit(True).alias("__b"))
-                j = da.join(db, on=key_cols, how="full", suffix="__b", coalesce=True)
+                # nulls_equal: a null-keyed row present unchanged in both
+                # states must JOIN (and emit nothing), not split into a
+                # same-seq delete+insert pair whose LWW tie a downstream
+                # replication apply resolves nondeterministically
+                j = da.join(
+                    db,
+                    on=key_cols,
+                    how="full",
+                    suffix="__b",
+                    coalesce=True,
+                    nulls_equal=True,
+                )
                 in_a = pl.col("__a").fill_null(False)
                 in_b = pl.col("__b").fill_null(False)
                 changed = (
@@ -1316,14 +1348,21 @@ def resolve_keep_tombstones(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     clean_winners = order[run_start & ~dirty_mask_sorted]
     dirty_rows = order[dirty_mask_sorted]
     sub = tbl.take(pa.array(dirty_rows))
-    df = pl.from_arrow(sub).with_columns(pl.Series("__pos", dirty_rows))
+    # helper-name collision guard: this path is generic over payload
+    # columns (reachable whenever a null key and an empty-string key
+    # share a batch — they hash equal), so a user column literally
+    # named "__pos" must survive untouched
+    pos_col = "__pos"
+    while pos_col in sub.column_names:
+        pos_col += "_"
+    df = pl.from_arrow(sub).with_columns(pl.Series(pos_col, dirty_rows))
     fixed = (
         # seq desc then original position desc: polars sort is not
         # guaranteed stable, and the tie rule (docstring) needs the
         # LAST-arriving row to win equal-seq ties here too
-        df.sort([SEQ_COL, "__pos"], descending=[True, True])
+        df.sort([SEQ_COL, pos_col], descending=[True, True])
         .unique(subset=key_cols, keep="first", maintain_order=True)
-        .drop("__pos")
+        .drop(pos_col)
         .to_arrow()
         .cast(tbl.schema)
     )

@@ -1338,3 +1338,86 @@ def test_replica_chain_cascades(ray_session, tmp_path):
     assert replicate(src, mid)["mode"] == "incremental"
     assert replicate(mid, leaf)["mode"] == "incremental"
     assert _state(leaf) == _state(src)
+
+
+def test_replica_incremental_preserves_null_key_row(ray_session, tmp_path):
+    """A null-keyed row unchanged in BOTH as-of states must survive an
+    incremental round: without nulls_equal on diff_as_of's full join it
+    splits into a same-seq delete+insert pair and the last-arrival tie
+    rule can let the tombstone win — silent, undetectable divergence."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", None, "orphan", "c1", "py", "vN"),
+                ev(2, "insert", "r1", "a", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        2,
+    )
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert (None, "orphan") in _state(dst)
+    # unrelated source windows: the null row is in both diff states
+    for i in range(3, 6):
+        src.apply_window(
+            make_ds([ev(i, "insert", "r1", f"p{i}", "c", "py", "v")]), i - 1, i
+        )
+        assert replicate(src, dst)["mode"] == "incremental"
+        assert (None, "orphan") in _state(dst)
+        assert _state(dst) == _state(src)
+
+
+def test_replica_unhealable_high_seq_stray_raises(ray_session, tmp_path):
+    """A foreign write may legally carry ROW seqs above its own window
+    hi (out-of-order delivery contract); above the SOURCE's committed
+    hi such rows beat every LWW repair stamped at the watermark, so
+    resync=True must refuse loudly instead of reporting a heal that
+    silently left the stray alive."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 2)
+    src.apply_window(make_ds([ev(4, "insert", "r1", "b", "c1", "py", "v1")]), 2, 6)
+    assert replicate(src, dst)["mode"] == "incremental"
+
+    # foreign window (2, 4] planting a row at commit_seq=100 > src hi 6
+    dst.apply_window(
+        make_ds([ev(100, "insert", "rX", "stray", "c1", "py", "v")]), 2, 4, force=True
+    )
+    assert dst.max_row_seq() == 100
+    with pytest.raises(ValueError, match="resync=True"):
+        replicate(src, dst)
+    with pytest.raises(ValueError, match="recreate"):
+        replicate(src, dst, resync=True)
+    # a stray DELETE above hi is equally unhealable (its tombstone
+    # would eat every future re-insert of that key) — same refusal
+    dst2 = LakeTable.create(str(tmp_path / "dst2"), ["repo", "path"], 2)
+    assert replicate(src, dst2)["mode"] == "incremental"
+    dst2.apply_window(make_ds([ev(50, "delete", "r1", "a")]), 2, 4, force=True)
+    with pytest.raises(ValueError, match="recreate"):
+        replicate(src, dst2, resync=True)
+
+
+def test_resolve_tie_path_survives_pos_column_collision(ray_session):
+    """resolve_keep_tombstones' exact-resolution path (reachable when a
+    null key and an empty-string key share a batch — they hash equal)
+    must not clobber a payload column literally named __pos."""
+    from jitsu_ray.sinks.lake import resolve_keep_tombstones
+
+    tbl = pa.table(
+        {
+            "commit_seq": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["insert", "insert"], pa.string()),
+            "repo": pa.array([None, ""], pa.string()),
+            "path": pa.array(["x", "x"], pa.string()),
+            "__pos": pa.array(["keep-null", "keep-empty"], pa.string()),
+        }
+    )
+    win = resolve_keep_tombstones(tbl, ["repo", "path"])
+    got = {(r["repo"], r["path"]): r["__pos"] for r in win.to_pylist()}
+    assert got == {(None, "x"): "keep-null", ("", "x"): "keep-empty"}
