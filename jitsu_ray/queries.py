@@ -2571,20 +2571,24 @@ FROM sb GROUP BY event_type
 """
 
 
+# presence flags + IS NOT DISTINCT FROM mirror the engine exactly:
+# diff_as_of's full join is NULL-SAFE on keys (a null key is a
+# first-class lake key), so the oracle must not classify a null-keyed
+# row present in both states as insert+delete via key-null tests
 SQL_CDC_DIFF = f"""
 WITH sa AS (
-  {_SQL_LWW_SA}
+  SELECT *, TRUE AS in_a FROM ({_SQL_LWW_SA})
 ), sb AS (
-  {_SQL_LWW_SB}
+  SELECT *, TRUE AS in_b FROM ({_SQL_LWW_SB})
 )
 SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
-       CASE WHEN sb.user_id IS NULL THEN sa.event_type ELSE sb.event_type END AS event_type,
-       CASE WHEN sb.user_id IS NULL THEN sa.value_c ELSE sb.value_c END AS value_c,
-       CASE WHEN sa.user_id IS NULL THEN 'insert'
-            WHEN sb.user_id IS NULL THEN 'delete'
+       CASE WHEN sb.in_b IS NULL THEN sa.event_type ELSE sb.event_type END AS event_type,
+       CASE WHEN sb.in_b IS NULL THEN sa.value_c ELSE sb.value_c END AS value_c,
+       CASE WHEN sa.in_a IS NULL THEN 'insert'
+            WHEN sb.in_b IS NULL THEN 'delete'
             ELSE 'update' END AS change
-FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
-WHERE sa.user_id IS NULL OR sb.user_id IS NULL
+FROM sa FULL OUTER JOIN sb ON sa.user_id IS NOT DISTINCT FROM sb.user_id
+WHERE sa.in_a IS NULL OR sb.in_b IS NULL
    OR sa.event_type IS DISTINCT FROM sb.event_type
    OR sa.value_c IS DISTINCT FROM sb.value_c
 """

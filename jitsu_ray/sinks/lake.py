@@ -189,7 +189,11 @@ def _lookup_partition(
     t = pq.ParquetDataset(files, schema=target).read(columns=phys_cols)
     hit = (
         pl.from_arrow(t)
-        .join(pl.from_arrow(ktab), on=key_cols, how="semi")
+        # nulls_equal: IS NOT DISTINCT FROM key equality — a requested
+        # NULL key must match the lake's null-keyed row (partition
+        # routing and the Bloom sidecar already treat it as a real key
+        # via fill_null(''); the semi join must not drop it at the end)
+        .join(pl.from_arrow(ktab), on=key_cols, how="semi", nulls_equal=True)
         .to_arrow()
         .cast(t.schema)
     )

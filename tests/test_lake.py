@@ -1421,3 +1421,27 @@ def test_resolve_tie_path_survives_pos_column_collision(ray_session):
     win = resolve_keep_tombstones(tbl, ["repo", "path"])
     got = {(r["repo"], r["path"]): r["__pos"] for r in win.to_pylist()}
     assert got == {(None, "x"): "keep-null", ("", "x"): "keep-empty"}
+
+
+def test_lookup_null_key_round_trip(ray_session, tmp_path):
+    """A NULL key component routes into partitions/blooms via
+    fill_null('') like any value, so lookup must return it — and must
+    NOT conflate it with the empty-string key that shares its hash."""
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 4)
+    lake.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", None, "x", "cN", "py", "null-key"),
+                ev(2, "insert", "", "x", "cE", "py", "empty-key"),
+                ev(3, "insert", "r1", "x", "c1", "py", "plain"),
+            ]
+        ),
+        0,
+        3,
+    )
+    hit = lake.lookup([{"repo": None, "path": "x"}])
+    assert hit.num_rows == 1 and hit["content"][0].as_py() == "null-key"
+    hit = lake.lookup([{"repo": "", "path": "x"}])
+    assert hit.num_rows == 1 and hit["content"][0].as_py() == "empty-key"
+    hit = lake.lookup([{"repo": None, "path": "x"}, {"repo": "r1", "path": "x"}])
+    assert sorted(hit["content"].to_pylist()) == ["null-key", "plain"]
