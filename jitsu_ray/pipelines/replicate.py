@@ -212,10 +212,19 @@ def replicate(src, dst, resync: bool = False) -> dict:
             )
     need_resync = bool(resync or foreign)
     if not need_resync and prev is not None:
-        if prev.get("src") not in (None, src_id):
-            # the source lake was SWAPPED (replica now follows a
-            # different lake whose hi happens to be >= frm): recorded
-            # ledger positions are meaningless — re-sync from scratch
+        if (
+            prev.get("src") not in (None, src_id)
+            or prev.get("src_uid") not in (None, getattr(src, "lake_id", None))
+            or src_lseq < int(prev.get("src_lseq", 0))
+        ):
+            # the source lake was SWAPPED — a different path, a different
+            # creation UUID at the SAME path (deleted-and-recreated: path
+            # identity matches but the fresh ledger's seqs can collide
+            # with the recorded position, so every late-window scan
+            # breaks immediately and the replica noops while diverging),
+            # or a ledger SHORTER than the recorded position (recreated
+            # legacy source without a UUID). Recorded positions are
+            # meaningless against another ledger — re-sync from scratch.
             need_resync = True
         else:
             need_resync = _src_has_late_window(
@@ -227,6 +236,7 @@ def replicate(src, dst, resync: bool = False) -> dict:
     tag = {
         "replication": {
             "src": src_id,
+            "src_uid": getattr(src, "lake_id", None),
             "src_lseq": src_lseq,
             "dst_lseq": dst_lseq,
             "mode": "resync" if need_resync else "incremental",
@@ -279,12 +289,29 @@ def _incremental_delta(src, dst, frm: int, to: int):
     return diff.map_batches(to_events, batch_format="pyarrow")
 
 
-def _null_safe_keys(key_cols: list[str], keep_original: bool):
+def _helper_key_names(key_cols: list[str]) -> list[str]:
+    """NULL-SAFE helper column names (value, is-null flag per key),
+    probed past any collision with a real key column literally named
+    ``__nsk0``/``__nsn0`` — an unguarded name would silently overwrite
+    that key with its own fill_null('') cast on the keep_original side
+    and tombstone '' instead of NULL (same class as the ``__pos`` guard
+    in resolve_keep_tombstones)."""
+    base = "__ns"
+    while any(
+        f"{base}k{i}" in key_cols or f"{base}n{i}" in key_cols
+        for i in range(len(key_cols))
+    ):
+        base += "_"
+    return [f"{base}{t}{i}" for i in range(len(key_cols)) for t in ("k", "n")]
+
+
+def _null_safe_keys(key_cols: list[str], helpers: list[str], keep_original: bool):
     """Batch fn projecting per-key NULL-SAFE join columns: the value
-    cast to string with nulls filled (``__nsk{i}``) plus an is-null
-    flag as 't'/'f' (``__nsn{i}``) — (value, flag) pairs are distinct
-    for null vs real empty string, so a join on them implements
-    IS NOT DISTINCT FROM key equality exactly."""
+    cast to string with nulls filled plus an is-null flag as 't'/'f'
+    (names from :func:`_helper_key_names`, value/flag interleaved) —
+    (value, flag) pairs are distinct for null vs real empty string, so
+    a join on them implements IS NOT DISTINCT FROM key equality
+    exactly."""
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -294,8 +321,8 @@ def _null_safe_keys(key_cols: list[str], keep_original: bool):
         for i, k in enumerate(key_cols):
             v = batch[k]
             isnull = pc.is_null(v)
-            cols[f"__nsk{i}"] = pc.fill_null(pc.cast(v, pa.large_string()), "")
-            cols[f"__nsn{i}"] = pc.if_else(
+            cols[helpers[2 * i]] = pc.fill_null(pc.cast(v, pa.large_string()), "")
+            cols[helpers[2 * i + 1]] = pc.if_else(
                 isnull, pa.scalar("t", pa.string()), pa.scalar("f", pa.string())
             )
         return pa.table(cols)
@@ -329,15 +356,15 @@ def _resync_delta(src, dst, to: int):
     inserts = src.read(columns=cols, as_of=to).map_batches(
         to_inserts, batch_format="pyarrow"
     )
-    helper_keys = [
-        n for i in range(len(key_cols)) for n in (f"__nsk{i}", f"__nsn{i}")
-    ]
+    helper_keys = _helper_key_names(key_cols)
     gone = bucket_hash_join(
         dst.read(columns=key_cols).map_batches(
-            _null_safe_keys(key_cols, keep_original=True), batch_format="pyarrow"
+            _null_safe_keys(key_cols, helper_keys, keep_original=True),
+            batch_format="pyarrow",
         ),
         src.read(columns=key_cols, as_of=to).map_batches(
-            _null_safe_keys(key_cols, keep_original=False), batch_format="pyarrow"
+            _null_safe_keys(key_cols, helper_keys, keep_original=False),
+            batch_format="pyarrow",
         ),
         helper_keys,
         helper_keys,

@@ -348,6 +348,9 @@ class LakeTable:
         }
         self.num_partitions: int = meta["num_partitions"]
         self.stats_cols: list[str] = list(meta.get("stats_cols", []))
+        # creation UUID (None on legacy lakes created before it existed);
+        # replication records it so a same-path recreated source is caught
+        self.lake_id: str | None = meta.get("lake_id")
         self.schema_dir = os.path.join(lake_dir, "_schema")
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
         self.schema = LakeSchema.load(self.schema_dir)
@@ -414,6 +417,8 @@ class LakeTable:
                 k: (v.name if isinstance(v, DataType) else DataType[str(v)].name)
                 for k, v in (key_types or {}).items()
             }
+            import uuid
+
             with open(meta_path, "w") as f:
                 json.dump(
                     {
@@ -422,6 +427,12 @@ class LakeTable:
                         "num_partitions": num_partitions,
                         "hash_algo": HASH_ALGO,
                         "stats_cols": list(stats_cols or []),
+                        # creation identity: lets a replica detect a source
+                        # lake DELETED AND RECREATED AT THE SAME PATH (path
+                        # identity alone cannot — realpath matches and a
+                        # fresh ledger's seqs can collide with the recorded
+                        # position, turning every round into a silent noop)
+                        "lake_id": uuid.uuid4().hex,
                     },
                     f,
                 )

@@ -30,13 +30,8 @@ class Ledger:
         return int(name.split(".")[0])
 
     def entries(self) -> list[dict]:
-        names = sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
-        out = []
-        for n in names:
-            with open(os.path.join(self.dir, n)) as f:
-                e = json.load(f)
-            e["_seq"] = self._seq_of(n)
-            out.append(e)
+        out = list(self.iter_entries_desc())
+        out.reverse()
         return out
 
     def next_seq(self) -> int:
@@ -55,7 +50,10 @@ class Ledger:
         """Lazily yield entries NEWEST-first. Callers that stop early
         (e.g. 'walk back to the last replication-tagged window') pay
         O(rows inspected), not O(all rows) — the ledger can hold
-        thousands of rows on a long-running streaming lake."""
+        thousands of rows on a long-running streaming lake. This is
+        the ONE site encoding the ledger's on-disk layout contract
+        (.json suffix, zero-padded name sort, _seq attach); entries()
+        and _tail_entries() are derived from it."""
         names = sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
         for n in reversed(names):
             with open(os.path.join(self.dir, n)) as f:
@@ -157,12 +155,8 @@ class Ledger:
         no checkpoint exists) — the unbounded-view fast path. Reads
         files newest-first and stops at the first checkpoint, so the
         cost is O(rows since last checkpoint)."""
-        names = sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
         tail: list[dict] = []
-        for n in reversed(names):
-            with open(os.path.join(self.dir, n)) as f:
-                e = json.load(f)
-            e["_seq"] = self._seq_of(n)
+        for e in self.iter_entries_desc():
             tail.append(e)
             if e["kind"] == "checkpoint":
                 break

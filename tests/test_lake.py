@@ -1305,6 +1305,89 @@ def test_replica_resyncs_on_swapped_source(ray_session, tmp_path):
     assert replicate(src2, dst)["mode"] == "noop"  # identity re-pinned
 
 
+def test_replica_resyncs_on_recreated_source(ray_session, tmp_path):
+    """A source lake DELETED AND RECREATED AT THE SAME PATH must be
+    detected: realpath identity matches and the fresh ledger's seqs can
+    tie the recorded position exactly, so without the creation-UUID
+    check every round noops while the replica silently diverges."""
+    import shutil
+
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        10,
+    )
+    assert replicate(src, dst)["mode"] == "incremental"
+
+    # recreate the source in place with DIFFERENT content, committed at
+    # the exact same hi (frm == to) and an equal-length ledger
+    shutil.rmtree(str(tmp_path / "src"))
+    src2 = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src2.apply_window(make_ds([ev(3, "insert", "r2", "c", "c1", "go", "vX")]), 0, 10)
+
+    m = replicate(src2, dst)
+    assert m["mode"] == "resync"
+    assert _state(dst) == _state(src2)
+    assert ("r1", "a") not in _state(dst)  # old keys tombstoned
+    assert ("r2", "c") in _state(dst)
+    assert replicate(src2, dst)["mode"] == "noop"  # new identity pinned
+
+
+def test_replica_resync_helper_key_name_collision(ray_session, tmp_path):
+    """A lake whose key column is literally named __nsk0 must not have
+    it clobbered by the null-safe helper projection: an unguarded name
+    would overwrite the key with its fill_null('') cast on the anti
+    join's left side and tombstone '' instead of NULL."""
+    import ray.data
+
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["__nsk0", "__nsn0"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["__nsk0", "__nsn0"], 2)
+
+    def win(rows, lo, hi):
+        t = pa.table(
+            {
+                "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "__nsk0": pa.array([r[2] for r in rows], pa.string()),
+                "__nsn0": pa.array([r[3] for r in rows], pa.string()),
+                "val": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        src.apply_window(ray.data.from_arrow(t), lo, hi)
+
+    # a null-keyed row present in both lakes plus a real ''-keyed row:
+    # with the helper collision the resync would conflate the two
+    win([(1, "insert", None, "n", "null-row"), (2, "insert", "", "e", "empty-row")], 0, 2)
+    assert replicate(src, dst)["mode"] == "incremental"
+
+    def state(lake):
+        return {
+            (r["__nsk0"], r["__nsn0"]): r["val"] for r in lake.read().take_all()
+        }
+
+    for _ in range(2):
+        assert replicate(src, dst, resync=True)["mode"] == "resync"
+        assert state(dst) == state(src)
+        assert (None, "n") in state(dst) and ("", "e") in state(dst)
+    # dropping the null-keyed row still tombstones exactly that row
+    win([(3, "delete", None, "n", None)], 2, 3)
+    replicate(src, dst)
+    assert replicate(src, dst, resync=True)["mode"] == "resync"
+    assert state(dst) == state(src)
+    assert (None, "n") not in state(dst) and ("", "e") in state(dst)
+
+
 def test_replica_chain_cascades(ray_session, tmp_path):
     """Cascading replicas (src -> mid -> leaf): a mid replica is a
     legal SOURCE for a further replica, and a late spool-recovered
