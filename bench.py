@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "strip_boilerplate",
     "decontaminate_ngram",
     "training_export",
+    "lake_replica",
+    "index_refresh",
 ]
 
 

@@ -109,8 +109,17 @@ def bucket_asof_join(
     every row of its keys — e.g. per-(key, ts) pre-aggregation)."""
     import polars as pl
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = left.schema()
+    r_schema = right.schema()
+    if l_schema is None:
+        return left  # zero-block left: the as-of result is empty anyway
+    if r_schema is None:
+        raise ValueError(
+            "cannot as-of-join against an empty schema-less right side "
+            "(the null-padded right columns are unknowable)"
+        )
+    l_schema = l_schema.base_schema
+    r_schema = r_schema.base_schema
     l_names = [f.name for f in l_schema]
     r_names = [f.name for f in r_schema]
     overlap = (set(l_names) & set(r_names)) - {key}
@@ -201,8 +210,24 @@ def bucket_hash_join(
     rk = [right_key] if isinstance(right_key, str) else list(right_key)
     if len(lk) != len(rk):
         raise ValueError(f"key arity mismatch: {lk} vs {rk}")
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = left.schema()
+    r_schema = right.schema()
+    # a zero-BLOCK side (e.g. a map over an empty lake read) has no
+    # schema at all; the join is degenerate there, and dereferencing
+    # .base_schema would crash on legal empty input
+    if l_schema is None:
+        return left  # 0 rows under every left-preserving shape
+    if r_schema is None:
+        if how == "left anti":
+            return left
+        if how in ("inner", "left semi"):
+            return left.limit(0)
+        raise ValueError(
+            f"cannot {how}-join against an empty schema-less right side "
+            "(its columns are unknowable)"
+        )
+    l_schema = l_schema.base_schema
+    r_schema = r_schema.base_schema
     l_names = [f.name for f in l_schema]
     r_names = [f.name for f in r_schema]
     overlap = (set(l_names) & set(r_names)) - set(lk)

@@ -356,20 +356,31 @@ def _resync_delta(src, dst, to: int):
     inserts = src.read(columns=cols, as_of=to).map_batches(
         to_inserts, batch_format="pyarrow"
     )
-    helper_keys = _helper_key_names(key_cols)
-    gone = bucket_hash_join(
-        dst.read(columns=key_cols).map_batches(
-            _null_safe_keys(key_cols, helper_keys, keep_original=True),
-            batch_format="pyarrow",
-        ),
-        src.read(columns=key_cols, as_of=to).map_batches(
-            _null_safe_keys(key_cols, helper_keys, keep_original=False),
-            batch_format="pyarrow",
-        ),
-        helper_keys,
-        helper_keys,
-        how="left anti",
-    )
+    # emptiness from the LEDGER (no data scan): an empty side would hand
+    # the anti join a zero-block, schema-less Dataset; and when a whole
+    # side is empty the join is degenerate anyway (nothing to tombstone /
+    # tombstone everything)
+    if not dst.live_files():
+        gone = None
+    elif not src.live_files(as_of=to):
+        gone = dst.read(columns=key_cols)
+    else:
+        helper_keys = _helper_key_names(key_cols)
+        gone = bucket_hash_join(
+            dst.read(columns=key_cols).map_batches(
+                _null_safe_keys(key_cols, helper_keys, keep_original=True),
+                batch_format="pyarrow",
+            ),
+            src.read(columns=key_cols, as_of=to).map_batches(
+                _null_safe_keys(key_cols, helper_keys, keep_original=False),
+                batch_format="pyarrow",
+            ),
+            helper_keys,
+            helper_keys,
+            how="left anti",
+        )
+    if gone is None:
+        return inserts
 
     def to_tombstones(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -42,6 +42,14 @@ def write_routed(ds, base_dir: str, tables: list[str] | None = None,
         for name in os.listdir(out_dir):
             if not name.startswith("_"):
                 os.remove(os.path.join(out_dir, name))
+        if sub.schema() is None:
+            # an explicitly-requested table no event routed to: a map
+            # over zero blocks has no schema at all — mark it complete
+            # with 0 rows instead of crashing the fmt branches below
+            with open(marker, "w") as f:
+                f.write("0")
+            counts[table] = 0
+            continue
         clean = sub.map_batches(
             lambda b: b.drop_columns([TABLE_COL]), batch_format="pyarrow"
         )

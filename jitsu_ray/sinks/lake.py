@@ -589,8 +589,13 @@ class LakeTable:
 
         _t0 = _time.perf_counter()
 
-        self._ensure_key_types(ds.schema().base_schema)
-        self._reconcile_window_schema(ds.schema().base_schema)
+        in_schema = ds.schema()
+        if in_schema is not None:
+            # a zero-BLOCK window (e.g. a replication re-sync of an empty
+            # source) has no schema; there is nothing to pin or reconcile,
+            # but the window must still COMMIT so the watermark advances
+            self._ensure_key_types(in_schema.base_schema)
+            self._reconcile_window_schema(in_schema.base_schema)
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         num_parts = self.num_partitions

@@ -1388,6 +1388,89 @@ def test_replica_resync_helper_key_name_collision(ray_session, tmp_path):
     assert (None, "n") not in state(dst) and ("", "e") in state(dst)
 
 
+def test_replica_resync_on_empty_lakes(ray_session, tmp_path):
+    """Forced re-sync of an EMPTY source (and/or empty replica) must
+    commit cleanly instead of crashing on a schema-less zero-block
+    Dataset — found by the interleaving property test below."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    # both empty: the tagged (0, 0] repair window commits, state stays {}
+    assert replicate(src, dst, resync=True)["mode"] == "resync"
+    assert _state(dst) == _state(src) == {}
+    # data arriving later still replicates incrementally
+    src.apply_window(make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1)
+    assert replicate(src, dst)["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+    # source emptied again (tombstoned + vacuumed): re-sync tombstones
+    # the replica's rows even with zero live source files
+    src.apply_window(make_ds([ev(2, "delete", "r1", "a")]), 1, 2)
+    src.compact(min_files=1, tombstone_watermark=5)
+    assert replicate(src, dst, resync=True)["mode"] == "resync"
+    assert _state(dst) == _state(src) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replica_random_interleaving_matches_source(ray_session, tmp_path):
+    """Property: under ANY interleaving of source windows (including
+    late force-committed ones at old bounds), replicate() calls and
+    forced re-syncs, the replica's resolved state equals the source's
+    after every round — the one invariant all the scenario tests above
+    are instances of. Uses hypothesis' data() draw per action."""
+    import uuid as _uuid
+
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from jitsu_ray.pipelines.replicate import replicate
+
+    keys = [(None, "n"), ("r1", "a"), ("r1", "b"), ("r2", "c")]
+    acts = ["window", "window", "late", "replicate", "resync"]
+
+    @settings(deadline=None, max_examples=6, suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def run(data):
+        base = tmp_path / _uuid.uuid4().hex
+        src = LakeTable.create(str(base / "src"), ["repo", "path"], 3)
+        dst = LakeTable.create(str(base / "dst"), ["repo", "path"], 2)
+        seq = hi = 0
+        for _ in range(data.draw(st.integers(3, 6))):
+            act = data.draw(st.sampled_from(acts))
+            if act in ("window", "late"):
+                if act == "late" and hi < 2:
+                    act = "window"
+                rows = []
+                for _ in range(data.draw(st.integers(1, 3))):
+                    k = data.draw(st.sampled_from(keys))
+                    op = data.draw(st.sampled_from(["insert", "update", "delete"]))
+                    if act == "late":
+                        s = data.draw(st.integers(1, hi))  # old-range seq,
+                        # ties against committed rows legal (LWW tie rule)
+                    else:
+                        seq += 1
+                        s = seq
+                    rows.append(ev(s, op, k[0], k[1], "c", "py", f"v{s}"))
+                if act == "late":
+                    lo2 = data.draw(st.integers(0, hi - 1))
+                    src.apply_window(
+                        make_ds(rows), lo2, data.draw(st.integers(lo2 + 1, hi)),
+                        force=True,
+                    )
+                else:
+                    lo, hi = hi, max(seq, hi + 1)
+                    src.apply_window(make_ds(rows), lo, hi)
+                    seq = hi
+            else:
+                replicate(src, dst, resync=(act == "resync"))
+                assert _state(dst) == _state(src)
+        replicate(src, dst)
+        assert _state(dst) == _state(src)
+        assert replicate(src, dst)["mode"] == "noop"
+
+    run()
+
+
 def test_replica_chain_cascades(ray_session, tmp_path):
     """Cascading replicas (src -> mid -> leaf): a mid replica is a
     legal SOURCE for a further replica, and a late spool-recovered

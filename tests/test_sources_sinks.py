@@ -417,6 +417,13 @@ def test_write_routed_fanout_resumable(ray_session, tmp_path):
     counts2 = write_routed(ds, base)
     assert counts2 == {"go_events": -1, "py_events": -1}
 
+    # an explicitly-requested table no event routed to completes with 0
+    # rows (a zero-block filter result has no schema to write from)
+    base2 = str(tmp_path / "out2")
+    counts3 = write_routed(ds, base2, tables=["py_events", "rs_events"], fmt="csv")
+    assert counts3 == {"py_events": 2, "rs_events": 0}
+    assert os.path.exists(os.path.join(base2, "rs_events", "_SUCCESS"))
+
 
 def test_multi_destination_ingest(ray_session, tmp_path):
     from jitsu_ray.pipelines.ingest import Destination, ingest
