@@ -1388,6 +1388,94 @@ def test_replica_resync_helper_key_name_collision(ray_session, tmp_path):
     assert (None, "n") not in state(dst) and ("", "e") in state(dst)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lake_random_interleaving_matches_oracle(ray_session, tmp_path):
+    """Property for the CORE lake: under any interleaving of normal
+    windows, late force-committed windows (old bounds, old/tied seqs),
+    tombstone-retaining compactions and ledger checkpoints, the resolved
+    state always equals a pure-Python LWW fold with the lake's tie rule
+    (higher commit_seq wins; equal seqs -> later-arrived row wins), and
+    time travel at any committed hi equals the fold bounded to windows
+    with hi <= bound (or raises FileNotFoundError once a later
+    compaction vacuumed that history — the lakehouse contract)."""
+    import uuid as _uuid
+
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    keys = [(None, "n"), ("r1", "a"), ("r1", "b"), ("r2", "c")]
+
+    def oracle(events, bound=None):
+        """{key: winning commit_seq} — winner is max (seq, arrival)."""
+        best = {}
+        for arrival, (s, op, k) in enumerate(events):
+            if bound is not None and s[1] > bound:
+                continue
+            cur = best.get(k)
+            if cur is None or (s[0], arrival) >= (cur[0], cur[1]):
+                best[k] = (s[0], arrival, op)
+        return {k: v[0] for k, v in best.items() if v[2] != "delete"}
+
+    @settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def run(data):
+        lake = LakeTable.create(
+            str(tmp_path / _uuid.uuid4().hex), ["repo", "path"], 3
+        )
+        # events: ((seq, window_hi), op, key) in arrival order
+        events: list = []
+        seq = hi = 0
+        compacted = False
+        for _ in range(data.draw(st.integers(3, 6))):
+            act = data.draw(
+                st.sampled_from(["window", "window", "late", "compact", "ckpt"])
+            )
+            if act == "compact":
+                lake.compact(min_files=1, tombstone_watermark=0)
+                compacted = True
+            elif act == "ckpt":
+                lake.ledger.checkpoint()
+            elif act == "late" and hi >= 2:
+                lo2 = data.draw(st.integers(0, hi - 1))
+                hi2 = data.draw(st.integers(lo2 + 1, hi))
+                rows = []
+                for _ in range(data.draw(st.integers(1, 3))):
+                    s = data.draw(st.integers(1, hi2))
+                    k = data.draw(st.sampled_from(keys))
+                    op = data.draw(st.sampled_from(["insert", "delete"]))
+                    rows.append(ev(s, op, k[0], k[1], "c", "py", f"v{s}"))
+                    events.append(((s, hi2), op, k))
+                lake.apply_window(make_ds(rows), lo2, hi2, force=True)
+            else:
+                rows = []
+                for _ in range(data.draw(st.integers(1, 3))):
+                    seq += 1
+                    k = data.draw(st.sampled_from(keys))
+                    op = data.draw(st.sampled_from(["insert", "update", "delete"]))
+                    rows.append(ev(seq, op, k[0], k[1], "c", "py", f"v{seq}"))
+                lo, hi = hi, seq
+                for r in rows:
+                    events.append(((r["commit_seq"], hi), r["op"], (r["repo"], r["path"])))
+                lake.apply_window(make_ds(rows), lo, hi)
+            # content is f"v{seq}", so the winning seq pins the winning ROW
+            assert {
+                k: int(v[2][1:]) for k, v in _state(lake).items()
+            } == oracle(events)
+        # time travel at every committed window hi
+        for bound in sorted({e[0][1] for e in events}):
+            try:
+                got = {
+                    (r["repo"], r["path"]): int(r["content"][1:])
+                    for r in lake.read(as_of=bound).take_all()
+                }
+            except FileNotFoundError:
+                assert compacted  # only a vacuum may take history away
+                continue
+            assert got == oracle(events, bound=bound)
+
+    run()
+
+
 def test_replica_resync_on_empty_lakes(ray_session, tmp_path):
     """Forced re-sync of an EMPTY source (and/or empty replica) must
     commit cleanly instead of crashing on a schema-less zero-block
