@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "training_export",
     "lake_replica",
+    "lake_replica_filtered",
     "index_refresh",
 ]
 

@@ -73,9 +73,108 @@ Design:
 
 from __future__ import annotations
 
+import json
+
 import pyarrow as pa
 
-__all__ = ["replicate"]
+__all__ = ["replicate", "compile_where", "where_sql"]
+
+_WHERE_OPS = (
+    "=", "!=", "<", "<=", ">", ">=", "in", "not in", "is null", "is not null"
+)
+
+
+def _norm_where(where) -> list[list]:
+    """Canonical JSON-able form of a conjunctive predicate spec: a list
+    of ``(col, op, value)`` conjuncts (value omitted/None for the null
+    tests, a list for ``in``/``not in``). The canonical form feeds the
+    round tag's filter identity, so two spellings of one spec must
+    normalize identically (tuples -> lists, in-lists sorted)."""
+    out = []
+    for c in where:
+        if len(c) == 2:
+            col, op = c
+            val = None
+        else:
+            col, op, val = c
+        op = " ".join(str(op).lower().split())
+        if op not in _WHERE_OPS:
+            raise ValueError(f"unsupported where op {op!r} (one of {_WHERE_OPS})")
+        if op in ("is null", "is not null"):
+            if val is not None:
+                raise ValueError(f"{op!r} takes no value, got {val!r}")
+            out.append([str(col), op, None])
+            continue
+        if op in ("in", "not in"):
+            vals = list(val)
+            if not vals or any(v is None for v in vals):
+                raise ValueError(f"{op!r} needs a non-empty list of non-null values")
+            out.append([str(col), op, sorted(vals, key=repr)])
+            continue
+        if val is None:
+            raise ValueError(f"{op!r} against NULL never matches; use 'is null'")
+        out.append([str(col), op, val])
+    return out
+
+
+def compile_where(where):
+    """Conjunctive predicate spec -> vectorized ``pa.Table -> bool mask``
+    with SQL three-valued semantics (a NULL comparison excludes the row,
+    including ``not in`` — ``pc.invert(pc.is_in)`` alone would ADMIT
+    null inputs because is_in returns FALSE, not null, for them)."""
+    import pyarrow.compute as pc
+
+    spec = _norm_where(where)
+
+    def mask(batch: pa.Table):
+        m = None
+        for col, op, val in spec:
+            v = batch[col]
+            if op == "is null":
+                term = pc.is_null(v)
+            elif op == "is not null":
+                term = pc.is_valid(v)
+            elif op == "in":
+                term = pc.is_in(v, value_set=pa.array(val))
+            elif op == "not in":
+                term = pc.and_(
+                    pc.invert(pc.is_in(v, value_set=pa.array(val))), pc.is_valid(v)
+                )
+            else:
+                fn = {
+                    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+                }[op]
+                term = pc.fill_null(fn(v, pa.scalar(val)), False)
+            m = term if m is None else pc.and_(m, term)
+        return m
+
+    return mask
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def where_sql(where) -> str:
+    """The spec's ANSI-SQL twin (for oracle queries / documentation).
+    Float literals are the caller's parity problem — prefer ints and
+    strings in specs that feed hash-compared oracles."""
+    parts = []
+    for col, op, val in _norm_where(where):
+        if op in ("is null", "is not null"):
+            parts.append(f"{col} {op.upper()}")
+        elif op in ("in", "not in"):
+            parts.append(f"{col} {op.upper()} ({', '.join(_sql_lit(v) for v in val)})")
+        elif op == "!=":
+            parts.append(f"{col} <> {_sql_lit(val)}")
+        else:
+            parts.append(f"{col} {op} {_sql_lit(val)}")
+    return " AND ".join(parts) if parts else "TRUE"
 
 
 def _visible_cols(lake) -> list[str]:
@@ -147,10 +246,31 @@ def _src_has_late_window(src, src_floor: int, frm: int) -> bool:
     return False
 
 
-def replicate(src, dst, resync: bool = False) -> dict:
+def replicate(
+    src,
+    dst,
+    resync: bool = False,
+    where=None,
+    columns: list[str] | None = None,
+) -> dict:
     """One replication round: fold src changes since the replica
     watermark into dst. ``resync=True`` forces a full re-sync (the
     manual HEAL path for a replica flagged with foreign writes).
+
+    ``where`` / ``columns`` make dst a PARTIAL replica (the
+    logical-replication publication shape: per-destination row filters
+    and column lists; the reference routes/projects per destination the
+    same way, server/schema/mapping.go): ``where`` is a conjunctive
+    ``(col, op, value)`` spec (see :func:`compile_where` — may reference
+    payload columns OUTSIDE the replicated subset), ``columns`` the
+    payload columns to keep (keys always replicate). A source row
+    leaving the predicate propagates as a DELETE, so the replica is
+    always exactly ``SELECT keys+columns FROM src WHERE where``. The
+    round tag records the filter identity; a round run with a DIFFERENT
+    filter than the replica was built with auto-re-syncs (previously
+    excluded rows cannot be recovered incrementally — their diffs
+    already passed by).
+
     Returns ``{"mode": noop|incremental|resync, "from_seq", "to_seq",
     "rows"}``."""
     if list(src.key_cols) != list(dst.key_cols):
@@ -158,6 +278,29 @@ def replicate(src, dst, resync: bool = False) -> dict:
             f"replica key columns {dst.key_cols} do not match the "
             f"source's {src.key_cols}"
         )
+    visible = _visible_cols(src)
+    payload_all = [c for c in visible if c not in src.key_cols]
+    norm_where = _norm_where(where) if where is not None else None
+    if norm_where is not None:
+        bad = [c for c, _, _ in norm_where if c not in visible]
+        if bad:
+            raise ValueError(f"where references non-source columns {bad}")
+    if columns is not None:
+        bad = [c for c in columns if c not in payload_all]
+        if bad:
+            raise ValueError(
+                f"columns must be source payload columns, got {bad} "
+                f"(keys {list(src.key_cols)} always replicate)"
+            )
+    filt = None
+    if norm_where is not None or columns is not None:
+        filt = json.dumps(
+            {"where": norm_where, "columns": list(columns) if columns else None},
+            sort_keys=True,
+        )
+    out_cols = list(src.key_cols) + (
+        list(columns) if columns is not None else payload_all
+    )
     # ledger positions FIRST: anything committed after this scan is
     # (conservatively) re-examined by the next round
     src_lseq = src.ledger.max_seq()
@@ -211,6 +354,12 @@ def replicate(src, dst, resync: bool = False) -> dict:
                 f"so resync=True cannot heal this replica: recreate it"
             )
     need_resync = bool(resync or foreign)
+    if not need_resync and prev is not None and prev.get("filter") != filt:
+        # the replica was maintained under a DIFFERENT filter/projection:
+        # rows the old filter excluded have already had their diffs pass
+        # by, so incremental catch-up under the new filter would silently
+        # miss them — rebuild from source state
+        need_resync = True
     if not need_resync and prev is not None:
         if (
             prev.get("src") not in (None, src_id)
@@ -239,6 +388,7 @@ def replicate(src, dst, resync: bool = False) -> dict:
             "src_uid": getattr(src, "lake_id", None),
             "src_lseq": src_lseq,
             "dst_lseq": dst_lseq,
+            "filter": filt,
             "mode": "resync" if need_resync else "incremental",
         }
     }
@@ -246,7 +396,7 @@ def replicate(src, dst, resync: bool = False) -> dict:
     mode = "resync" if need_resync else "incremental"
     if mode == "incremental":
         try:
-            delta = _incremental_delta(src, dst, frm, to)
+            delta = _incremental_delta(src, dst, frm, to, norm_where, out_cols)
             entry = dst.apply_window(delta, frm, to, extra_metrics=tag)
         except Exception as e:
             # vacuumed diff history — eagerly (diff_as_of's existence
@@ -257,7 +407,7 @@ def replicate(src, dst, resync: bool = False) -> dict:
             mode = "resync"
             tag["replication"]["mode"] = "resync"
     if entry is None:
-        delta = _resync_delta(src, dst, to)
+        delta = _resync_delta(src, dst, to, norm_where, out_cols)
         # force: a late-window repair legally re-commits at (frm == to];
         # its rows beat equal-seq rows via the last-arrival tie rule
         entry = dst.apply_window(delta, frm, to, extra_metrics=tag, force=True)
@@ -265,22 +415,36 @@ def replicate(src, dst, resync: bool = False) -> dict:
     return {"mode": mode, "from_seq": frm, "to_seq": to, "rows": rows}
 
 
-def _incremental_delta(src, dst, frm: int, to: int):
+def _incremental_delta(src, dst, frm: int, to: int, where=None, out_cols=None):
     """CDC diff (frm, to] -> change-event rows at seq ``to``. Raises
-    FileNotFoundError when the history behind ``frm`` is vacuumed."""
+    FileNotFoundError when the history behind ``frm`` is vacuumed.
+
+    Partial-replica rule: a non-delete change whose NEW values fail the
+    predicate becomes a TOMBSTONE (the row either just left the
+    predicate or never satisfied it — a tombstone for an absent key
+    resolves away harmlessly, so no replica lookup is needed and the
+    round stays shuffle-free)."""
     from ..sinks.lake import OP_COL, SEQ_COL, TOMBSTONE
 
     diff = src.diff_as_of(frm, to)
+    mask_fn = compile_where(where) if where is not None else None
 
     def to_events(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        is_tomb = pc.equal(batch["change"], "delete")
+        if mask_fn is not None:
+            is_tomb = pc.or_(is_tomb, pc.invert(mask_fn(batch)))
         op = pc.if_else(
-            pc.equal(batch["change"], "delete"),
+            is_tomb,
             pa.scalar(TOMBSTONE, pa.string()),
             pa.scalar("insert", pa.string()),
         )
-        out = batch.drop_columns(["change"])
+        out = (
+            batch.select(out_cols)
+            if out_cols is not None
+            else batch.drop_columns(["change"])
+        )
         out = out.append_column(OP_COL, op)
         return out.append_column(
             SEQ_COL, pa.array([to] * batch.num_rows, pa.int64())
@@ -330,13 +494,17 @@ def _null_safe_keys(key_cols: list[str], helpers: list[str], keep_original: bool
     return fn
 
 
-def _resync_delta(src, dst, to: int):
-    """Full re-sync: the source's resolved state as inserts at ``to``
-    plus anti-join tombstones for replica keys the source dropped."""
+def _resync_delta(src, dst, to: int, where=None, out_cols=None):
+    """Full re-sync: the source's resolved state (under the replica's
+    filter/projection, if any) as inserts at ``to`` plus anti-join
+    tombstones for replica keys the (filtered) source dropped. The
+    predicate may reference columns outside the replicated subset, so
+    the insert read fetches ``out_cols`` + filter columns and projects
+    after masking."""
     from ..ops.join import bucket_hash_join
     from ..sinks.lake import OP_COL, SEQ_COL, TOMBSTONE
 
-    cols = _visible_cols(src)
+    cols = out_cols if out_cols is not None else _visible_cols(src)
     key_cols = list(src.key_cols)
     payload = [c for c in cols if c not in key_cols]
     target = src.full_arrow_schema()
@@ -344,16 +512,22 @@ def _resync_delta(src, dst, to: int):
         [target.field(c) for c in cols]
         + [pa.field(OP_COL, pa.string()), pa.field(SEQ_COL, pa.int64())]
     )
+    mask_fn = compile_where(where) if where is not None else None
+    read_cols = cols + [
+        c for c, _, _ in (where or []) if c not in cols
+    ]
 
     def to_inserts(batch: pa.Table) -> pa.Table:
-        out = batch.append_column(
+        if mask_fn is not None:
+            batch = batch.filter(mask_fn(batch))
+        out = batch.select(cols).append_column(
             OP_COL, pa.array(["insert"] * batch.num_rows, pa.string())
         )
         return out.append_column(
             SEQ_COL, pa.array([to] * batch.num_rows, pa.int64())
         ).select(event_schema.names)
 
-    inserts = src.read(columns=cols, as_of=to).map_batches(
+    inserts = src.read(columns=read_cols, as_of=to).map_batches(
         to_inserts, batch_format="pyarrow"
     )
     # emptiness from the LEDGER (no data scan): an empty side would hand
@@ -365,13 +539,27 @@ def _resync_delta(src, dst, to: int):
     elif not src.live_files(as_of=to):
         gone = dst.read(columns=key_cols)
     else:
+        # the anti join's right side is the FILTERED source key set: a
+        # replica key whose source row now fails the predicate must be
+        # tombstoned exactly like a dropped key
+        src_key_cols = key_cols + [
+            c for c, _, _ in (where or []) if c not in key_cols
+        ]
+
+        def src_keys(batch: pa.Table) -> pa.Table:
+            if mask_fn is not None:
+                batch = batch.filter(mask_fn(batch))
+            return batch.select(key_cols)
+
         helper_keys = _helper_key_names(key_cols)
         gone = bucket_hash_join(
             dst.read(columns=key_cols).map_batches(
                 _null_safe_keys(key_cols, helper_keys, keep_original=True),
                 batch_format="pyarrow",
             ),
-            src.read(columns=key_cols, as_of=to).map_batches(
+            src.read(columns=src_key_cols, as_of=to)
+            .map_batches(src_keys, batch_format="pyarrow")
+            .map_batches(
                 _null_safe_keys(key_cols, helper_keys, keep_original=False),
                 batch_format="pyarrow",
             ),

@@ -2561,6 +2561,52 @@ SELECT user_id, event_type, value_c FROM sb
 """
 
 
+def q_lake_replica_filtered(sf_dir: str):
+    """PARTIAL replica (pipelines/replicate where=/columns=): the
+    logical-replication publication shape — dst receives only rows whose
+    LWW state satisfies the predicate and only the listed payload
+    columns; a key whose state LEAVES the predicate between rounds
+    propagates as a delete. Predicate: ``value_c >= 5000`` — it
+    references a payload column that is NOT replicated (columns=
+    ['event_type']), exercising the filter-column/projection split; the
+    second window rewrites most users' value_c, so keys cross the
+    predicate in both directions. The replica must equal
+    ``SELECT user_id, event_type FROM state WHERE value_c >= 5000``,
+    which is what the oracle computes."""
+    from .pipelines.replicate import replicate
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    CUT, HI = 5000, 20_000_000
+    _sweep_stale_lakes("lake_repf_")
+    base = os.path.join(
+        CACHE_DIR, f"lake_repf_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    src = LakeTable.create(os.path.join(base, "src"), ["user_id"], 8)
+    dst = LakeTable.create(os.path.join(base, "dst"), ["user_id"], 4)
+    WHERE = [("value_c", ">=", 5000)]
+    COLS = ["event_type"]
+    src.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
+    replicate(src, dst, where=WHERE, columns=COLS)  # bootstrap round
+    src.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
+    src.delete_where(_uid_mod7_is0)
+    replicate(src, dst, where=WHERE, columns=COLS)  # incremental round
+    return dst.read(columns=["user_id", "event_type"]).select_columns(
+        ["user_id", "event_type"]
+    )
+
+
+# the WHERE clause is pipelines.replicate.where_sql([("value_c", ">=", 5000)])
+SQL_REPLICA_FILTERED = f"""
+WITH sb AS (
+  {_SQL_LWW_SB}
+)
+SELECT user_id, event_type FROM sb WHERE value_c >= 5000
+"""
+
+
 SQL_MATVIEW = f"""
 WITH sb AS (
   {_SQL_LWW_SB}
@@ -4856,6 +4902,7 @@ QUERIES = {
     "cdc_diff": q_cdc_diff,
     "matview_revenue": q_matview_revenue,
     "lake_replica": q_lake_replica,
+    "lake_replica_filtered": q_lake_replica_filtered,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -4958,6 +5005,7 @@ ORACLES = {
     "cdc_diff": SQL_CDC_DIFF,
     "matview_revenue": SQL_MATVIEW,
     "lake_replica": SQL_REPLICA,
+    "lake_replica_filtered": SQL_REPLICA_FILTERED,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

@@ -1259,8 +1259,8 @@ def test_replica_lazy_vacuum_race_degrades_to_resync(ray_session, tmp_path, monk
 
     real = rep_mod._incremental_delta
 
-    def poisoned(src_, dst_, frm, to):
-        ds = real(src_, dst_, frm, to)
+    def poisoned(src_, dst_, frm, to, *args, **kw):
+        ds = real(src_, dst_, frm, to, *args, **kw)
 
         def leak_then_raise(batch):
             # first feed the exchange a row that must NOT survive the
@@ -1699,3 +1699,184 @@ def test_lookup_null_key_round_trip(ray_session, tmp_path):
     assert hit.num_rows == 1 and hit["content"][0].as_py() == "empty-key"
     hit = lake.lookup([{"repo": None, "path": "x"}, {"repo": "r1", "path": "x"}])
     assert sorted(hit["content"].to_pylist()) == ["null-key", "plain"]
+
+
+def _proj_state(lake, cols):
+    """Key -> the given payload column values (for partial replicas whose
+    payload is a subset)."""
+    return {
+        (r["repo"], r["path"]): tuple(r[c] for c in cols)
+        for r in lake.read().take_all()
+    }
+
+
+def test_replica_filtered_tracks_source(ray_session, tmp_path):
+    """Partial replica: where= references a payload column that is NOT
+    in columns= (the filter-column/projection split); rows entering and
+    leaving the predicate propagate as insert/delete."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    WHERE = [("lang", "=", "py")]
+    COLS = ["content"]  # 'lang' is filtered on but not replicated
+
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "go", "v1"),
+                ev(3, "insert", "r2", "c", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        3,
+    )
+    m1 = replicate(src, dst, where=WHERE, columns=COLS)
+    assert m1["mode"] == "incremental"
+    assert _proj_state(dst, ["content"]) == {
+        ("r1", "a"): ("v1",),
+        ("r2", "c"): ("v1",),
+    }
+    assert "lang" not in {f.name for f in dst.full_arrow_schema()}
+
+    # a leaves the predicate (py -> go), b enters (go -> py), c deleted
+    src.apply_window(
+        make_ds(
+            [
+                ev(4, "update", "r1", "a", "c2", "go", "v2"),
+                ev(5, "update", "r1", "b", "c2", "py", "v2"),
+                ev(6, "delete", "r2", "c"),
+            ]
+        ),
+        3,
+        6,
+    )
+    m2 = replicate(src, dst, where=WHERE, columns=COLS)
+    assert m2["mode"] == "incremental"
+    assert _proj_state(dst, ["content"]) == {("r1", "b"): ("v2",)}
+
+    # idempotent noop with an unchanged filter
+    assert replicate(src, dst, where=WHERE, columns=COLS)["mode"] == "noop"
+
+
+def test_replica_filter_change_forces_resync(ray_session, tmp_path):
+    """A round run under a DIFFERENT filter than the replica was built
+    with must re-sync (previously excluded rows cannot be recovered
+    incrementally), in every direction: filtered -> other filter,
+    filtered -> plain, plain -> filtered."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "go", "v1"),
+            ]
+        ),
+        0,
+        2,
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    assert replicate(src, dst, where=[("lang", "=", "py")])["mode"] == "incremental"
+    assert set(_state(dst)) == {("r1", "a")}
+
+    # widen the filter: the 'go' row was never replicated -> resync
+    m = replicate(src, dst, where=[("lang", "in", ["py", "go"])])
+    assert m["mode"] == "resync"
+    assert set(_state(dst)) == {("r1", "a"), ("r1", "b")}
+
+    # drop the filter entirely -> plain replica (same rows here)
+    assert replicate(src, dst)["mode"] == "resync"
+    assert _state(dst) == _state(src)
+
+    # narrow back down: resync must TOMBSTONE the now-excluded row
+    m = replicate(src, dst, where=[("lang", "=", "py")])
+    assert m["mode"] == "resync"
+    assert set(_state(dst)) == {("r1", "a")}
+
+    # same spec, different spelling (tuples vs lists, uppercase op)
+    # normalizes to the same identity -> noop, not resync
+    assert replicate(src, dst, where=(["lang", "=", "py"],))["mode"] == "noop"
+    # in-list order does not change the identity either
+    replicate(src, dst, where=[("lang", "in", ["go", "py"])])  # resync
+    assert (
+        replicate(src, dst, where=[("lang", "IN", ["py", "go"])])["mode"] == "noop"
+    )
+
+
+def test_replica_filtered_null_semantics_and_validation(ray_session, tmp_path):
+    """SQL three-valued logic: NULL filter values are excluded by =,
+    in AND not-in (pc.invert(is_in) alone would admit them); spec
+    validation rejects unknown ops/columns and non-payload columns."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", None, "v1"),
+                ev(3, "insert", "r1", "c", "c1", "go", "v1"),
+            ]
+        ),
+        0,
+        3,
+    )
+    d1 = LakeTable.create(str(tmp_path / "d1"), ["repo", "path"], 2)
+    replicate(src, d1, where=[("lang", "not in", ["go"])])
+    assert set(_state(d1)) == {("r1", "a")}  # NULL lang excluded too
+
+    d2 = LakeTable.create(str(tmp_path / "d2"), ["repo", "path"], 2)
+    replicate(src, d2, where=[("lang", "is null")])
+    assert set(_state(d2)) == {("r1", "b")}
+
+    d3 = LakeTable.create(str(tmp_path / "d3"), ["repo", "path"], 2)
+    with pytest.raises(ValueError, match="unsupported where op"):
+        replicate(src, d3, where=[("lang", "like", "p%")])
+    with pytest.raises(ValueError, match="non-source columns"):
+        replicate(src, d3, where=[("nope", "=", 1)])
+    with pytest.raises(ValueError, match="payload columns"):
+        replicate(src, d3, columns=["repo"])
+    with pytest.raises(ValueError, match="is null"):
+        replicate(src, d3, where=[("lang", "=", None)])
+
+
+def test_replica_filtered_excludes_everything(ray_session, tmp_path):
+    """A predicate no source row satisfies: the bootstrap replica is
+    empty, and a filter-narrowing resync against a populated replica
+    tombstones every row (the anti join's right side is a 0-row
+    filtered key set)."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    replicate(src, dst)
+    assert set(_state(dst)) == {("r1", "a")}
+    m = replicate(src, dst, where=[("lang", "=", "rust")])
+    assert m["mode"] == "resync"
+    assert _state(dst) == {}
+    # watermark still advanced: unchanged filter -> noop
+    assert replicate(src, dst, where=[("lang", "=", "rust")])["mode"] == "noop"
+
+
+def test_where_sql_twin():
+    """where_sql renders the exact ANSI twin of compile_where's spec."""
+    from jitsu_ray.pipelines.replicate import where_sql
+
+    assert (
+        where_sql(
+            [
+                ("lang", "in", ["py", "go"]),
+                ("n", ">=", 5),
+                ("commit", "is not null"),
+                ("path", "!=", "a'b"),
+            ]
+        )
+        == "lang IN ('go', 'py') AND n >= 5 AND commit IS NOT NULL "
+        "AND path <> 'a''b'"
+    )
