@@ -106,6 +106,14 @@ def _norm_where(where) -> list[list]:
             out.append([str(col), op, None])
             continue
         if op in ("in", "not in"):
+            if isinstance(val, (str, bytes)):
+                # list('py') would silently mean IN ('p', 'y') — and the
+                # SQL twin would render the same wrong literal, so the
+                # divergence would be oracle-invisible
+                raise ValueError(
+                    f"{op!r} needs a LIST of values, got the bare string "
+                    f"{val!r} (wrap it: [{val!r}])"
+                )
             vals = list(val)
             if not vals or any(v is None for v in vals):
                 raise ValueError(f"{op!r} needs a non-empty list of non-null values")
@@ -127,6 +135,8 @@ def compile_where(where):
     spec = _norm_where(where)
 
     def mask(batch: pa.Table):
+        if not spec:  # empty conjunction = TRUE (where_sql renders it so)
+            return pa.array([True] * batch.num_rows)
         m = None
         for col, op, val in spec:
             v = batch[col]
@@ -281,6 +291,8 @@ def replicate(
     visible = _visible_cols(src)
     payload_all = [c for c in visible if c not in src.key_cols]
     norm_where = _norm_where(where) if where is not None else None
+    if not norm_where:
+        norm_where = None  # where=[] is the match-all conjunction = no filter
     if norm_where is not None:
         bad = [c for c, _, _ in norm_where if c not in visible]
         if bad:
@@ -292,10 +304,17 @@ def replicate(
                 f"columns must be source payload columns, got {bad} "
                 f"(keys {list(src.key_cols)} always replicate)"
             )
+        if len(set(columns)) != len(list(columns)):
+            raise ValueError(f"duplicate names in columns: {list(columns)}")
     filt = None
     if norm_where is not None or columns is not None:
+        # `columns is not None`, NOT truthiness: columns=[] is a
+        # keys-only replica and must not share the full-payload identity
         filt = json.dumps(
-            {"where": norm_where, "columns": list(columns) if columns else None},
+            {
+                "where": norm_where,
+                "columns": list(columns) if columns is not None else None,
+            },
             sort_keys=True,
         )
     out_cols = list(src.key_cols) + (

@@ -1880,3 +1880,32 @@ def test_where_sql_twin():
         == "lang IN ('go', 'py') AND n >= 5 AND commit IS NOT NULL "
         "AND path <> 'a''b'"
     )
+
+
+def test_replica_keys_only_and_degenerate_specs(ray_session, tmp_path):
+    """Review-fix pins: columns=[] is a KEYS-ONLY replica with its own
+    filter identity (switching to full payload must resync, not ride the
+    empty-list/None truthiness collision); where=[] is the match-all
+    conjunction (same identity as no filter); bare strings in in-lists
+    and duplicate column names are rejected loudly."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    assert replicate(src, dst, columns=[])["mode"] == "incremental"
+    assert set(dst.read().take_all()[0]) >= {"repo", "path"}
+    assert "content" not in {f.name for f in dst.full_arrow_schema()}
+    # keys-only -> full payload is a filter CHANGE: resync + payload backfill
+    m = replicate(src, dst)
+    assert m["mode"] == "resync"
+    assert _state(dst) == _state(src)
+    # where=[] == no filter: same identity -> noop
+    assert replicate(src, dst, where=[])["mode"] == "noop"
+
+    with pytest.raises(ValueError, match="LIST of values"):
+        replicate(src, dst, where=[("lang", "in", "py")])
+    with pytest.raises(ValueError, match="duplicate names"):
+        replicate(src, dst, columns=["content", "content"])
