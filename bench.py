@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "training_export",
     "lake_replica",
     "lake_replica_filtered",
+    "lake_replica_fanout",
     "index_refresh",
 ]
 

@@ -77,7 +77,7 @@ import json
 
 import pyarrow as pa
 
-__all__ = ["replicate", "compile_where", "where_sql"]
+__all__ = ["replicate", "replicate_many", "compile_where", "where_sql"]
 
 _WHERE_OPS = (
     "=", "!=", "<", "<=", ">", ">=", "in", "not in", "is null", "is not null"
@@ -283,6 +283,83 @@ def replicate(
 
     Returns ``{"mode": noop|incremental|resync, "from_seq", "to_seq",
     "rows"}``."""
+    import os as _os
+
+    plan = _plan_target(
+        src,
+        dst,
+        resync,
+        where,
+        columns,
+        src_lseq=src.ledger.max_seq(),
+        to=src.ledger.last_committed_hi(),
+        src_id=_os.path.realpath(src.dir),
+    )
+    return _execute_target(src, plan)
+
+
+def replicate_many(src, targets: list[dict]) -> list[dict]:
+    """Fan one source out to N replicas with the CDC DIFF COMPUTED ONCE
+    per shared watermark — the reference's one-stream -> N-destinations
+    core loop (server/destinations/) expressed lake-to-lake. Each target
+    is ``{"dst": lake, "resync": bool?, "where": spec?, "columns":
+    [...]?}`` with :func:`replicate` semantics; results come back in
+    input order.
+
+    Serial ``replicate()`` calls re-scan and re-diff the source once PER
+    replica — at scale the diff (O(state) per partition) dominates, so N
+    partial replicas cost N source scans. Here all targets are PLANNED
+    first (validation errors raise before ANY replica is written —
+    unlike serial calls, which apply earlier targets before a later one
+    fails), then incremental targets sharing a watermark get one
+    materialized diff fanned out through each target's own filter /
+    projection; the diff is bounded by the CHANGE set, so pinning it in
+    the object store costs O(changes), not O(state). A target at a
+    unique watermark streams its diff exactly like a solo round; if the
+    shared materialize hits vacuumed history every member falls back to
+    its own re-sync (the solo contract)."""
+    import os as _os
+
+    src_lseq = src.ledger.max_seq()
+    to = src.ledger.last_committed_hi()
+    src_id = _os.path.realpath(src.dir)
+    plans = [
+        _plan_target(
+            src,
+            t["dst"],
+            bool(t.get("resync", False)),
+            t.get("where"),
+            t.get("columns"),
+            src_lseq=src_lseq,
+            to=to,
+            src_id=src_id,
+        )
+        for t in targets
+    ]
+    by_frm: dict[int, int] = {}
+    for p in plans:
+        if p["mode"] == "incremental":
+            by_frm[p["frm"]] = by_frm.get(p["frm"], 0) + 1
+    shared: dict[int, object] = {}
+    for frm, n in by_frm.items():
+        if n > 1:
+            try:
+                shared[frm] = src.diff_as_of(frm, to).materialize()
+            except Exception as e:
+                if not _is_file_not_found(e):
+                    raise
+                # vacuumed history: leave the members to their solo
+                # stream-then-resync fallback
+    return [
+        _execute_target(src, p, diff=shared.get(p["frm"]))
+        for p in plans
+    ]
+
+
+def _plan_target(src, dst, resync, where, columns, src_lseq, to, src_id) -> dict:
+    """Validate one replication target and decide its round mode —
+    everything up to (but not including) the window apply. Shared
+    verbatim by replicate() and replicate_many()."""
     if list(src.key_cols) != list(dst.key_cols):
         raise ValueError(
             f"replica key columns {dst.key_cols} do not match the "
@@ -322,10 +399,8 @@ def replicate(
     )
     # ledger positions FIRST: anything committed after this scan is
     # (conservatively) re-examined by the next round
-    src_lseq = src.ledger.max_seq()
     dst_lseq = dst.ledger.max_seq()
     frm = dst.ledger.last_committed_hi()
-    to = src.ledger.last_committed_hi()
     if frm > to:
         raise ValueError(
             f"replica watermark {frm} is AHEAD of the source's committed "
@@ -351,12 +426,10 @@ def replicate(
             f"pass resync=True to heal the replica from source "
             f"state{legacy}"
         )
-    import os as _os
-
-    # realpath, not abspath: two path aliases for one lake (symlink,
-    # bind mount) must not trip the swapped-source check — alternating
-    # daemons would otherwise force a full O(table) re-sync every round
-    src_id = _os.path.realpath(src.dir)
+    # src_id is realpath, not abspath: two path aliases for one lake
+    # (symlink, bind mount) must not trip the swapped-source check —
+    # alternating daemons would otherwise force a full O(table) re-sync
+    # every round
     if foreign:
         # Replication's own writes stamp every row at the watermark seq,
         # but a foreign window may carry ROW seqs above its own hi (the
@@ -398,24 +471,43 @@ def replicate(
             need_resync = _src_has_late_window(
                 src, int(prev.get("src_lseq", 0)), frm
             )
-    if frm == to and not need_resync:
-        return {"mode": "noop", "from_seq": frm, "to_seq": to, "rows": 0}
-
-    tag = {
-        "replication": {
-            "src": src_id,
-            "src_uid": getattr(src, "lake_id", None),
-            "src_lseq": src_lseq,
-            "dst_lseq": dst_lseq,
-            "filter": filt,
-            "mode": "resync" if need_resync else "incremental",
-        }
+    mode = "noop" if (frm == to and not need_resync) else (
+        "resync" if need_resync else "incremental"
+    )
+    return {
+        "dst": dst,
+        "mode": mode,
+        "frm": frm,
+        "to": to,
+        "where": norm_where,
+        "out_cols": out_cols,
+        "tag": {
+            "replication": {
+                "src": src_id,
+                "src_uid": getattr(src, "lake_id", None),
+                "src_lseq": src_lseq,
+                "dst_lseq": dst_lseq,
+                "filter": filt,
+                "mode": mode,
+            }
+        },
     }
+
+
+def _execute_target(src, plan: dict, diff=None) -> dict:
+    """Apply one planned round. ``diff`` optionally supplies a
+    pre-materialized (frm, to] CDC diff (replicate_many's shared scan);
+    without it the diff streams exactly like a solo round."""
+    dst, frm, to, tag = plan["dst"], plan["frm"], plan["to"], plan["tag"]
+    mode = plan["mode"]
+    if mode == "noop":
+        return {"mode": "noop", "from_seq": frm, "to_seq": to, "rows": 0}
     entry = None
-    mode = "resync" if need_resync else "incremental"
     if mode == "incremental":
         try:
-            delta = _incremental_delta(src, dst, frm, to, norm_where, out_cols)
+            delta = _incremental_delta(
+                src, dst, frm, to, plan["where"], plan["out_cols"], diff=diff
+            )
             entry = dst.apply_window(delta, frm, to, extra_metrics=tag)
         except Exception as e:
             # vacuumed diff history — eagerly (diff_as_of's existence
@@ -426,7 +518,7 @@ def replicate(
             mode = "resync"
             tag["replication"]["mode"] = "resync"
     if entry is None:
-        delta = _resync_delta(src, dst, to, norm_where, out_cols)
+        delta = _resync_delta(src, dst, to, plan["where"], plan["out_cols"])
         # force: a late-window repair legally re-commits at (frm == to];
         # its rows beat equal-seq rows via the last-arrival tie rule
         entry = dst.apply_window(delta, frm, to, extra_metrics=tag, force=True)
@@ -434,7 +526,9 @@ def replicate(
     return {"mode": mode, "from_seq": frm, "to_seq": to, "rows": rows}
 
 
-def _incremental_delta(src, dst, frm: int, to: int, where=None, out_cols=None):
+def _incremental_delta(
+    src, dst, frm: int, to: int, where=None, out_cols=None, diff=None
+):
     """CDC diff (frm, to] -> change-event rows at seq ``to``. Raises
     FileNotFoundError when the history behind ``frm`` is vacuumed.
 
@@ -445,7 +539,8 @@ def _incremental_delta(src, dst, frm: int, to: int, where=None, out_cols=None):
     round stays shuffle-free)."""
     from ..sinks.lake import OP_COL, SEQ_COL, TOMBSTONE
 
-    diff = src.diff_as_of(frm, to)
+    if diff is None:
+        diff = src.diff_as_of(frm, to)
     mask_fn = compile_where(where) if where is not None else None
 
     def to_events(batch: pa.Table) -> pa.Table:

@@ -2607,6 +2607,72 @@ SELECT user_id, event_type FROM sb WHERE value_c >= 5000
 """
 
 
+def q_lake_replica_fanout(sf_dir: str):
+    """One source fanned out to TWO replicas (plain + filtered/projected)
+    with `replicate_many` — the reference's one-stream -> N-destinations
+    loop with the CDC diff computed ONCE per round instead of once per
+    replica. Both rounds (bootstrap, then incremental over the second
+    window + tombstone wave) drive both replicas from one shared scan.
+    Output = both replicas' resolved states stacked with a `replica`
+    label (the filtered replica's dropped value_c padded NULL), which
+    the oracle reproduces as a UNION ALL over the LWW state."""
+    from .pipelines.replicate import replicate_many
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    CUT, HI = 5000, 20_000_000
+    _sweep_stale_lakes("lake_repm_")
+    base = os.path.join(
+        CACHE_DIR, f"lake_repm_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    src = LakeTable.create(os.path.join(base, "src"), ["user_id"], 8)
+    plain = LakeTable.create(os.path.join(base, "plain"), ["user_id"], 4)
+    filt = LakeTable.create(os.path.join(base, "filt"), ["user_id"], 4)
+    targets = [
+        {"dst": plain},
+        {"dst": filt, "where": [("value_c", ">=", 5000)], "columns": ["event_type"]},
+    ]
+    src.apply_window(ds.filter(expr=f"commit_seq <= {CUT}"), 0, CUT)
+    replicate_many(src, targets)  # bootstrap both from one shared diff
+    src.apply_window(ds.filter(expr=f"commit_seq > {CUT}"), CUT, HI)
+    src.delete_where(_uid_mod7_is0)
+    replicate_many(src, targets)  # incremental round, one shared diff
+
+    def label(name: str, pad_value_c: bool):
+        def run(batch: pa.Table) -> pa.Table:
+            out = batch.append_column(
+                "replica", pa.array([name] * batch.num_rows, pa.string())
+            )
+            if pad_value_c:
+                out = out.append_column(
+                    "value_c", pa.nulls(batch.num_rows, pa.int64())
+                )
+            return out.select(["replica", "user_id", "event_type", "value_c"])
+
+        return run
+
+    p = plain.read(columns=["user_id", "event_type", "value_c"]).map_batches(
+        label("plain", False), batch_format="pyarrow"
+    )
+    f = filt.read(columns=["user_id", "event_type"]).map_batches(
+        label("filtered", True), batch_format="pyarrow"
+    )
+    return p.union(f)
+
+
+SQL_REPLICA_FANOUT = f"""
+WITH sb AS (
+  {_SQL_LWW_SB}
+)
+SELECT 'plain' AS replica, user_id, event_type, value_c FROM sb
+UNION ALL
+SELECT 'filtered' AS replica, user_id, event_type, CAST(NULL AS BIGINT) AS value_c
+FROM sb WHERE value_c >= 5000
+"""
+
+
 SQL_MATVIEW = f"""
 WITH sb AS (
   {_SQL_LWW_SB}
@@ -4903,6 +4969,7 @@ QUERIES = {
     "matview_revenue": q_matview_revenue,
     "lake_replica": q_lake_replica,
     "lake_replica_filtered": q_lake_replica_filtered,
+    "lake_replica_fanout": q_lake_replica_fanout,
     "corpus_pipeline": q_corpus_pipeline,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_docs": q_dedup_keep_docs,
@@ -5006,6 +5073,7 @@ ORACLES = {
     "matview_revenue": SQL_MATVIEW,
     "lake_replica": SQL_REPLICA,
     "lake_replica_filtered": SQL_REPLICA_FILTERED,
+    "lake_replica_fanout": SQL_REPLICA_FANOUT,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "stratified_sample": SQL_STRATIFIED,
     "dedup_keep_docs": SQL_DEDUP_KEEP,

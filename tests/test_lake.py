@@ -1909,3 +1909,90 @@ def test_replica_keys_only_and_degenerate_specs(ray_session, tmp_path):
         replicate(src, dst, where=[("lang", "in", "py")])
     with pytest.raises(ValueError, match="duplicate names"):
         replicate(src, dst, columns=["content", "content"])
+
+
+def test_replicate_many_shared_diff_fanout(ray_session, tmp_path):
+    """One source fanned out to three replicas (plain, filtered,
+    keys-only) in one call: the CDC diff is computed ONCE for targets
+    sharing a watermark (counted via a diff_as_of wrapper), every
+    replica matches its own filter/projection of source state, and
+    planning is fail-fast (a bad later target raises before ANY
+    replica is written)."""
+    from jitsu_ray.pipelines.replicate import replicate_many
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 4)
+    src.apply_window(
+        make_ds(
+            [
+                ev(1, "insert", "r1", "a", "c1", "py", "v1"),
+                ev(2, "insert", "r1", "b", "c1", "go", "v1"),
+                ev(3, "insert", "r2", "c", "c1", "py", "v1"),
+            ]
+        ),
+        0,
+        3,
+    )
+    d_plain = LakeTable.create(str(tmp_path / "plain"), ["repo", "path"], 2)
+    d_py = LakeTable.create(str(tmp_path / "py"), ["repo", "path"], 2)
+    d_keys = LakeTable.create(str(tmp_path / "keys"), ["repo", "path"], 2)
+    targets = [
+        {"dst": d_plain},
+        {"dst": d_py, "where": [("lang", "=", "py")], "columns": ["content"]},
+        {"dst": d_keys, "columns": []},
+    ]
+
+    calls = []
+    real = src.diff_as_of
+
+    def counted(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    src.diff_as_of = counted
+    try:
+        res = replicate_many(src, targets)
+    finally:
+        del src.diff_as_of
+    assert [r["mode"] for r in res] == ["incremental"] * 3
+    assert len(calls) == 1  # one shared scan for the three-way fan-out
+    assert _state(d_plain) == _state(src)
+    assert _proj_state(d_py, ["content"]) == {
+        ("r1", "a"): ("v1",),
+        ("r2", "c"): ("v1",),
+    }
+    assert set(_proj_state(d_keys, [])) == set(_state(src))
+
+    # second wave: b enters the predicate, a deleted
+    src.apply_window(
+        make_ds(
+            [
+                ev(4, "update", "r1", "b", "c2", "py", "v2"),
+                ev(5, "delete", "r1", "a"),
+            ]
+        ),
+        3,
+        5,
+    )
+    res = replicate_many(src, targets)
+    assert [r["mode"] for r in res] == ["incremental"] * 3
+    assert _state(d_plain) == _state(src)
+    assert _proj_state(d_py, ["content"]) == {
+        ("r1", "b"): ("v2",),
+        ("r2", "c"): ("v1",),
+    }
+
+    # fail-fast: a later target's bad spec raises BEFORE any apply
+    src.apply_window(make_ds([ev(6, "insert", "r2", "d", "c1", "py", "v1")]), 5, 6)
+    before = _state(d_plain)
+    with pytest.raises(ValueError, match="non-source columns"):
+        replicate_many(
+            src, [{"dst": d_plain}, {"dst": d_py, "where": [("nope", "=", 1)]}]
+        )
+    assert _state(d_plain) == before  # nothing was written
+
+    # a target at a UNIQUE watermark joins the fan-out without a shared
+    # scan for it: bootstrap a fourth replica alongside the caught-up trio
+    d_new = LakeTable.create(str(tmp_path / "new"), ["repo", "path"], 2)
+    res = replicate_many(src, targets + [{"dst": d_new}])
+    assert [r["mode"] for r in res] == ["incremental"] * 4
+    assert _state(d_new) == _state(src) == _state(d_plain)
