@@ -283,19 +283,9 @@ def replicate(
 
     Returns ``{"mode": noop|incremental|resync, "from_seq", "to_seq",
     "rows"}``."""
-    import os as _os
-
-    plan = _plan_target(
-        src,
-        dst,
-        resync,
-        where,
-        columns,
-        src_lseq=src.ledger.max_seq(),
-        to=src.ledger.last_committed_hi(),
-        src_id=_os.path.realpath(src.dir),
-    )
-    return _execute_target(src, plan)
+    return replicate_many(
+        src, [{"dst": dst, "resync": resync, "where": where, "columns": columns}]
+    )[0]
 
 
 def replicate_many(src, targets: list[dict]) -> list[dict]:
@@ -313,45 +303,63 @@ def replicate_many(src, targets: list[dict]) -> list[dict]:
     unlike serial calls, which apply earlier targets before a later one
     fails), then incremental targets sharing a watermark get one
     materialized diff fanned out through each target's own filter /
-    projection; the diff is bounded by the CHANGE set, so pinning it in
-    the object store costs O(changes), not O(state). A target at a
-    unique watermark streams its diff exactly like a solo round; if the
-    shared materialize hits vacuumed history every member falls back to
-    its own re-sync (the solo contract)."""
+    projection; an INCREMENTAL diff is bounded by the CHANGE set, so
+    pinning it in the object store costs O(changes), not O(state).
+    BOOTSTRAP targets (watermark 0, where the "diff" is the entire
+    source state) are exempt — each streams its own scan rather than
+    pinning O(state) in the store, the same N-scan cost as serial
+    calls. A target at a unique watermark streams its diff exactly like
+    a solo round; if the shared materialize hits vacuumed history every
+    member falls back to its own re-sync (the solo contract)."""
     import os as _os
 
     src_lseq = src.ledger.max_seq()
     to = src.ledger.last_committed_hi()
     src_id = _os.path.realpath(src.dir)
-    plans = [
-        _plan_target(
-            src,
-            t["dst"],
-            bool(t.get("resync", False)),
-            t.get("where"),
-            t.get("columns"),
-            src_lseq=src_lseq,
-            to=to,
-            src_id=src_id,
+    plans = []
+    seen_dsts: dict[str, int] = {}
+    for i, t in enumerate(targets):
+        did = _os.path.realpath(t["dst"].dir)
+        if did in seen_dsts:
+            # the second apply at the shared watermark would be silently
+            # swallowed by the idempotent window skip (its filter never
+            # applied) — reject instead
+            raise ValueError(
+                f"targets {seen_dsts[did]} and {i} share the destination "
+                f"lake {did}; give each target its own replica"
+            )
+        seen_dsts[did] = i
+        plans.append(
+            _plan_target(
+                src,
+                t["dst"],
+                bool(t.get("resync", False)),
+                t.get("where"),
+                t.get("columns"),
+                src_lseq=src_lseq,
+                to=to,
+                src_id=src_id,
+            )
         )
-        for t in targets
-    ]
-    by_frm: dict[int, int] = {}
+    by_span: dict[tuple[int, int], int] = {}
     for p in plans:
-        if p["mode"] == "incremental":
-            by_frm[p["frm"]] = by_frm.get(p["frm"], 0) + 1
-    shared: dict[int, object] = {}
-    for frm, n in by_frm.items():
+        # keyed by (frm, to): a plan whose frm > to race re-snapshot
+        # advanced its `to` (see _plan_target) diffs a different span
+        if p["mode"] == "incremental" and p["frm"] > 0:
+            span = (p["frm"], p["to"])
+            by_span[span] = by_span.get(span, 0) + 1
+    shared: dict[tuple[int, int], object] = {}
+    for (frm, span_to), n in by_span.items():
         if n > 1:
             try:
-                shared[frm] = src.diff_as_of(frm, to).materialize()
+                shared[(frm, span_to)] = src.diff_as_of(frm, span_to).materialize()
             except Exception as e:
                 if not _is_file_not_found(e):
                     raise
                 # vacuumed history: leave the members to their solo
                 # stream-then-resync fallback
     return [
-        _execute_target(src, p, diff=shared.get(p["frm"]))
+        _execute_target(src, p, diff=shared.get((p["frm"], p["to"])))
         for p in plans
     ]
 
@@ -401,6 +409,15 @@ def _plan_target(src, dst, resync, where, columns, src_lseq, to, src_id) -> dict
     # (conservatively) re-examined by the next round
     dst_lseq = dst.ledger.max_seq()
     frm = dst.ledger.last_committed_hi()
+    if frm > to:
+        # `to` was snapshotted BEFORE frm (once per replicate_many call),
+        # so a concurrent replicator advancing this replica between the
+        # two reads makes a healthy replica look AHEAD. Re-snapshot the
+        # source before diagnosing: if the source has really caught up,
+        # this plan just covers the newer span (its src_lseq stays the
+        # older value, which is only ever used as a conservative
+        # scan-floor for the NEXT round).
+        to = max(to, src.ledger.last_committed_hi())
     if frm > to:
         raise ValueError(
             f"replica watermark {frm} is AHEAD of the source's committed "

@@ -576,9 +576,11 @@ class LakeTable:
         RECOVERY path (Replayer.replay_spooled): a spooled window whose
         (lo, hi] the stream has already advanced past must still be
         applied at its ORIGINAL bounds so the watermark never claims seq
-        territory that was never read. Idempotent under re-crash: the
-        deterministic window tag overwrites the same delta files and
-        live_files() dedupes the repeated ledger row.
+        territory that was never read. A forced window whose (lo, hi]
+        collides with an already-committed window's gets a SUFFIXED
+        file tag so it can never overwrite that window's delta files
+        (a re-apply of the SAME content just adds an equal-content file
+        the LWW fold resolves identically).
         """
         if not force and hi <= self.ledger.last_committed_hi():
             # Idempotent replay: window already committed (M8 / D3 analog —
@@ -600,6 +602,35 @@ class LakeTable:
         key_cols = self.key_cols
         num_parts = self.num_partitions
         window_tag = f"{lo:012d}-{hi:012d}"
+        if force:
+            # A forced window may share (lo, hi] with a DIFFERENT
+            # previously-committed window (a late spool recovery at its
+            # original bounds after the stream advanced past them, a
+            # repeated resync repair at frm == to). The deterministic
+            # tag would then OVERWRITE that window's delta files on
+            # disk — silent data loss the ledger cannot see (both rows
+            # would point at one file; found by the randomized
+            # interleaving property test). Suffix the tag until its
+            # paths are unused. The suffix seeds from the ledger
+            # position, which grows with every commit (incl. the
+            # compact that vacuums), so a vacuumed path is never
+            # resurrected under an older time-travel view. Orphan files
+            # from a crashed forced attempt are skipped over (the retry
+            # picks the next free suffix) and stay invisible exactly
+            # like any crashed normal window's staging leftovers.
+            def _tag_in_use(tag: str) -> bool:
+                return any(
+                    os.path.exists(
+                        os.path.join(self.dir, f"part={p:05d}", f"delta-{tag}.parquet")
+                    )
+                    for p in range(num_parts)
+                )
+
+            if _tag_in_use(window_tag):
+                n = self.ledger.max_seq()
+                while _tag_in_use(f"{window_tag}-f{n}"):
+                    n += 1
+                window_tag = f"{window_tag}-f{n}"
 
         def prep(batch: pa.Table) -> pa.Table:
             # combiner: partition id + within-batch per-key pre-reduce, so

@@ -1954,7 +1954,10 @@ def test_replicate_many_shared_diff_fanout(ray_session, tmp_path):
     finally:
         del src.diff_as_of
     assert [r["mode"] for r in res] == ["incremental"] * 3
-    assert len(calls) == 1  # one shared scan for the three-way fan-out
+    # BOOTSTRAP (frm=0) is exempt from the shared materialize — the
+    # "diff" there is the whole source state, which must stream rather
+    # than pin O(state) in the object store: three solo scans
+    assert len(calls) == 3 and all(a == (0, 3) for a in calls)
     assert _state(d_plain) == _state(src)
     assert _proj_state(d_py, ["content"]) == {
         ("r1", "a"): ("v1",),
@@ -1973,8 +1976,15 @@ def test_replicate_many_shared_diff_fanout(ray_session, tmp_path):
         3,
         5,
     )
-    res = replicate_many(src, targets)
+    calls.clear()
+    src.diff_as_of = counted
+    try:
+        res = replicate_many(src, targets)
+    finally:
+        del src.diff_as_of
     assert [r["mode"] for r in res] == ["incremental"] * 3
+    # INCREMENTAL wave: one shared (3, 5] scan drives all three replicas
+    assert len(calls) == 1 and calls[0] == (3, 5)
     assert _state(d_plain) == _state(src)
     assert _proj_state(d_py, ["content"]) == {
         ("r1", "b"): ("v2",),
@@ -1989,6 +1999,11 @@ def test_replicate_many_shared_diff_fanout(ray_session, tmp_path):
             src, [{"dst": d_plain}, {"dst": d_py, "where": [("nope", "=", 1)]}]
         )
     assert _state(d_plain) == before  # nothing was written
+    # duplicate destination: the second target's apply would be silently
+    # swallowed by the idempotent window skip — rejected up front
+    with pytest.raises(ValueError, match="share the destination"):
+        replicate_many(src, [{"dst": d_plain}, {"dst": d_plain, "columns": []}])
+    assert _state(d_plain) == before
 
     # a target at a UNIQUE watermark joins the fan-out without a shared
     # scan for it: bootstrap a fourth replica alongside the caught-up trio
