@@ -379,14 +379,17 @@ class Replayer:
         already advanced the watermark past them; committing them as
         fresh higher windows would claim seq territory never read from
         the changelog, silently skipping a future real event with that
-        seq). LWW order-independence makes the late apply exact; the
-        deterministic window tag makes a re-crashed recovery idempotent.
+        seq). LWW order-independence makes the late apply exact; a forced
+        window writes UNIQUE-tagged delta files (it may share bounds
+        with an already-committed window it must never overwrite), so a
+        re-crashed recovery converges by STATE (equal-content files tie
+        to the same LWW result), not by path overwrite.
         A recovered window's spool dir is REMOVED after its force-apply
         commits: a leftover dir would count as pending in
         ``_safe_tombstone_watermark`` forever, permanently pinning the
         tombstone vacuum. Removal after commit is crash-safe — a crash
         between apply and rmtree leaves the dir, and the next recovery
-        re-applies idempotently (force + deterministic window tag) then
+        re-applies idempotently (equal-content forced re-apply) then
         removes it; a record whose dir is ALREADY gone was recovered by
         an earlier run (records are only written after the dir rename)
         and is skipped, so re-running with a stale spooled.json is safe.

@@ -319,7 +319,12 @@ def replicate_many(src, targets: list[dict]) -> list[dict]:
     plans = []
     seen_dsts: dict[str, int] = {}
     for i, t in enumerate(targets):
-        did = _os.path.realpath(t["dst"].dir)
+        # creation UUID first (realpath misses bind-mount aliases —
+        # the same reason the swapped-source check records lake_id);
+        # realpath only for legacy lakes without one
+        did = getattr(t["dst"], "lake_id", None) or _os.path.realpath(
+            t["dst"].dir
+        )
         if did in seen_dsts:
             # the second apply at the shared watermark would be silently
             # swallowed by the idempotent window skip (its filter never

@@ -46,7 +46,9 @@ Scale notes (the 100 TB design points):
   * Wide rows (multi-MB ``content``) stay in Arrow large_string; every
     stage is ``batch_format="pyarrow"``; nothing converts to pandas.
   * Writes are resumable/idempotent: delta paths are deterministic per
-    window, invisible until the ledger row lands (state/ledger.py).
+    NORMAL window (forced windows get unique tags — they may share
+    bounds with a committed window they must never overwrite) and
+    invisible until the ledger row lands (state/ledger.py).
 """
 
 from __future__ import annotations
@@ -610,27 +612,26 @@ class LakeTable:
             # tag would then OVERWRITE that window's delta files on
             # disk — silent data loss the ledger cannot see (both rows
             # would point at one file; found by the randomized
-            # interleaving property test). Suffix the tag until its
-            # paths are unused. The suffix seeds from the ledger
-            # position, which grows with every commit (incl. the
-            # compact that vacuums), so a vacuumed path is never
-            # resurrected under an older time-travel view. Orphan files
-            # from a crashed forced attempt are skipped over (the retry
-            # picks the next free suffix) and stay invisible exactly
-            # like any crashed normal window's staging leftovers.
-            def _tag_in_use(tag: str) -> bool:
-                return any(
-                    os.path.exists(
-                        os.path.join(self.dir, f"part={p:05d}", f"delta-{tag}.parquet")
-                    )
-                    for p in range(num_parts)
-                )
+            # interleaving property test). Forced windows therefore get
+            # an ALWAYS-UNIQUE tag: ledger position + random suffix.
+            # Uniqueness (rather than a probe-until-free loop) also
+            # rules out (a) resurrecting a compaction-VACUUMED plain
+            # tag whose file is gone from disk but whose ledger row
+            # still names the path under older time-travel views, and
+            # (b) two CONCURRENT forced appliers racing one existence
+            # probe to the same "free" tag — the ledger's optimistic
+            # seq claim serializes rows, not the file writes a probe
+            # races against. The costs: an orphan file set per CRASHED
+            # forced attempt (invisible — no ledger row — exactly like
+            # any crashed normal window's staging leftovers) and a
+            # duplicate equal-content file per re-forced identical
+            # window (the LWW fold's last-arrival tie resolves both to
+            # the same state).
+            import uuid as _uuid
 
-            if _tag_in_use(window_tag):
-                n = self.ledger.max_seq()
-                while _tag_in_use(f"{window_tag}-f{n}"):
-                    n += 1
-                window_tag = f"{window_tag}-f{n}"
+            window_tag = (
+                f"{window_tag}-f{self.ledger.max_seq()}-{_uuid.uuid4().hex[:8]}"
+            )
 
         def prep(batch: pa.Table) -> pa.Table:
             # combiner: partition id + within-batch per-key pre-reduce, so

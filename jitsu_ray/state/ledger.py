@@ -4,9 +4,12 @@ One JSON file per committed action (window apply / compaction), named by
 a monotonically increasing sequence number and written atomically
 (tmp + rename). The set of live data files is derived by replaying the
 ledger, so data files staged by a crashed window (no ledger row) are
-invisible — this plus deterministic per-window delta paths gives the
-exactly-once story (SURVEY.md §7.4): re-running a window overwrites its
-own staged files and commits at most one ledger row.
+invisible — this plus deterministic per-NORMAL-window delta paths gives
+the exactly-once story (SURVEY.md §7.4): re-running a window overwrites
+its own staged files and commits at most one ledger row. FORCED windows
+(spool recovery, resync repairs) use unique tags instead — they may
+share bounds with a committed window they must never overwrite — and
+converge by LWW state, not path identity.
 
 Replaces the reference's per-file upload status JSONs
 (server/logfiles/status_manager.go:32-110) and Redis interval
@@ -209,8 +212,8 @@ class Ledger:
                 for p, f in e["files"].items():
                     pi = int(p)
                     s = seen.setdefault(pi, set())
-                    if f not in s:  # forced re-apply commits the same
-                        s.add(f)  # deterministic path twice
+                    if f not in s:  # legacy forced re-applies committed
+                        s.add(f)  # one deterministic path twice
                         parts.setdefault(pi, []).append(f)
 
             elif e["kind"] == "compact":
