@@ -89,7 +89,12 @@ def _norm_where(where) -> list[list]:
     of ``(col, op, value)`` conjuncts (value omitted/None for the null
     tests, a list for ``in``/``not in``). The canonical form feeds the
     round tag's filter identity, so two spellings of one spec must
-    normalize identically (tuples -> lists, in-lists sorted)."""
+    normalize identically (tuples -> lists, in-lists sorted + deduped;
+    _plan_target additionally sorts the CONJUNCTS in the identity JSON
+    while evaluation keeps the given order). Values outside
+    {str, bool, int, float} are rejected here — bytes/datetime would
+    render as invalid SQL in where_sql and their repr-based identity
+    would not round-trip."""
     out = []
     for c in where:
         if len(c) == 2:
@@ -117,12 +122,28 @@ def _norm_where(where) -> list[list]:
             vals = list(val)
             if not vals or any(v is None for v in vals):
                 raise ValueError(f"{op!r} needs a non-empty list of non-null values")
-            out.append([str(col), op, sorted(vals, key=repr)])
+            for v in vals:
+                _check_lit(op, v)
+            # sorted + DEDUPED: in-list [1, 1] must share the filter
+            # identity of [1], else a respelled spec forces a spurious
+            # full resync on the next replication round
+            out.append([str(col), op, sorted(set(vals), key=repr)])
             continue
         if val is None:
             raise ValueError(f"{op!r} against NULL never matches; use 'is null'")
+        _check_lit(op, val)
         out.append([str(col), op, val])
     return out
+
+
+def _check_lit(op: str, v) -> None:
+    if not isinstance(v, (str, bool, int, float)):
+        raise ValueError(
+            f"where op {op!r} value {v!r} has unsupported type "
+            f"{type(v).__name__}; use str, bool, int or float"
+        )
+    if isinstance(v, float) and not (v == v and abs(v) != float("inf")):
+        raise ValueError(f"where op {op!r} value {v!r} is not a finite number")
 
 
 def compile_where(where):
@@ -136,7 +157,9 @@ def compile_where(where):
 
     def mask(batch: pa.Table):
         if not spec:  # empty conjunction = TRUE (where_sql renders it so)
-            return pa.array([True] * batch.num_rows)
+            # explicit bool_ type: [True]*0 would infer NULL type on an
+            # empty batch and Table.filter rejects a null-typed mask
+            return pa.array([True] * batch.num_rows, type=pa.bool_())
         m = None
         for col, op, val in spec:
             v = batch[col]
@@ -167,13 +190,20 @@ def _sql_lit(v) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # force e-notation: DuckDB parses a bare decimal literal (1.2)
+        # as exact DECIMAL, whose arithmetic lands 1 ULP off float64 in
+        # hash-compared oracles (the documented bare-decimal trap);
+        # 1.2e0 parses as DOUBLE
+        s = repr(v)
+        return s if ("e" in s or "E" in s) else s + "e0"
     return str(v)
 
 
 def where_sql(where) -> str:
     """The spec's ANSI-SQL twin (for oracle queries / documentation).
-    Float literals are the caller's parity problem — prefer ints and
-    strings in specs that feed hash-compared oracles."""
+    Floats render in e-notation so DuckDB parses them as DOUBLE, not
+    DECIMAL (bare-decimal-literal oracle-parity trap)."""
     parts = []
     for col, op, val in _norm_where(where):
         if op in ("is null", "is not null"):
@@ -402,7 +432,12 @@ def _plan_target(src, dst, resync, where, columns, src_lseq, to, src_id) -> dict
         # keys-only replica and must not share the full-payload identity
         filt = json.dumps(
             {
-                "where": norm_where,
+                # conjuncts SORTED in the identity only (evaluation keeps
+                # the caller's order): `a=1 AND b=2` and `b=2 AND a=1`
+                # are one predicate and must not force a spurious resync
+                "where": sorted(norm_where, key=repr)
+                if norm_where is not None
+                else None,
                 "columns": list(columns) if columns is not None else None,
             },
             sort_keys=True,

@@ -1882,6 +1882,49 @@ def test_where_sql_twin():
     )
 
 
+def test_where_spec_identity_and_literals(ray_session, tmp_path):
+    """Round-5 advice pins: (a) compile_where([]) yields a BOOL-typed
+    match-all mask even on a 0-row batch (null-typed [True]*0 would
+    crash Table.filter); (b) in-list duplicates and conjunct order do
+    not change the filter identity — a respelled predicate is a noop
+    round, not a spurious full resync; (c) _sql_lit renders floats in
+    e-notation (DuckDB DOUBLE, not DECIMAL) and rejects non-SQL types
+    loudly."""
+    import pyarrow as pa
+    import pytest
+
+    from jitsu_ray.pipelines.replicate import (
+        compile_where,
+        replicate,
+        where_sql,
+    )
+
+    empty = pa.table({"lang": pa.array([], pa.string())})
+    mask = compile_where([])(empty)
+    assert mask.type == pa.bool_()
+    assert empty.filter(mask).num_rows == 0
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    spec = [("lang", "in", ["py", "go"]), ("repo", "!=", "zzz")]
+    assert replicate(src, dst, where=spec)["mode"] == "incremental"
+    # reordered conjuncts + duplicated in-list values = SAME predicate
+    respelled = [("repo", "!=", "zzz"), ("lang", "in", ["go", "py", "go"])]
+    assert replicate(src, dst, where=respelled)["mode"] == "noop"
+
+    assert where_sql([("score", ">", 1.5)]) == "score > 1.5e0"
+    assert where_sql([("score", ">", 1e300)]) == "score > 1e+300"
+    with pytest.raises(ValueError, match="unsupported type"):
+        where_sql([("blob", "=", b"x")])
+    with pytest.raises(ValueError, match="unsupported type"):
+        compile_where([("lang", "in", ["py", b"x"])])
+    with pytest.raises(ValueError, match="finite"):
+        where_sql([("score", "=", float("nan"))])
+
+
 def test_replica_keys_only_and_degenerate_specs(ray_session, tmp_path):
     """Review-fix pins: columns=[] is a KEYS-ONLY replica with its own
     filter identity (switching to full payload must resync, not ride the
