@@ -47,9 +47,25 @@ _SCHEMA = pa.schema(
 
 
 def profile_table(ds, columns: list[str] | None = None,
-                  num_shards: int = 32) -> pa.Table:
+                  num_shards: int = 32, exact: bool = True,
+                  distinct_limit: int = 20_000_000,
+                  hll_p: int = 12) -> pa.Table:
     """Profile ``columns`` (default: all) of ``ds``; returns one small
-    pa.Table row per column, sorted by column name."""
+    pa.Table row per column, sorted by column name.
+
+    ``exact=False`` enables VOLUME ROUTING (the group_distinct_auto
+    shape): when the table's row count — known for free from the counts
+    pass — exceeds ``distinct_limit``, the per-column distinct-value
+    exchange (itself corpus-scale on ultra-high-cardinality columns)
+    is replaced by ONE fused HyperLogLog pass: a 2^hll_p-byte mergeable
+    sketch per column per batch, folded by a tiny (column) groupby —
+    shuffle bytes = #columns x #batches x 2^hll_p, never the values.
+    Sketch-routed profiles report n_distinct to ~1.04/sqrt(2^hll_p)
+    (~1.6% at p=12) and NULL top_value/top_count (a most-frequent value
+    over a mostly-unique domain is not meaningful, and computing it
+    exactly would need the very exchange the route avoids); n_rows and
+    n_null stay exact. ``exact=True`` (default, the oracle path) always
+    takes the exact exchange."""
     from .join import hash_shard_finalize
 
     schema = ds.schema().base_schema
@@ -82,6 +98,9 @@ def profile_table(ds, columns: list[str] | None = None,
             .take_all()
         )
     }
+    total_rows = max((nr for nr, _ in counts.values()), default=0)
+    if not exact and total_rows > distinct_limit:
+        return _profile_sketch(ds, columns, counts, hll_p)
 
     def _fmt_top(v, typ) -> str:
         """CAST(x AS VARCHAR) parity with DuckDB: Python str(datetime)
@@ -166,6 +185,65 @@ def profile_table(ds, columns: list[str] | None = None,
             "n_distinct": [r[3] for r in out],
             "top_value": [r[4] for r in out],
             "top_count": [r[5] for r in out],
+        },
+        schema=_SCHEMA,
+    )
+
+
+def _profile_sketch(ds, columns: list[str], counts: dict, hll_p: int) -> pa.Table:
+    """The volume-routed distinct path of :func:`profile_table`: ONE
+    fused map_batches pass emits a serialized HyperLogLog per (column,
+    batch); a (column)-keyed groupby merges them (register-wise max —
+    associative, so any fold order is exact w.r.t. the sketch). The
+    exchange carries #columns x #batches x ~2^hll_p bytes regardless of
+    input size — the property the exact distinct-value exchange loses
+    on ultra-high-cardinality columns."""
+    import json
+
+    from .sketch import HyperLogLog, xxhash64_column
+
+    def hll_partials(batch: pa.Table) -> pa.Table:
+        names, states = [], []
+        for c in columns:
+            sk = HyperLogLog(hll_p).add_hashed(xxhash64_column(batch[c]))
+            names.append(c)
+            states.append(json.dumps(sk.to_state()))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "__hll": pa.array(states, pa.string()),
+            }
+        )
+
+    def merge_column(group: pa.Table) -> pa.Table:
+        sk = HyperLogLog(hll_p)
+        for st in group["__hll"].to_pylist():
+            sk = sk.merge(HyperLogLog.from_state(json.loads(st)))
+        return pa.table(
+            {
+                "column": group["column"].slice(0, 1).combine_chunks(),
+                "n_distinct": pa.array([int(round(sk.estimate()))], pa.int64()),
+            }
+        )
+
+    distinct = {
+        r["column"]: int(r["n_distinct"])
+        for r in (
+            ds.map_batches(hll_partials, batch_format="pyarrow")
+            .groupby("column")
+            .map_groups(merge_column, batch_format="pyarrow")
+            .take_all()
+        )
+    }
+    cols_sorted = sorted(columns)
+    return pa.table(
+        {
+            "column": cols_sorted,
+            "n_rows": [counts.get(c, (0, 0))[0] for c in cols_sorted],
+            "n_null": [counts.get(c, (0, 0))[1] for c in cols_sorted],
+            "n_distinct": [distinct.get(c, 0) for c in cols_sorted],
+            "top_value": pa.array([None] * len(cols_sorted), pa.string()),
+            "top_count": pa.array([None] * len(cols_sorted), pa.int64()),
         },
         schema=_SCHEMA,
     )

@@ -1852,6 +1852,52 @@ def test_profile_table_semantics(ray_session):
     assert sub["column"] == ["i"]
 
 
+def test_profile_table_sketch_route(ray_session):
+    """Forced volume route (distinct_limit=0, exact=False): n_distinct
+    comes from the fused HyperLogLog pass and must land within the
+    sketch's ~1.6% (p=12) error bound of the exact count; n_rows/n_null
+    stay exact; top_value/top_count are suppressed (NULL) on every
+    sketch-routed column. exact=True ignores the limit entirely."""
+    import ray.data
+
+    from jitsu_ray.ops.profile import profile_table
+
+    n = 5000
+    tbl = pa.table(
+        {
+            "u": pa.array([f"user-{i}" for i in range(n)], pa.string()),
+            "g": pa.array([i % 37 for i in range(n)], pa.int64()),
+            "x": pa.array(
+                [None if i % 10 == 0 else float(i % 250) for i in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    routed = profile_table(ds, exact=False, distinct_limit=0).to_pydict()
+    prof = {
+        c: (r, nn, d, tv, tc)
+        for c, r, nn, d, tv, tc in zip(
+            routed["column"], routed["n_rows"], routed["n_null"],
+            routed["n_distinct"], routed["top_value"], routed["top_count"],
+        )
+    }
+    # x: a value v = i % 250 appears at i = v + 250k, and (v + 250k) % 10
+    # == v % 10 — so the 25 multiples of 10 are ALWAYS null: 225 distinct
+    for c, exact_d in (("u", n), ("g", 37), ("x", 225)):
+        r, nn, d, tv, tc = prof[c]
+        assert r == n
+        assert tv is None and tc is None
+        # 1.04/sqrt(4096) ~ 1.6% std error; allow 5% (3 sigma + rounding)
+        assert abs(d - exact_d) <= max(2, 0.05 * exact_d), (c, d, exact_d)
+    assert prof["x"][1] == 500  # nulls exact even on the sketch route
+    # exact=True takes the exchange regardless of the limit
+    ex = profile_table(ds, exact=True, distinct_limit=0).to_pydict()
+    got = dict(zip(ex["column"], ex["n_distinct"]))
+    assert got == {"u": n, "g": 37, "x": 225}
+    assert dict(zip(ex["column"], ex["top_value"]))["g"] is not None
+
+
 def test_pack_sequences_semantics(ray_session):
     import ray.data
 
