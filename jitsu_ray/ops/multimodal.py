@@ -2,12 +2,19 @@
 
 Images/audio/video are `binary` columns; decode / feature-extraction /
 resize / frame-sample are actor-pool map_batches stages sized for large
-payloads (small batch_size, pyarrow end to end). The actual codec calls
-are STUBBED — PIL/ffmpeg are not in this container — behind
-`DecoderBackend`: the default `FakeDecoder` derives deterministic
-pseudo-metadata from the bytes so the Ray-side plumbing (schema, actor
-signature, batch sizing, output layout) is real and tested; a real
-backend drops in by replacing `decode_one`.
+payloads (small batch_size, pyarrow end to end). Codec calls sit behind
+`DecoderBackend` with three implementations:
+
+- `FakeDecoder` (oracle default): deterministic pseudo-metadata from a
+  sha256 of the bytes, so the driver oracle can recompute every field.
+- `HeaderProbeDecoder`: REAL pure-stdlib container-header parsing for
+  PNG / GIF / BMP / JPEG (width, height, channels from the format
+  headers — no pixel decode, no third-party deps), usable anywhere.
+- `PilDecoder`: full pixel-level decode via PIL when it is installed
+  (import-guarded; this container lacks it, so tests skipif).
+
+`default_backend()` picks PilDecoder when PIL imports, FakeDecoder
+otherwise — queries keep the fake explicitly so oracles stay exact.
 """
 
 from __future__ import annotations
@@ -29,9 +36,114 @@ MEDIA_SCHEMA = pa.schema(
 class DecoderBackend:
     def decode_one(self, data: bytes, mime: str) -> dict:
         raise NotImplementedError(
-            "real image/audio decoding needs PIL/ffmpeg, not present in this "
-            "container; use FakeDecoder or plug a backend in"
+            "abstract decode backend; use FakeDecoder (deterministic, "
+            "oracle-checkable), HeaderProbeDecoder (stdlib header parse), "
+            "or PilDecoder (pixel decode, needs PIL installed)"
         )
+
+
+def default_backend() -> "type[DecoderBackend]":
+    """The backend class `decode_media` should use when the caller has
+    no oracle-parity constraint: PilDecoder when PIL is importable,
+    FakeDecoder otherwise. Returns the CLASS (map_batches constructs it
+    once per actor)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return PilDecoder
+    except ImportError:
+        return FakeDecoder
+
+
+class PilDecoder(DecoderBackend):
+    """Real pixel-level decode via PIL (import-guarded — raises a clear
+    ImportError at ACTOR CONSTRUCTION, not per batch, when PIL is
+    absent). Emits the same field set as FakeDecoder so the two are
+    drop-in interchangeable in `decode_media`."""
+
+    _MODE_CHANNELS = {
+        "1": 1, "L": 1, "P": 1, "I": 1, "F": 1,
+        "LA": 2, "RGB": 3, "YCbCr": 3, "HSV": 3,
+        "RGBA": 4, "CMYK": 4,
+    }
+
+    def __init__(self):
+        import PIL.Image
+
+        self._Image = PIL.Image
+
+    def decode_one(self, data: bytes, mime: str) -> dict:
+        import io
+
+        with self._Image.open(io.BytesIO(data)) as im:
+            im.load()  # force the full pixel decode (open() is lazy)
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_bytes": len(data),
+                "channels": self._MODE_CHANNELS.get(im.mode, len(im.getbands())),
+                "content_sha256": hashlib.sha256(data).hexdigest(),
+            }
+
+
+class HeaderProbeDecoder(DecoderBackend):
+    """Real METADATA decode with zero dependencies: parses width /
+    height / channels straight from the container headers of PNG, GIF,
+    BMP and JPEG (the published format layouts) — the shape a 100-TB
+    corpus scan actually wants, since probing a header reads tens of
+    bytes per object while a pixel decode reads (and decompresses) all
+    of them. Raises ValueError on unrecognized or truncated payloads
+    (callers route those to the dead-letter path like any decode
+    failure)."""
+
+    _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+    def decode_one(self, data: bytes, mime: str) -> dict:
+        import struct
+
+        w = h = ch = None
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 26:
+            # IHDR is always the first chunk: length+type at 8, data at 16
+            w, h = struct.unpack(">II", data[16:24])
+            ch = self._PNG_CHANNELS.get(data[25], 3)
+        elif data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+            w, h = struct.unpack("<HH", data[6:10])
+            ch = 3  # palette entries are RGB
+        elif data[:2] == b"BM" and len(data) >= 30:
+            # BITMAPINFOHEADER: int32 width/height at 18, bpp at 28
+            w, h = struct.unpack("<ii", data[18:26])
+            h = abs(h)  # negative height = top-down row order
+            bpp = struct.unpack("<H", data[28:30])[0]
+            ch = 4 if bpp == 32 else (3 if bpp == 24 else 1)
+        elif data[:2] == b"\xff\xd8":
+            # walk JPEG markers to the first frame header (SOFn)
+            i = 2
+            while i + 9 <= len(data):
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    ch = data[i + 9]
+                    break
+                i += 2 + seglen
+        if w is None:
+            raise ValueError(
+                f"unrecognized or truncated image payload ({len(data)} bytes, "
+                f"mime={mime!r}); HeaderProbeDecoder handles PNG/GIF/BMP/JPEG"
+            )
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_bytes": len(data),
+            "channels": int(ch),
+            "content_sha256": hashlib.sha256(data).hexdigest(),
+        }
 
 
 class FakeDecoder(DecoderBackend):
