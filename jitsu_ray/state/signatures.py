@@ -69,7 +69,14 @@ class SignatureStore:
     """
 
     def __init__(self, dir_path: str):
+        import threading
+
         self.dir = dir_path
+        # serialize read-modify-write saves within this process: two
+        # collections of the SAME source share one JSON file, and the
+        # scheduler runs collections on a thread pool — an unguarded
+        # concurrent save would drop the other thread's signature
+        self._lock = threading.Lock()
         os.makedirs(dir_path, exist_ok=True)
 
     def _path(self, source: str) -> str:
@@ -87,27 +94,29 @@ class SignatureStore:
         return self._load(source).get(collection_key, {}).get(interval_key, "")
 
     def save(self, source: str, collection_key: str, interval_key: str, signature: str) -> None:
-        data = self._load(source)
-        data.setdefault(collection_key, {})[interval_key] = signature
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, self._path(source))
+        with self._lock:
+            data = self._load(source)
+            data.setdefault(collection_key, {})[interval_key] = signature
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, self._path(source))
 
     def clear(self, source: str, collection_key: str | None = None) -> None:
         """Force full re-sync of a source (or one collection)."""
-        if collection_key is None:
-            try:
-                os.remove(self._path(source))
-            except FileNotFoundError:
-                pass
-            return
-        data = self._load(source)
-        data.pop(collection_key, None)
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, self._path(source))
+        with self._lock:
+            if collection_key is None:
+                try:
+                    os.remove(self._path(source))
+                except FileNotFoundError:
+                    pass
+                return
+            data = self._load(source)
+            data.pop(collection_key, None)
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, self._path(source))
 
 
 def plan_intervals(

@@ -582,6 +582,100 @@ def test_sync_signatures_skip_and_refresh(tmp_path):
     assert ("s1", closed.key()) in calls and ("s2", closed.key()) not in calls
 
 
+def test_run_scheduler_fake_clock(tmp_path):
+    """Recurring sync loop (task_executor.go:65-119 analog) under a
+    FAKE CLOCK: tick 1 syncs every interval NEW; tick 2 (one period
+    later) skips the closed DAY interval UPTODATE by stored signature
+    and re-syncs only the catch-all; a collection whose previous run is
+    still in flight is mutually excluded (counted busy, never
+    overlapped); a failing collection is recorded and does not kill the
+    loop."""
+    import threading
+    from datetime import datetime, timedelta
+
+    from jitsu_ray.pipelines.sync import Collection, run_scheduler
+    from jitsu_ray.state.signatures import ALL, DAY, SignatureStore, TimeInterval
+
+    store = SignatureStore(str(tmp_path / "sigs"))
+    t0 = datetime(2024, 6, 10, 12, 0, 0)
+    fake = {"now": t0}
+    closed = TimeInterval(DAY, datetime(2024, 6, 1))
+    catch_all = TimeInterval(ALL)
+    calls: list[tuple[str, str, datetime]] = []
+
+    def clock():
+        return fake["now"]
+
+    def sleep(sec):
+        import time
+
+        time.sleep(0.05)  # yield so pool threads actually run
+        fake["now"] = fake["now"] + timedelta(seconds=max(sec, 30))
+
+    def sink(ds, col, iv):
+        calls.append((col.source, iv.key(), fake["now"]))
+
+    col = Collection(
+        source="s1", name="orders", table="t",
+        intervals=lambda: [closed, catch_all],
+        loader=lambda iv: f"ds::{iv.key()}",
+    )
+    out = run_scheduler(
+        [(col, timedelta(seconds=60))], store, sink,
+        max_ticks=4, clock=clock, sleep=sleep, max_workers=2,
+    )
+    # 4 ticks at >=30s steps, 60s period => at least 2 runs
+    assert out["runs"] >= 2 and out["errors"] == []
+    day_syncs = [c for c in calls if c[1] == closed.key()]
+    all_syncs = [c for c in calls if c[1] == ALL]
+    assert len(day_syncs) == 1  # NEW once, then UPTODATE by signature
+    assert len(all_syncs) == out["runs"]  # catch-all refreshes every run
+    assert out["skipped"] == out["runs"] - 1
+
+    # mutual exclusion: a held run is never overlapped by its next due
+    gate = threading.Event()
+    started = threading.Event()
+
+    def slow_loader(iv):
+        started.set()
+        gate.wait(10)
+        return "ds"
+
+    slow = Collection(
+        source="s2", name="slow", table="t",
+        intervals=lambda: [catch_all], loader=slow_loader,
+    )
+
+    def sink2(ds, col, iv):
+        pass
+
+    def stop():
+        if started.is_set() and stop.ticks > 2:
+            gate.set()
+        stop.ticks += 1
+        return stop.ticks > 6
+
+    stop.ticks = 0
+    out2 = run_scheduler(
+        [(slow, timedelta(seconds=1))], store, sink2,
+        stop=stop, clock=clock, sleep=sleep, max_workers=2,
+    )
+    assert out2["busy"] >= 1 and out2["errors"] == []
+
+    # a failing collection is recorded, loop completes its ticks
+    boom = Collection(
+        source="s3", name="boom", table="t",
+        intervals=lambda: [catch_all],
+        loader=lambda iv: (_ for _ in ()).throw(RuntimeError("source down")),
+    )
+    out3 = run_scheduler(
+        [(boom, timedelta(seconds=60))], store, sink2,
+        max_ticks=2, clock=clock, sleep=sleep,
+    )
+    assert out3["ticks"] == 2
+    assert any("source down" in e for _, e in out3["errors"])
+
+
 class _StubHandler:
     """Factory for a local stub HTTP server recording requests."""
 
