@@ -2435,6 +2435,58 @@ FROM events
 """
 
 
+def q_lake_maintenance(sf_dir: str):
+    """Round-5 lake maintenance surface as one pipeline
+    (sinks/lake.split_partition / compact(max_input_bytes, vacuum=
+    'defer') / vacuum): the per-user LWW lake built in FOUR windows with
+    a size-tiered deferred-GC compaction and a 2-way partition split
+    (plus a nested child split) interleaved between them — so both
+    pre- and post-split windows route through the refined topology —
+    then a keep_history=0 vacuum GCs the replaced files. Every
+    maintenance op is state-invariant, so the resolved state must equal
+    the plain per-user LWW fold (SQL_LAKE_MAINT — the same arg_max
+    oracle the unsplit lake would have)."""
+    from .sinks.lake import LakeTable
+
+    ds = _read_sized(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    ).map_batches(_user_lww_prep, batch_format="pyarrow")
+    _sweep_stale_lakes("lake_mx_")
+    lake_dir = os.path.join(
+        CACHE_DIR, f"lake_mx_{os.path.basename(sf_dir)}_{os.getpid()}"
+    )
+    lake = LakeTable.create(lake_dir, ["user_id"], 8)
+    c1, c2, c3, hi = 2000, 4000, 6000, 20_000_000
+
+    def upto(c_lo, c_hi):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater(b["commit_seq"], c_lo), pc.less_equal(b["commit_seq"], c_hi)
+            )
+            return b.filter(m)
+
+        return f
+
+    lake.apply_window(ds.map_batches(upto(-1, c1), batch_format="pyarrow"), -1, c1)
+    lake.apply_window(ds.map_batches(upto(c1, c2), batch_format="pyarrow"), c1, c2)
+    # byte-bounded tiered fold of the two windows, GC deferred
+    lake.compact(max_input_bytes=256 * 1024, vacuum="defer")
+    lake.split_partition(0, factor=2)
+    lake.apply_window(ds.map_batches(upto(c2, c3), batch_format="pyarrow"), c2, c3)
+    lake.split_partition(8, factor=2)  # child 0+8 of the first split
+    lake.apply_window(ds.map_batches(upto(c3, hi), batch_format="pyarrow"), c3, hi)
+    lake.vacuum(keep_history=0)
+    return lake.read().select_columns(["user_id", "event_type", "value_c"])
+
+
+SQL_LAKE_MAINT = """
+SELECT user_id,
+       arg_max(event_type, event_id) AS event_type,
+       arg_max(CAST(floor(value*100 + 0.5) AS BIGINT), event_id) AS value_c
+FROM events GROUP BY user_id
+"""
+
+
 def q_cdc_diff(sf_dir: str):
     """CDC changelog between two lake states (sinks/lake.diff_as_of):
     per-user LWW state is built in two windows (events up to seq 5000,
@@ -4964,6 +5016,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "schema_infer": q_schema_infer,
     "time_travel": q_time_travel,
+    "lake_maintenance": q_lake_maintenance,
     "point_lookup_users": q_point_lookup_users,
     "cdc_diff": q_cdc_diff,
     "matview_revenue": q_matview_revenue,
@@ -5068,6 +5121,7 @@ ORACLES = {
     "interval_refresh": SQL_INTERVAL_REFRESH,
     "pull_sync": SQL_PULL_SYNC,
     "time_travel": SQL_TIME_TRAVEL,
+    "lake_maintenance": SQL_LAKE_MAINT,
     "point_lookup_users": SQL_POINT_LOOKUP,
     "cdc_diff": SQL_CDC_DIFF,
     "matview_revenue": SQL_MATVIEW,

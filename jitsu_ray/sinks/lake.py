@@ -67,7 +67,28 @@ import ray.data
 from ..schema.reconciler import LakeSchema, observed_payload
 from ..state.ledger import Ledger
 from ..types import DataType, from_arrow, to_arrow
-from ..util import HASH_ALGO, hash64_column, hash_mod_column, pad_and_cast
+from ..util import (
+    HASH_ALGO,
+    hash64_column,
+    hash_mod_column,
+    hash_route_column,
+    pad_and_cast,
+)
+
+
+def active_moduli(base: int, splits: list) -> dict[int, int]:
+    """{active partition id: its routing modulus} under a split
+    topology — the base partitions minus split parents plus their
+    children, folded in commit order (a child with the parent's id at
+    the refined modulus is a distinct node; the dict keeps the deepest
+    modulus, matching hash_route_column's descent)."""
+    act = {p: base for p in range(base)}
+    for sid, m, f in splits:
+        if act.get(sid) == m:
+            act.pop(sid)
+            for j in range(f):
+                act[sid + j * m] = m * f
+    return act
 
 OP_COL = "op"
 SEQ_COL = "commit_seq"
@@ -357,16 +378,27 @@ class LakeTable:
         self.ledger = Ledger(os.path.join(lake_dir, "_ledger"))
         self.schema = LakeSchema.load(self.schema_dir)
         self._mergers: list | None = None
+        self._merger_parts: tuple | None = None
         # exchange routing: "shared" hands every merger the same block
         # ref (plasma reads are zero-copy when the pool is co-located on
         # one node); "split" pre-slices each block per merger group so
         # cross-node traffic = owned bytes. "auto" picks by topology.
         self.exchange_mode: str = "auto"
 
-    def _merger_pool(self) -> list:
+    def _merger_pool(self, active: list[int]) -> list:
         """Merger actors, created once per LakeTable instance and reused
         across windows (actor startup amortized; buffers cleared at each
-        window's finish). Pool size = min(partitions, cluster CPUs)."""
+        window's finish) — rebuilt when a partition SPLIT changed the
+        active id set (a stale pool would still claim the split parent
+        and no one would own the children). Pool size =
+        min(active partitions, cluster CPUs / 2)."""
+        if self._mergers is not None and self._merger_parts != tuple(active):
+            for h in self._mergers:
+                try:
+                    ray.kill(h)
+                except Exception:
+                    pass
+            self._mergers = None
         if self._mergers is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             # cap at half the CPUs: a pool of exactly `cpus` zero-cpu actors
@@ -378,17 +410,18 @@ class LakeTable:
             # across parallelism levels (round-1 verdict: pool scaling
             # with cpus confounded the 4->16 efficiency number)
             m = int(os.environ.get("JITSU_MERGER_POOL", "0")) or max(
-                1, min(self.num_partitions, cpus // 2)
+                1, min(len(active), cpus // 2)
             )
             self._mergers = [
                 PartitionMerger.remote(
                     self.dir,
                     self.key_cols,
-                    [p for p in range(self.num_partitions) if p % m == a],
+                    [p for p in active if p % m == a],
                     self.stats_cols,
                 )
                 for a in range(m)
             ]
+            self._merger_parts = tuple(active)
         return self._mergers
 
     # -- lifecycle ----------------------------------------------------------
@@ -603,6 +636,12 @@ class LakeTable:
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         num_parts = self.num_partitions
+        # routing topology, read fresh per window: a partition split
+        # committed since the last window must re-route THIS window's
+        # rows (splits are maintenance ops — they must not interleave
+        # with a concurrently-applying window, same contract as compact
+        # + the topology break rule in Ledger.live_files)
+        splits = self.ledger.splits()
         window_tag = f"{lo:012d}-{hi:012d}"
         if force:
             # A forced window may share (lo, hi] with a DIFFERENT
@@ -637,11 +676,11 @@ class LakeTable:
             # combiner: partition id + within-batch per-key pre-reduce, so
             # the exchange moves at most one row per (key, batch)
             batch = pad_and_cast(batch, target)
-            part = hash_mod_column(batch, key_cols, num_parts)
+            part = hash_route_column(batch, key_cols, num_parts, splits)
             batch = batch.set_column(0, PART_COL, part)
             return resolve_keep_tombstones(batch, key_cols)
 
-        handles = self._merger_pool()
+        handles = self._merger_pool(sorted(active_moduli(num_parts, splits)))
         pool = len(handles)
         prepped = ds.map_batches(prep, batch_format="pyarrow")
 
@@ -790,10 +829,7 @@ class LakeTable:
         if as_of is not None:
             missing = [f for fs in live.values() for f in fs if not os.path.exists(f)]
             if missing:
-                raise FileNotFoundError(
-                    f"time-travel history at as_of={as_of} was vacuumed by a "
-                    f"later compaction; missing: {missing[:3]}"
-                )
+                raise self._missing_files_error(f"time-travel as_of={as_of}", missing)
         target = self.full_arrow_schema()
         out_cols = [
             f.name for f in target if f.name not in (PART_COL, OP_COL)
@@ -930,9 +966,37 @@ class LakeTable:
                         stats[f] = ks[p]
             elif e["kind"] == "compact":
                 for info in e["parts"].values():
-                    if info.get("file") and info.get("key_stats"):
-                        stats[info["file"]] = info["key_stats"]
+                    for one in info if isinstance(info, list) else [info]:
+                        if one.get("file") and one.get("key_stats"):
+                            stats[one["file"]] = one["key_stats"]
+            elif e["kind"] == "split":
+                for infos in e["parts"].values():
+                    for one in infos:
+                        if one.get("file") and one.get("key_stats"):
+                            stats[one["file"]] = one["key_stats"]
         return stats
+
+    def _missing_files_error(self, tag: str, missing: list[str]) -> FileNotFoundError:
+        """Build the precise time-travel error: name the ledger VACUUM
+        row (if any) that removed the needed files, else attribute the
+        loss to an immediate-mode compaction (pre-retention behavior)."""
+        rels = {os.path.relpath(f, self.dir) for f in missing}
+        culprit = None
+        for e in self.ledger.iter_entries_desc():
+            if e["kind"] == "vacuum" and rels & set(e.get("removed", [])):
+                culprit = e
+                break
+        if culprit is not None:
+            return FileNotFoundError(
+                f"{tag} history was removed by vacuum ledger row "
+                f"{culprit['_seq']} (through_seq={culprit.get('through_seq')}, "
+                f"keep_history={culprit.get('keep_history')}); "
+                f"missing: {sorted(rels)[:3]}"
+            )
+        return FileNotFoundError(
+            f"{tag} history was vacuumed by a later compaction "
+            f"(immediate GC mode); missing: {sorted(rels)[:3]}"
+        )
 
     def lookup(
         self,
@@ -980,17 +1044,17 @@ class LakeTable:
         keys = pa.table(
             {c: pc.cast(keys[c], target.field(c).type) for c in self.key_cols}
         )
-        parts = hash_mod_column(keys, self.key_cols, self.num_partitions)
+        ents = self.ledger.entries()  # ONE ledger scan feeds all three views
+        parts = hash_route_column(
+            keys, self.key_cols, self.num_partitions,
+            self.ledger.splits(entries=ents, as_of_hi=as_of),
+        )
         parts_np = parts.to_numpy(zero_copy_only=False)
-        ents = self.ledger.entries()  # ONE ledger scan feeds both views
         live = self.live_files(as_of=as_of, entries=ents)
         if as_of is not None:
             missing = [f for fs in live.values() for f in fs if not os.path.exists(f)]
             if missing:
-                raise FileNotFoundError(
-                    f"time-travel history at as_of={as_of} was vacuumed by a "
-                    f"later compaction; missing: {missing[:3]}"
-                )
+                raise self._missing_files_error(f"time-travel as_of={as_of}", missing)
         stats = self._file_key_stats(entries=ents)
         phys_cols = sorted({OP_COL, SEQ_COL, *self.key_cols, *out_cols})
         key_cols = self.key_cols
@@ -1081,10 +1145,7 @@ class LakeTable:
                 f for fs in live.values() for f in fs if not os.path.exists(f)
             ]
             if missing:
-                raise FileNotFoundError(
-                    f"diff history at {tag} was vacuumed by a later "
-                    f"compaction; missing: {missing[:3]}"
-                )
+                raise self._missing_files_error(f"diff at {tag}", missing)
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         out_cols = [
@@ -1123,30 +1184,77 @@ class LakeTable:
             + old_fields
             + [pa.field("change", pa.string())]
         )
-        parts = sorted(set(live_a) | set(live_b))
-        if not parts:
+        ents = self.ledger.entries()
+        splits_a = self.ledger.splits(entries=ents, as_of_hi=seq_a)
+        splits_b = self.ledger.splits(entries=ents, as_of_hi=seq_b)
+        base = self.num_partitions
+        if splits_a == splits_b:
+            parts = sorted(set(live_a) | set(live_b))
+            items = [
+                {
+                    "part": p,
+                    "files_a": live_a.get(p, []),
+                    "files_b": live_b.get(p, []),
+                    "route_a": False,
+                }
+                for p in parts
+            ]
+        else:
+            # a PARTITION SPLIT lies between the cutoffs: pairing by raw
+            # partition id would compare a parent's a-state against an
+            # (empty or partial) child b-state and emit a spurious
+            # delete+insert pair for every key whose partition moved —
+            # at equal seqs, a nondeterministic LWW coin flip for a
+            # downstream replica. Instead each b-active partition c is
+            # diffed against ITS SLICE of the a-state: splits only
+            # refine (splits_a is a prefix of splits_b), so c's hash
+            # class lives in exactly one a-active partition; the task
+            # re-routes the resolved a-rows under b's topology and keeps
+            # only c's — a key that merely moved partitions then joins
+            # its unchanged value and emits nothing.
+            a_act = active_moduli(base, splits_a)
+            b_act = active_moduli(base, splits_b)
+
+            def a_part_of(c: int) -> int | None:
+                for ia, ma in a_act.items():
+                    if c % ma == ia:
+                        return ia
+                return None
+
+            items = []
+            for c in sorted(set(b_act) | set(live_b)):
+                fa = live_a.get(a_part_of(c), [])
+                fb = live_b.get(c, [])
+                if fa or fb:
+                    items.append(
+                        {"part": c, "files_a": fa, "files_b": fb, "route_a": True}
+                    )
+        if not items:
             return ray.data.from_arrow(out_schema.empty_table())
-        items = [
-            {"part": p, "files_a": live_a.get(p, []), "files_b": live_b.get(p, [])}
-            for p in parts
-        ]
         state_schema = pa.schema([target.field(c) for c in out_cols])
 
         def diff_partition(batch: pa.Table) -> pa.Table:
+            from ..util import hash_route_column as _route
+
             outs = []
             for row in batch.to_pylist():
 
-                def state(files):
+                def state(files, route_to=None):
                     if not files:
                         return pl.from_arrow(state_schema.empty_table())
                     t = pq.ParquetDataset(files, schema=target).read(
                         columns=phys_cols
                     )
-                    return pl.from_arrow(
-                        resolve_arrow(t, key_cols).select(out_cols)
-                    )
+                    r = resolve_arrow(t, key_cols)
+                    if route_to is not None:
+                        ids = _route(r, key_cols, base, splits_b)
+                        r = r.filter(pc.equal(ids, route_to))
+                    return pl.from_arrow(r.select(out_cols))
 
-                da = state(row["files_a"]).with_columns(pl.lit(True).alias("__a"))
+                da = state(
+                    row["files_a"],
+                    route_to=row["part"] if row["route_a"] else None,
+                ).with_columns(pl.lit(True).alias("__a"))
                 db = state(row["files_b"]).with_columns(pl.lit(True).alias("__b"))
                 # nulls_equal: a null-keyed row present unchanged in both
                 # states must JOIN (and emit nothing), not split into a
@@ -1204,8 +1312,14 @@ class LakeTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, min_files: int = 2, tombstone_watermark: int = 0) -> dict:
-        """Fold each partition's base+deltas into a single base file.
+    def compact(
+        self,
+        min_files: int = 2,
+        tombstone_watermark: int = 0,
+        max_input_bytes: int | None = None,
+        vacuum: str = "immediate",
+    ) -> dict:
+        """Fold each partition's base+deltas into fewer base files.
 
         ``tombstone_watermark``: tombstone winners with commit_seq <= the
         watermark are physically dropped. Only pass a nonzero watermark
@@ -1214,12 +1328,37 @@ class LakeTable:
         cross-window disorder must keep tombstones, else a late lower-seq
         update would wrongly resurrect a deleted key).
 
+        ``max_input_bytes``: SIZE-TIERED mode — the 100-TB scale fix for
+        whole-partition single-task folds (a partition's accumulated
+        state eventually outgrows one worker's heap). Each fold task
+        reads at most this many input bytes: a partition's live files
+        are grouped into CONSECUTIVE runs (ledger order) under the
+        budget; each run of >= 2 files folds into one base, single-file
+        runs pass through untouched. Repeated tiered compactions
+        converge geometrically (N small deltas -> N/k tier bases -> ...)
+        while every task stays byte-bounded. Correctness under partial
+        folds relies on two invariants: (a) the ledger replay INSERTS a
+        fold's output at its first replaced file's position, so
+        equal-seq LWW tie order is preserved; (b) the tombstone
+        watermark is only applied when a single fold covers ALL of a
+        partition's live files — a later-committed file may legally
+        carry a LOWER seq (forced recovery windows), and dropping a
+        tombstone from a prefix fold could let such a row resurrect.
+
+        ``vacuum``: "immediate" (default) unlinks replaced files right
+        after the commit — time-travel history before this compaction
+        is gone (the pre-round-5 behavior). "defer" leaves them on disk
+        for :meth:`vacuum` to GC later under its grace window, keeping
+        older ``as_of`` reads valid until an explicit retention pass.
+
         Raw Ray tasks (not Dataset) by design: this is per-partition file
         maintenance with no cross-partition dataflow — each task reads
         only its own partition's files. One ledger row commits all
-        compacted partitions atomically; a crash mid-compaction leaves
-        only orphaned tmp files.
+        folds atomically; a crash mid-compaction leaves only orphaned
+        tmp files.
         """
+        if vacuum not in ("immediate", "defer"):
+            raise ValueError(f"vacuum must be 'immediate' or 'defer', got {vacuum!r}")
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         zone_cols = self.key_cols + self.stats_cols
@@ -1227,49 +1366,283 @@ class LakeTable:
         gen = self.ledger.next_seq()
 
         @ray.remote
-        def compact_part(part: int, files: list[str]) -> tuple[int, dict]:
+        def compact_fold(
+            part: int, files: list[str], tier: int, tag: str, drop_tombs: bool
+        ) -> tuple[int, int, dict]:
             tbl = pq.ParquetDataset(files, schema=target).read()
             merged = resolve_keep_tombstones(tbl, key_cols)
-            if tombstone_watermark > 0:
+            if drop_tombs and tombstone_watermark > 0:
                 drop = pc.and_(
                     pc.equal(merged[OP_COL], TOMBSTONE),
                     pc.less_equal(merged[SEQ_COL], tombstone_watermark),
                 )
                 merged = merged.filter(pc.invert(drop))
             part_dir = os.path.join(lake_dir, f"part={part:05d}")
-            rel = f"part={part:05d}/base-{gen:08d}.parquet"
+            rel = f"part={part:05d}/base-{tag}.parquet"
             fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
             os.close(fd)
             pq.write_table(merged, tmp)
             os.replace(tmp, os.path.join(lake_dir, rel))
             _write_key_bloom(merged, key_cols, os.path.join(lake_dir, rel))
-            return part, {
+            return part, tier, {
                 "file": rel,
                 "replaces": [os.path.relpath(f, lake_dir) for f in files],
                 "rows": merged.num_rows,
+                "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
                 "key_stats": _key_zone_stats(merged, zone_cols),
             }
 
         todo = {p: fs for p, fs in self.live_files().items() if len(fs) >= min_files}
         if not todo:
             return {"kind": "compact", "parts": {}}
-        results = ray.get(
-            [compact_part.remote(p, fs) for p, fs in sorted(todo.items())]
-        )
-        entry = {"kind": "compact", "parts": {str(p): info for p, info in results}}
+        tasks = []
+        for p, fs in sorted(todo.items()):
+            if max_input_bytes is None:
+                groups = [fs]
+            else:
+                groups, cur, cur_bytes = [], [], 0
+                for f in fs:
+                    sz = os.path.getsize(f)
+                    if cur and cur_bytes + sz > max_input_bytes:
+                        groups.append(cur)
+                        cur, cur_bytes = [], 0
+                    cur.append(f)
+                    cur_bytes += sz
+                if cur:
+                    groups.append(cur)
+            full_fold = len(groups) == 1 and len(groups[0]) == len(fs)
+            for t, grp in enumerate(groups):
+                if len(grp) < 2 and not full_fold:
+                    continue  # a lone (possibly huge) tier passes through;
+                    # a FULL single-file fold still runs (min_files=1 +
+                    # tombstone_watermark relies on it)
+                tag = f"{gen:08d}" if full_fold else f"{gen:08d}-{t:03d}"
+                tasks.append(
+                    compact_fold.remote(p, grp, t, tag, full_fold)
+                )
+        if not tasks:
+            return {"kind": "compact", "parts": {}}
+        results = ray.get(tasks)
+        by_part: dict[int, list[tuple[int, dict]]] = {}
+        for p, t, info in results:
+            by_part.setdefault(p, []).append((t, info))
+        parts_entry: dict[str, object] = {}
+        for p, folds in sorted(by_part.items()):
+            infos = [info for _, info in sorted(folds)]
+            # single-fold partitions keep the legacy single-dict shape
+            parts_entry[str(p)] = infos[0] if len(infos) == 1 else infos
+        entry = {"kind": "compact", "parts": parts_entry}
         self.ledger.append(entry)
-        for _, info in results:  # best-effort cleanup; ledger already excludes
-            for f in info["replaces"]:
-                for path in (f, f + ".bloom.npz"):
-                    try:
-                        os.unlink(os.path.join(self.dir, path))
-                    except OSError:
-                        pass
+        if vacuum == "immediate":
+            for _, _, info in results:  # best-effort; ledger already excludes
+                for f in info["replaces"]:
+                    for path in (f, f + ".bloom.npz"):
+                        try:
+                            os.unlink(os.path.join(self.dir, path))
+                        except OSError:
+                            pass
         # fold the ledger so the next apply/read replays O(rows since
         # here), not O(all windows) — long-running streaming lakes
         # otherwise reopen thousands of window JSONs per window
         # (best-effort: a lost multi-writer claim just tries next time)
         self.ledger.checkpoint()
+        return entry
+
+    def split_partition(
+        self,
+        part: int,
+        factor: int = 2,
+        max_input_bytes: int | None = None,
+    ) -> dict:
+        """LEDGER-RECORDED partition split: rewrite one active
+        partition's live files into ``factor`` children so a lake
+        created at N partitions survives 100x growth — the second half
+        of the scale fix (tiered compaction bounds a fold's memory;
+        splitting bounds a PARTITION's total state).
+
+        Child routing refines the parent's hash class: the parent owns
+        keys with ``h % modulus == part``; children own
+        ``h % (modulus * factor)`` in ``{part + j * modulus}`` — a pure
+        refinement, so every existing key stays derivable from the same
+        64-bit hash and per-partition resolution stays equal to global
+        resolution. The split row commits atomically in the ledger;
+        ``apply_window`` re-reads the topology each window and rebuilds
+        its merger pool, ``lookup`` routes through the same refinement,
+        and reads just see the children's files.
+
+        Mechanics: the parent's live files are processed in LEDGER
+        ORDER in byte-bounded groups (``max_input_bytes``, default one
+        group per file — each task reads one file), each routed row
+        lands in its child's output for that group, and per-child file
+        order preserves the parent's file order — so equal-seq LWW tie
+        resolution is unchanged. No cross-file fold happens (splitting
+        is routing, not compaction), so memory per task is bounded by
+        the group byte budget regardless of partition size.
+
+        Parent files are NOT deleted (a split always defers GC):
+        time travel to pre-split state keeps working until an explicit
+        :meth:`vacuum`. Splits are maintenance ops — do not run one
+        concurrently with apply_window (same exclusivity contract as
+        the reference's DDL lock, server/storages/table_helper.go).
+        """
+        if factor < 2:
+            raise ValueError("factor must be >= 2")
+        splits = self.ledger.splits()
+        act = active_moduli(self.num_partitions, splits)
+        if part not in act:
+            raise ValueError(
+                f"partition {part} is not an active partition "
+                f"(active: {sorted(act)[:8]}{'...' if len(act) > 8 else ''})"
+            )
+        modulus = act[part]
+        new_mod = modulus * factor
+        children = [part + j * modulus for j in range(factor)]
+        live = self.live_files().get(part, [])
+        target = self.full_arrow_schema()
+        key_cols = self.key_cols
+        zone_cols = self.key_cols + self.stats_cols
+        lake_dir = self.dir
+        gen = self.ledger.next_seq()
+
+        if max_input_bytes is None:
+            groups = [[f] for f in live]
+        else:
+            groups, cur, cur_bytes = [], [], 0
+            for f in live:
+                sz = os.path.getsize(f)
+                if cur and cur_bytes + sz > max_input_bytes:
+                    groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += sz
+            if cur:
+                groups.append(cur)
+
+        @ray.remote
+        def split_group(gi: int, files: list[str]) -> list[tuple[int, int, dict]]:
+            import numpy as np
+
+            tbl = pq.ParquetDataset(files, schema=target).read()
+            if tbl.num_rows == 0:
+                return []
+            ids = (
+                hash_mod_column(tbl, key_cols, new_mod)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            out = []
+            for child in children:
+                idx = np.nonzero(ids == child)[0]
+                if idx.size == 0:
+                    continue
+                sub = tbl.take(idx)  # take preserves input row order
+                sub = sub.set_column(
+                    0, PART_COL, pa.array(np.full(idx.size, child, np.int32))
+                )
+                part_dir = os.path.join(lake_dir, f"part={child:05d}")
+                os.makedirs(part_dir, exist_ok=True)
+                rel = f"part={child:05d}/split-{gen:08d}-{gi:04d}.parquet"
+                fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(lake_dir, rel))
+                _write_key_bloom(sub, key_cols, os.path.join(lake_dir, rel))
+                out.append(
+                    (
+                        child,
+                        gi,
+                        {
+                            "file": rel,
+                            "rows": sub.num_rows,
+                            "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
+                            "key_stats": _key_zone_stats(sub, zone_cols),
+                        },
+                    )
+                )
+            return out
+
+        results = [
+            r
+            for rs in ray.get(
+                [split_group.remote(gi, grp) for gi, grp in enumerate(groups)]
+            )
+            for r in rs
+        ]
+        by_child: dict[int, list[tuple[int, dict]]] = {c: [] for c in children}
+        for child, gi, info in results:
+            by_child[child].append((gi, info))
+        entry = {
+            "kind": "split",
+            "parent": part,
+            "modulus": modulus,
+            "factor": factor,
+            "children": children,
+            "replaces": [os.path.relpath(f, self.dir) for f in live],
+            # per-child infos in GROUP order = parent file order: the
+            # replay appends them in this order, preserving LWW ties
+            "parts": {
+                str(c): [info for _, info in sorted(folds)]
+                for c, folds in by_child.items()
+                if folds
+            },
+        }
+        self.ledger.append(entry)
+        self.ledger.checkpoint()
+        return entry
+
+    def vacuum(self, keep_history: int = 0) -> dict:
+        """Retention pass: physically delete files that no CURRENT view
+        references and whose replacing compaction/split committed at or
+        before ``max_seq - keep_history`` ledger rows ago — file GC
+        decoupled from compaction (use ``compact(vacuum="defer")``), the
+        archive step of the reference's uploader
+        (server/logfiles/uploader.go:138-145) done as policy.
+
+        ``keep_history=N`` is the GRACE WINDOW in ledger rows: any
+        ``as_of`` whose bounded replay only needs files replaced within
+        the last N rows keeps working; older time travel raises
+        FileNotFoundError naming the vacuum row that removed its files
+        (the ledger row makes the error precise and auditable). The
+        vacuum row commits BEFORE any unlink, so a crash mid-delete
+        leaves recorded-but-present files that the next vacuum sweeps.
+        Returns the committed entry plus {"removed": n} counts."""
+        ents = self.ledger.entries()
+        cutoff = max((e["_seq"] for e in ents), default=0) - keep_history
+        live = {
+            f for fs in self.ledger.live_files(entries=ents).values() for f in fs
+        }
+        already: set[str] = set()
+        dead: list[str] = []
+        for e in ents:
+            if e["kind"] == "vacuum":
+                already.update(e.get("removed", []))
+            elif e["_seq"] > cutoff:
+                continue
+            elif e["kind"] == "compact":
+                for info in e["parts"].values():
+                    for one in info if isinstance(info, list) else [info]:
+                        dead.extend(one["replaces"])
+            elif e["kind"] == "split":
+                dead.extend(e["replaces"])
+        remove = [f for f in dict.fromkeys(dead) if f not in live and f not in already]
+        entry = {
+            "kind": "vacuum",
+            "removed": remove,
+            "through_seq": cutoff,
+            "keep_history": keep_history,
+        }
+        if remove:
+            self.ledger.append(entry)
+        removed_now = 0
+        # sweep this pass's files AND any earlier-recorded stragglers
+        for f in [*remove, *already]:
+            for path in (f, f + ".bloom.npz"):
+                try:
+                    os.unlink(os.path.join(self.dir, path))
+                    removed_now += path == f
+                except OSError:
+                    pass
+        entry["removed_now"] = removed_now
         return entry
 
     def last_committed_hi(self) -> int:

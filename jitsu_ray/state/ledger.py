@@ -144,6 +144,10 @@ class Ledger:
                 "kind": "checkpoint",
                 "hi": hi,
                 "parts": {str(p): fs for p, fs in parts.items()},
+                # the folded split topology: splits() reads the tail
+                # only, so a checkpoint must carry every split row it
+                # hides from that fast path
+                "splits": [list(s) for s in self.splits(entries=ents)],
             }
             try:
                 seq = ents[-1]["_seq"] + 1
@@ -183,7 +187,14 @@ class Ledger:
         once any window is excluded, later compactions may fold
         excluded data and are skipped — if such a compaction vacuumed
         needed deltas, the read raises FileNotFoundError (the standard
-        lakehouse time-travel-until-vacuum contract)."""
+        lakehouse time-travel-until-vacuum contract). A skipped SPLIT
+        additionally freezes the replay (a TOPOLOGY BREAK): every later
+        row was written under a partitioning this view does not have —
+        in particular a forced low-hi window routed to the children
+        would otherwise surface rows in partitions the pre-split view
+        resolves independently, un-shadowing old versions. Later rows
+        are all excluded, so the view is exactly the pre-split state.
+        ``vacuum`` rows never move files (GC bookkeeping only)."""
         if entries is None:
             # unbounded view: start from the newest checkpoint (fast
             # path); time travel full-replays — a checkpoint may fold
@@ -194,6 +205,36 @@ class Ledger:
         # ordered list alone makes this replay O(windows^2) on
         # long-running streaming lakes — round-3 ADVICE)
         skipped_window = False
+
+        def fold(pi: int, info: dict) -> None:
+            """Apply one compaction/split fold: drop its replaced files
+            and INSERT the new file at the FIRST replaced file's
+            position. Position matters: the read path concatenates a
+            partition's files in this list's order and equal-seq LWW
+            ties resolve to the LAST arrival, so a fold of an older
+            PREFIX (size-tiered compaction) must not leapfrog newer
+            deltas — and a delta committed concurrently with a
+            compaction (after its file scan, before its ledger row)
+            must stay ordered after the base that folded older state."""
+            cur = parts.setdefault(pi, [])
+            replaced = set(info["replaces"])
+            new_list: list[str] = []
+            inserted = False
+            for f in cur:
+                if f in replaced:
+                    if not inserted and info.get("file"):
+                        new_list.append(info["file"])
+                        inserted = True
+                else:
+                    new_list.append(f)
+            if not inserted and info.get("file"):
+                new_list.append(info["file"])
+            parts[pi] = new_list
+            s = seen.setdefault(pi, set())
+            s.difference_update(replaced)
+            if info.get("file"):
+                s.add(info["file"])
+
         for e in entries:
             if e["kind"] == "checkpoint":
                 if as_of_hi is None:
@@ -203,10 +244,14 @@ class Ledger:
                     parts = {int(p): list(fs) for p, fs in e["parts"].items()}
                     seen = {pi: set(fs) for pi, fs in parts.items()}
                 continue
+            if e["kind"] == "vacuum":
+                continue
             if as_of_hi is not None and e["kind"] == "window" and int(e["hi"]) > as_of_hi:
                 skipped_window = True
                 continue
-            if as_of_hi is not None and e["kind"] == "compact" and skipped_window:
+            if as_of_hi is not None and skipped_window and e["kind"] in ("compact", "split"):
+                if e["kind"] == "split":
+                    break  # topology break: pre-split view is final
                 continue
             if e["kind"] == "window":
                 for p, f in e["files"].items():
@@ -218,15 +263,65 @@ class Ledger:
 
             elif e["kind"] == "compact":
                 for p, info in e["parts"].items():
-                    pi = int(p)
-                    cur = parts.setdefault(pi, [])
-                    replaced = set(info["replaces"])
-                    parts[pi] = [f for f in cur if f not in replaced]
-                    seen.setdefault(pi, set()).difference_update(replaced)
-                    if info.get("file"):
-                        parts[pi].append(info["file"])
-                        seen[pi].add(info["file"])
-        return parts
+                    # tiered compactions record a LIST of folds per
+                    # partition; legacy rows a single dict
+                    for one in info if isinstance(info, list) else [info]:
+                        fold(int(p), one)
+
+            elif e["kind"] == "split":
+                # remove the parent's folded files, then append each
+                # child's routed outputs (in recorded order — the split
+                # preserves per-child file order, so appending keeps
+                # the LWW tie ordering)
+                parent = int(e["parent"])
+                replaced = set(e["replaces"])
+                cur = parts.get(parent, [])
+                parts[parent] = [f for f in cur if f not in replaced]
+                seen.setdefault(parent, set()).difference_update(replaced)
+                if not parts[parent]:
+                    parts.pop(parent, None)
+                    seen.pop(parent, None)
+                for c, infos in e["parts"].items():
+                    ci = int(c)
+                    for one in infos:
+                        parts.setdefault(ci, []).append(one["file"])
+                        seen.setdefault(ci, set()).add(one["file"])
+        return {p: fs for p, fs in parts.items() if fs}
+
+    def splits(
+        self,
+        entries: list[dict] | None = None,
+        as_of_hi: int | None = None,
+    ) -> list[tuple[int, int, int]]:
+        """The committed partition-split topology: [(parent_id, modulus,
+        factor), ...] in commit order — exactly the refinement list
+        ``util.hash_route_column`` applies on top of the base partition
+        count. Checkpoint rows carry the splits folded so far, so the
+        no-``entries`` fast path reads only the ledger tail.
+        ``as_of_hi`` bounds the topology exactly like live_files'
+        bounded replay (a split after the first excluded window is a
+        topology break: the as-of view keeps the pre-split routing);
+        bounded views read full entries and ignore checkpoints."""
+        if as_of_hi is not None and entries is None:
+            entries = self.entries()
+        out: list[tuple[int, int, int]] = []
+        skipped_window = False
+        for e in self._tail_entries() if entries is None else entries:
+            if e["kind"] == "checkpoint":
+                if as_of_hi is None:
+                    out = [tuple(int(x) for x in s) for s in e.get("splits", [])]
+                continue
+            if (
+                as_of_hi is not None
+                and e["kind"] == "window"
+                and int(e["hi"]) > as_of_hi
+            ):
+                skipped_window = True
+            elif e["kind"] == "split":
+                if as_of_hi is not None and skipped_window:
+                    break
+                out.append((int(e["parent"]), int(e["modulus"]), int(e["factor"])))
+        return out
 
     def last_committed_hi(self) -> int:
         hi = 0

@@ -85,6 +85,42 @@ def hash_mod_column(tbl: pa.Table, cols: list[str], num_buckets: int) -> pa.Arra
     return h.to_arrow()["h"].combine_chunks()
 
 
+def hash_route_column(
+    tbl: pa.Table, cols: list[str], base: int, splits: list
+) -> pa.Array:
+    """Partition id under a SPLIT topology (sinks/lake partition split):
+    start from ``h % base`` (identical to :func:`hash_mod_column`) and
+    refine through the committed splits in ledger order — a split of
+    partition ``(id, modulus)`` by ``factor`` reroutes its rows to
+    ``h % (modulus * factor)``, which lands in ``{id + j * modulus}``
+    (the 2^k-refinement property: children are derivable from the same
+    hash, so no row ever crosses between unrelated partitions).
+    ``splits`` is [(parent_id, modulus, factor), ...] in commit order;
+    empty list degrades to exactly ``hash_mod_column``. int32 like the
+    lake's __part column (split depth can never realistically overflow
+    it: moduli grow geometrically)."""
+    if not splits:
+        return hash_mod_column(tbl, cols, base)
+    df = pl.from_arrow(tbl.select(cols))
+    expr = pl.concat_str(
+        [x for c in cols for x in (pl.col(c).cast(pl.String).fill_null(""), pl.lit("\x00"))]
+    )
+    h = (
+        df.select(expr.hash(seed=HASH_SEED).alias("h"))["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    part = (h % np.uint64(base)).astype(np.int64)
+    mod = np.full(len(part), base, dtype=np.int64)
+    for sid, m, f in splits:
+        mask = (part == sid) & (mod == m)
+        if mask.any():
+            nm = int(m) * int(f)
+            part[mask] = (h[mask] % np.uint64(nm)).astype(np.int64)
+            mod[mask] = nm
+    return pa.array(part.astype(np.int32), pa.int32())
+
+
 def hash64_column(tbl: pa.Table, cols: list[str]) -> pa.Array:
     """Full-width deterministic 64-bit hash (as int64) of key columns."""
     df = pl.from_arrow(tbl.select(cols))

@@ -1094,6 +1094,94 @@ def test_replica_resync_after_source_vacuum(ray_session, tmp_path):
     assert replicate(src, dst)["mode"] == "noop"
 
 
+def test_diff_and_replica_across_source_split(ray_session, tmp_path):
+    """A partition split between two CDC cutoffs must be invisible to
+    diff_as_of: keys that merely moved to a child partition emit
+    NOTHING (naive id-pairing would emit an equal-seq delete+insert
+    pair — a nondeterministic LWW coin flip at the replica), while real
+    updates/deletes still surface. Replication across the split stays
+    incremental and converges."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    rows = [
+        ev(i + 1, "insert", f"r{i % 7}", f"p{i}", "c", "py", f"v{i+1}")
+        for i in range(30)
+    ]
+    src.apply_window(make_ds(rows), 0, 30)
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    assert replicate(src, dst)["mode"] == "incremental"
+    pre_split_hi = src.last_committed_hi()
+
+    src.split_partition(0, factor=2)
+    src.split_partition(1, factor=3)
+    # pure topology change: the value-level diff across the splits is EMPTY
+    assert src.diff_as_of(pre_split_hi, src.last_committed_hi()).count() == 0
+
+    # real changes after the split still diff exactly
+    src.apply_window(
+        make_ds(
+            [
+                ev(31, "update", "r0", "p0", "c2", "py", "v31"),
+                ev(32, "delete", "r1", "p1"),
+                ev(33, "insert", "r9", "new", "c", "go", "w"),
+            ]
+        ),
+        30, 33,
+    )
+    d = {
+        (r["repo"], r["path"]): r["change"]
+        for r in src.diff_as_of(pre_split_hi, 33).take_all()
+    }
+    assert d == {
+        ("r0", "p0"): "update",
+        ("r1", "p1"): "delete",
+        ("r9", "new"): "insert",
+    }
+    m = replicate(src, dst)
+    assert m["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+    assert replicate(src, dst)["mode"] == "noop"
+
+
+def test_replica_resync_after_deferred_vacuum(ray_session, tmp_path):
+    """Deferred-GC variant of the vacuum race: compact(vacuum='defer')
+    keeps the diff history alive (the round stays incremental), and
+    only an explicit vacuum() behind the replica watermark degrades the
+    next round to a full re-sync — retention as policy."""
+    from jitsu_ray.pipelines.replicate import replicate
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    assert replicate(src, dst)["mode"] == "incremental"
+    src.apply_window(
+        make_ds(
+            [
+                ev(2, "update", "r1", "a", "c2", "py", "v2"),
+                ev(3, "insert", "r2", "b", "c1", "go", "w"),
+            ]
+        ),
+        1, 3,
+    )
+    src.compact(min_files=1, vacuum="defer")
+    # history intact: still an ordinary incremental round
+    m = replicate(src, dst)
+    assert m["mode"] == "incremental"
+    assert _state(dst) == _state(src)
+    # now vacuum history behind the watermark and change more state:
+    # the diff path is gone, the round re-syncs and still converges
+    src.apply_window(make_ds([ev(4, "delete", "r1", "a")]), 3, 4)
+    src.compact(min_files=1, vacuum="defer")
+    src.vacuum(keep_history=0)
+    m = replicate(src, dst)
+    assert m["mode"] == "resync"
+    assert _state(dst) == _state(src)
+    assert ("r1", "a") not in _state(dst)
+
+
 def test_replica_rejects_nonreplication_writes(ray_session, tmp_path):
     from jitsu_ray.pipelines.replicate import replicate
 
@@ -1389,31 +1477,165 @@ def test_replica_resync_helper_key_name_collision(ray_session, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tiered_compaction_bounded_and_deferred(ray_session, tmp_path):
+    """Size-tiered compaction: with max_input_bytes each fold reads a
+    byte-bounded CONSECUTIVE run, state is unchanged, repeated passes
+    converge toward one base, and vacuum='defer' keeps replaced files
+    on disk so older time travel still works until vacuum()."""
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    for w in range(6):
+        lake.apply_window(
+            make_ds(
+                [
+                    ev(2 * w + 1, "insert", "r1", f"p{w}", f"c{w}", "py", f"v{2*w+1}"),
+                    ev(2 * w + 2, "update", "r1", "hot", f"c{w}", "py", f"v{2*w+2}"),
+                ]
+            ),
+            2 * w,
+            2 * w + 2,
+        )
+    before = _state(lake)
+    n_before = sum(len(fs) for fs in lake.live_files().values())
+    # tiny budget: every pair of small files folds, several tiers per part
+    entry = lake.compact(max_input_bytes=20_000, vacuum="defer")
+    assert _state(lake) == before
+    n_after = sum(len(fs) for fs in lake.live_files().values())
+    assert n_after < n_before
+    # deferred GC: every replaced file is still on disk, so time travel
+    # to the FIRST window still resolves
+    replaced = [
+        f
+        for info in entry["parts"].values()
+        for one in (info if isinstance(info, list) else [info])
+        for f in one["replaces"]
+    ]
+    assert replaced and all(
+        os.path.exists(os.path.join(lake.dir, f)) for f in replaced
+    )
+    early = lake.read(as_of=2).take_all()
+    assert {(r["repo"], r["path"]) for r in early} == {("r1", "p0"), ("r1", "hot")}
+    # repeated tiered passes converge without changing state
+    for _ in range(3):
+        lake.compact(max_input_bytes=20_000, vacuum="defer")
+    assert _state(lake) == before
+    # equal-seq tie order survives a PREFIX fold: force-commit a
+    # same-seq rewrite (later arrival wins), tier-compact only the old
+    # prefix, and the late row must still win
+    top = max(r[2] for r in ((0, 0, int(v[2][1:])) for v in before.values()))
+    lake.apply_window(
+        make_ds([ev(top, "insert", "r1", "hot", "cz", "py", f"v{top}-late")]),
+        0, 1, force=True,
+    )
+    assert _state(lake)[("r1", "hot")][2] == f"v{top}-late"
+    lake.compact(max_input_bytes=20_000, vacuum="defer")
+    assert _state(lake)[("r1", "hot")][2] == f"v{top}-late"
+
+
+def test_partition_split_routes_and_preserves_state(ray_session, tmp_path):
+    """Ledger-recorded partition split: state and time travel are
+    unchanged, new windows route to the children, lookup prunes to the
+    refined partition, and vacuum() GCs the parent files afterward
+    (pre-split time travel then raises the precise vacuum error)."""
+    import pytest
+
+    from jitsu_ray.sinks.lake import active_moduli
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    rows = [
+        ev(i + 1, "insert", f"r{i % 5}", f"p{i}", "c", "py", f"v{i+1}")
+        for i in range(40)
+    ]
+    lake.apply_window(make_ds(rows[:20]), 0, 20)
+    lake.apply_window(make_ds(rows[20:]), 20, 40)
+    before = _state(lake)
+    entry = lake.split_partition(0, factor=2)
+    assert entry["children"] == [0, 2]
+    assert sorted(active_moduli(2, lake.ledger.splits())) == [0, 1, 2]
+    assert active_moduli(2, lake.ledger.splits()) == {0: 4, 1: 2, 2: 4}
+    assert _state(lake) == before  # split is pure routing
+    # pre-split time travel still works (parent files deferred)
+    assert len(lake.read(as_of=20).take_all()) == 20
+    # a new window routes to the refined topology: no file may land in
+    # a parent that is no longer active
+    lake.apply_window(
+        make_ds([ev(41 + i, "insert", f"r{i}", f"q{i}", "c", "py", "w") for i in range(8)]),
+        40, 48,
+    )
+    live = lake.live_files()
+    assert set(live) <= {0, 1, 2}
+    assert _state(lake)[("r0", "q0")] == ("c", "py", "w")
+    # lookup routes through the refinement and touches ONE partition
+    hit = lake.lookup([{"repo": "r0", "path": "q0"}])
+    assert hit.num_rows == 1 and lake.last_lookup_stats["partitions_read"] == 1
+    # split a CHILD again (nested refinement)
+    lake.split_partition(2, factor=2)
+    assert _state(lake)[("r0", "q0")] == ("c", "py", "w")
+    assert lake.lookup([{"repo": "r1", "path": "p1"}]).num_rows == 1
+    # vacuum removes the replaced parent files; pre-split as_of now
+    # raises the precise vacuum-row error
+    out = lake.vacuum(keep_history=0)
+    assert out["removed"]
+    with pytest.raises(FileNotFoundError, match="vacuum ledger row"):
+        lake.read(as_of=20).take_all()
+    assert _state(lake) == {**before, **{(f"r{i}", f"q{i}"): ("c", "py", "w") for i in range(8)}}
+
+
+def test_vacuum_retention_grace_window(ray_session, tmp_path):
+    """vacuum(keep_history=N): files replaced by recent folds survive
+    the grace window (old as_of keeps working); shrinking the window
+    removes them and the error names the vacuum ledger row. A crash
+    between the vacuum row and the unlink is swept by the next pass."""
+    import pytest
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    for w in range(3):
+        lake.apply_window(
+            make_ds([ev(w + 1, "insert", "r", f"p{w}", "c", "py", f"v{w+1}")]),
+            w, w + 1,
+        )
+    lake.compact(vacuum="defer")
+    # generous grace window: nothing removable yet
+    assert lake.vacuum(keep_history=100)["removed"] == []
+    assert len(lake.read(as_of=1).take_all()) == 1
+    # zero grace: deltas replaced by the compaction go away
+    out = lake.vacuum(keep_history=0)
+    assert out["removed"]
+    with pytest.raises(FileNotFoundError, match="vacuum ledger row"):
+        lake.read(as_of=1).take_all()
+    # current state unaffected
+    assert len(lake.read().take_all()) == 3
+
+
 def test_lake_random_interleaving_matches_oracle(ray_session, tmp_path):
     """Property for the CORE lake: under any interleaving of normal
     windows, late force-committed windows (old bounds, old/tied seqs),
-    tombstone-retaining compactions and ledger checkpoints, the resolved
-    state always equals a pure-Python LWW fold with the lake's tie rule
-    (higher commit_seq wins; equal seqs -> later-arrived row wins), and
-    time travel at any committed hi equals the fold bounded to windows
-    with hi <= bound (or raises FileNotFoundError once a later
-    compaction vacuumed that history — the lakehouse contract)."""
+    tombstone-retaining compactions (whole-partition AND size-tiered
+    deferred-GC), ledger checkpoints, PARTITION SPLITS and vacuum
+    retention passes, the resolved state always equals a pure-Python
+    LWW fold with the lake's tie rule (higher commit_seq wins; equal
+    seqs -> later-arrived row wins), lookup routes every key to its
+    refined partition, and time travel at any committed hi equals the
+    fold over the bounded ledger replay — including the TOPOLOGY BREAK
+    rule (a split after the first excluded window ends the bounded
+    view) — or raises FileNotFoundError once GC took that history away
+    (immediate compaction or vacuum; the lakehouse contract)."""
     import uuid as _uuid
 
     import hypothesis.strategies as st
     from hypothesis import HealthCheck, given, settings
 
+    from jitsu_ray.sinks.lake import active_moduli
+
     keys = [(None, "n"), ("r1", "a"), ("r1", "b"), ("r2", "c")]
 
-    def oracle(events, bound=None):
-        """{key: winning commit_seq} — winner is max (seq, arrival)."""
+    def fold(evlist):
+        """{key: winning seq} over (seq, op, key) in arrival order —
+        winner is max (seq, arrival), deletes drop the key."""
         best = {}
-        for arrival, (s, op, k) in enumerate(events):
-            if bound is not None and s[1] > bound:
-                continue
+        for arrival, (s, op, k) in enumerate(evlist):
             cur = best.get(k)
-            if cur is None or (s[0], arrival) >= (cur[0], cur[1]):
-                best[k] = (s[0], arrival, op)
+            if cur is None or (s, arrival) >= (cur[0], cur[1]):
+                best[k] = (s, arrival, op)
         return {k: v[0] for k, v in best.items() if v[2] != "delete"}
 
     @settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
@@ -1422,56 +1644,100 @@ def test_lake_random_interleaving_matches_oracle(ray_session, tmp_path):
         lake = LakeTable.create(
             str(tmp_path / _uuid.uuid4().hex), ["repo", "path"], 3
         )
-        # events: ((seq, window_hi), op, key) in arrival order
-        events: list = []
+        events: list = []  # (seq, op, key) in arrival order
+        ledger_log: list = []  # ("window", hi, [event idx]) | ("split",)
         seq = hi = 0
-        compacted = False
-        for _ in range(data.draw(st.integers(3, 6))):
+        lossy = False  # immediate compact / vacuum may drop history
+        for _ in range(data.draw(st.integers(3, 7))):
             act = data.draw(
-                st.sampled_from(["window", "window", "late", "compact", "ckpt"])
+                st.sampled_from(
+                    ["window", "window", "late", "compact", "tiered",
+                     "split", "vacuum", "ckpt"]
+                )
             )
             if act == "compact":
                 lake.compact(min_files=1, tombstone_watermark=0)
-                compacted = True
+                lossy = True
+            elif act == "tiered":
+                lake.compact(
+                    min_files=2,
+                    max_input_bytes=data.draw(st.sampled_from([1, 20_000])),
+                    vacuum="defer",
+                )
+            elif act == "split":
+                parts = sorted(active_moduli(3, lake.ledger.splits()))
+                lake.split_partition(
+                    data.draw(st.sampled_from(parts)),
+                    factor=data.draw(st.sampled_from([2, 3])),
+                )
+                ledger_log.append(("split", None, None))
+            elif act == "vacuum":
+                lake.vacuum(keep_history=data.draw(st.integers(0, 4)))
+                lossy = True
             elif act == "ckpt":
                 lake.ledger.checkpoint()
             elif act == "late" and hi >= 2:
                 lo2 = data.draw(st.integers(0, hi - 1))
                 hi2 = data.draw(st.integers(lo2 + 1, hi))
-                rows = []
+                rows, idxs = [], []
                 for _ in range(data.draw(st.integers(1, 3))):
                     s = data.draw(st.integers(1, hi2))
                     k = data.draw(st.sampled_from(keys))
                     op = data.draw(st.sampled_from(["insert", "delete"]))
                     rows.append(ev(s, op, k[0], k[1], "c", "py", f"v{s}"))
-                    events.append(((s, hi2), op, k))
+                    idxs.append(len(events))
+                    events.append((s, op, k))
                 lake.apply_window(make_ds(rows), lo2, hi2, force=True)
+                ledger_log.append(("window", hi2, idxs))
             else:
-                rows = []
+                rows, idxs = [], []
                 for _ in range(data.draw(st.integers(1, 3))):
                     seq += 1
                     k = data.draw(st.sampled_from(keys))
                     op = data.draw(st.sampled_from(["insert", "update", "delete"]))
                     rows.append(ev(seq, op, k[0], k[1], "c", "py", f"v{seq}"))
+                    idxs.append(len(events))
+                    events.append((seq, op, k))
                 lo, hi = hi, seq
-                for r in rows:
-                    events.append(((r["commit_seq"], hi), r["op"], (r["repo"], r["path"])))
                 lake.apply_window(make_ds(rows), lo, hi)
+                ledger_log.append(("window", hi, idxs))
             # content is f"v{seq}", so the winning seq pins the winning ROW
             assert {
                 k: int(v[2][1:]) for k, v in _state(lake).items()
-            } == oracle(events)
-        # time travel at every committed window hi
-        for bound in sorted({e[0][1] for e in events}):
+            } == fold(events)
+        # point lookups route through whatever topology the splits left
+        expect = fold(events)
+        got = {
+            (r["repo"], r["path"]): r["commit_seq"]
+            for r in lake.lookup(
+                [{"repo": k[0], "path": k[1]} for k in keys]
+            ).to_pylist()
+        }
+        assert got == expect
+        # time travel at every committed window hi, modeling the bounded
+        # replay exactly: windows above the bound are skipped, and the
+        # first split after any skipped window freezes the view
+        for bound in sorted(
+            {h for kind, h, _ in ledger_log if kind == "window"}
+        ):
+            included, skipped = [], False
+            for kind, h, idxs in ledger_log:
+                if kind == "window":
+                    if h > bound:
+                        skipped = True
+                        continue
+                    included.extend(idxs)
+                elif kind == "split" and skipped:
+                    break
             try:
                 got = {
                     (r["repo"], r["path"]): int(r["content"][1:])
                     for r in lake.read(as_of=bound).take_all()
                 }
             except FileNotFoundError:
-                assert compacted  # only a vacuum may take history away
+                assert lossy  # only GC may take history away
                 continue
-            assert got == oracle(events, bound=bound)
+            assert got == fold([events[i] for i in included])
 
     run()
 
