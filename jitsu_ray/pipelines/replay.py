@@ -256,9 +256,21 @@ class Replayer:
         it raise FileNotFoundError once replaced files are unlinked (the
         documented time-travel-until-vacuum contract).
 
+        WINDOW PIPELINING: window N+1's read+prep (the driver-side
+        footer-pruned parquet read + enricher chain of
+        ``_window_dataset_fast`` — the dominant non-merge cost at 1k
+        events) runs on ONE background thread while window N's exchange
+        and ledger commit proceed — the reads touch only immutable
+        changelog files, and the APPLY stays in the main loop, so the
+        watermark still commits strictly in seq order. A failed
+        prefetch just falls back to the synchronous read (and retries
+        re-derive the window fresh — a partially-consumed Dataset must
+        never be re-applied).
+
         Returns run metrics incl. per-window commit latency p50/p95/max
         (seconds) and retried/spooled counts."""
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..sinks.retry import default_classify
 
@@ -266,29 +278,79 @@ class Replayer:
         if max_seq is None:
             max_seq = changelog_max_seq(self.changelog_path)
         start_hi = self.lake.last_committed_hi()
-        lo = start_hi
         lat: list[float] = []
-        retried = 0
         spooled: list[dict] = []
-        compactions = 0
-        compact_errors = 0
+        counts = {"retried": 0, "compactions": 0, "compact_errors": 0}
         t0 = time.perf_counter()
+        prefetcher = ThreadPoolExecutor(max_workers=1)
+        try:
+            self._run_streaming_loop(
+                start_hi, max_seq, max_attempts, backoff_sec, classify,
+                spool_dir, compact_every, compact_min_files, lat, spooled,
+                prefetcher, shutil, counts,
+            )
+        finally:
+            prefetcher.shutdown(wait=False, cancel_futures=True)
+        wall = time.perf_counter() - t0
+        events = max_seq - start_hi
+        srt = sorted(lat)
+
+        def pct(p: float) -> float:
+            return srt[min(len(srt) - 1, int(p * len(srt)))] if srt else 0.0
+
+        return {
+            "windows": len(lat) + len(spooled),
+            "events": events,
+            "wall_sec": wall,
+            "events_per_sec": events / wall if wall > 0 else float("inf"),
+            "latency_p50_sec": round(pct(0.50), 4),
+            "latency_p95_sec": round(pct(0.95), 4),
+            "latency_max_sec": round(max(srt), 4) if srt else 0.0,
+            "retried": counts["retried"],
+            "spooled": spooled,
+            "compactions": counts["compactions"],
+            "compact_errors": counts["compact_errors"],
+        }
+
+    def _run_streaming_loop(
+        self, lo, max_seq, max_attempts, backoff_sec, classify, spool_dir,
+        compact_every, compact_min_files, lat, spooled, prefetcher, shutil,
+        counts,
+    ) -> None:
+        nxt = None  # (lo, hi, future) of the prefetched next window
         while lo < max_seq:
             hi = min(lo + self.window_size, max_seq)
             t_w = time.perf_counter()
+            ds_window = None
+            if nxt is not None and nxt[0] == lo and nxt[1] == hi:
+                try:
+                    ds_window = nxt[2].result()
+                except Exception:  # noqa: BLE001 — prefetch is advisory;
+                    ds_window = None  # the sync read below sees any real error
+            if ds_window is None:
+                ds_window = self._stream_window(lo, hi)
+            if hi < max_seq:
+                nlo, nhi = hi, min(hi + self.window_size, max_seq)
+                nxt = (nlo, nhi, prefetcher.submit(self._stream_window, nlo, nhi))
+            else:
+                nxt = None
             attempts = 0
             committed = False
             while True:
                 try:
-                    self.lake.apply_window(self._stream_window(lo, hi), lo, hi)
+                    self.lake.apply_window(ds_window, lo, hi)
                     lat.append(time.perf_counter() - t_w)
                     committed = True
                     break
                 except Exception as e:  # noqa: BLE001 — sink boundary
                     attempts += 1
                     if classify(e) and attempts < max_attempts:
-                        retried += 1
+                        counts["retried"] += 1
                         time.sleep(backoff_sec * (2 ** (attempts - 1)))
+                        # re-derive: a partially-consumed Dataset (the
+                        # failed apply may have drained some blocks)
+                        # must never be re-applied
+                        ds_window = self._stream_window(lo, hi)
                         continue
                     if spool_dir is None:
                         raise
@@ -328,30 +390,10 @@ class Replayer:
                     entry = self.lake.compact(
                         min_files=compact_min_files, tombstone_watermark=wm
                     )
-                    compactions += bool(entry.get("parts"))
+                    counts["compactions"] += bool(entry.get("parts"))
                 except Exception:  # noqa: BLE001 — maintenance boundary
-                    compact_errors += 1
+                    counts["compact_errors"] += 1
             lo = hi
-        wall = time.perf_counter() - t0
-        events = max_seq - start_hi
-        srt = sorted(lat)
-
-        def pct(p: float) -> float:
-            return srt[min(len(srt) - 1, int(p * len(srt)))] if srt else 0.0
-
-        return {
-            "windows": len(lat) + len(spooled),
-            "events": events,
-            "wall_sec": wall,
-            "events_per_sec": events / wall if wall > 0 else float("inf"),
-            "latency_p50_sec": round(pct(0.50), 4),
-            "latency_p95_sec": round(pct(0.95), 4),
-            "latency_max_sec": round(max(srt), 4) if srt else 0.0,
-            "retried": retried,
-            "spooled": spooled,
-            "compactions": compactions,
-            "compact_errors": compact_errors,
-        }
 
     @staticmethod
     def _safe_tombstone_watermark(committed_hi: int, spooled: list[dict],
