@@ -1590,6 +1590,62 @@ class LakeTable:
         self.ledger.checkpoint()
         return entry
 
+    def maintain(
+        self,
+        max_partition_bytes: int | None = None,
+        max_input_bytes: int | None = None,
+        min_files: int = 4,
+        tombstone_watermark: int = 0,
+        keep_history: int | None = None,
+        max_split_factor: int = 16,
+    ) -> dict:
+        """ONE policy-driven maintenance pass — the operational loop a
+        long-running lake schedules instead of hand-picking mechanisms:
+
+        1. SPLIT every active partition whose live bytes exceed
+           ``max_partition_bytes`` (factor = ceil(bytes / budget),
+           clamped to ``max_split_factor``, so each child lands near or
+           under the budget in one pass).
+        2. Size-tiered COMPACT partitions holding >= ``min_files`` live
+           files under ``max_input_bytes`` (defaults to the partition
+           budget), with GC DEFERRED.
+        3. VACUUM with ``keep_history`` (skipped when None — retention
+           stays an explicit policy choice).
+
+        Splits before compaction: folding an oversized partition first
+        would burn a byte-bounded fold pass on files the split is about
+        to rewrite anyway. Returns {"splits", "compact", "vacuum"}.
+        Same exclusivity contract as split_partition (no concurrent
+        window applier)."""
+        splits_done = []
+        if max_partition_bytes is not None:
+            sizes = {
+                p: sum(os.path.getsize(f) for f in fs)
+                for p, fs in self.live_files().items()
+            }
+            act = active_moduli(self.num_partitions, self.ledger.splits())
+            for p, nbytes in sorted(sizes.items()):
+                if p in act and nbytes > max_partition_bytes:
+                    factor = min(
+                        max_split_factor,
+                        max(2, -(-nbytes // max_partition_bytes)),
+                    )
+                    splits_done.append(
+                        self.split_partition(
+                            p,
+                            factor=factor,
+                            max_input_bytes=max_input_bytes or max_partition_bytes,
+                        )
+                    )
+        compact_entry = self.compact(
+            min_files=min_files,
+            tombstone_watermark=tombstone_watermark,
+            max_input_bytes=max_input_bytes or max_partition_bytes,
+            vacuum="defer",
+        )
+        vac = self.vacuum(keep_history) if keep_history is not None else None
+        return {"splits": splits_done, "compact": compact_entry, "vacuum": vac}
+
     def vacuum(self, keep_history: int = 0) -> dict:
         """Retention pass: physically delete files that no CURRENT view
         references and whose replacing compaction/split committed at or

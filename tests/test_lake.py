@@ -1580,6 +1580,48 @@ def test_partition_split_routes_and_preserves_state(ray_session, tmp_path):
     assert _state(lake) == {**before, **{(f"r{i}", f"q{i}"): ("c", "py", "w") for i in range(8)}}
 
 
+def test_maintain_policy_pass(ray_session, tmp_path):
+    """maintain(): one pass auto-splits partitions over the byte
+    budget (factor sized to land children near the budget),
+    tier-compacts with deferred GC, and vacuums on the retention
+    window — state invariant throughout, new windows route to the
+    refined topology."""
+    from jitsu_ray.sinks.lake import active_moduli
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    # bulk of the data on partition-heavy keys so at least one partition
+    # exceeds the small budget
+    rows = [
+        ev(i + 1, "insert", f"r{i % 3}", f"p{i}", "c", "py", "x" * 500)
+        for i in range(200)
+    ]
+    lake.apply_window(make_ds(rows[:100]), 0, 100)
+    lake.apply_window(make_ds(rows[100:]), 100, 200)
+    before = _state(lake)
+    sizes = {
+        p: sum(os.path.getsize(f) for f in fs)
+        for p, fs in lake.live_files().items()
+    }
+    budget = max(sizes.values()) // 2  # forces at least one split
+    out = lake.maintain(
+        max_partition_bytes=budget, min_files=2, keep_history=0
+    )
+    assert out["splits"], "expected at least one auto-split"
+    assert _state(lake) == before
+    # the split factor targeted the budget: every child's live bytes
+    # should be well under the parent's old size (hash spread, not exact)
+    act = active_moduli(2, lake.ledger.splits())
+    assert len(act) > 2
+    # follow-up windows still land correctly
+    lake.apply_window(
+        make_ds([ev(201, "insert", "rz", "new", "c", "go", "w")]), 200, 201
+    )
+    assert _state(lake)[("rz", "new")] == ("c", "go", "w")
+    # idempotent-ish second pass: no state change
+    lake.maintain(max_partition_bytes=budget, min_files=2, keep_history=0)
+    assert _state(lake)[("r0", "p0")] == before[("r0", "p0")]
+
+
 def test_vacuum_retention_grace_window(ray_session, tmp_path):
     """vacuum(keep_history=N): files replaced by recent folds survive
     the grace window (old as_of keeps working); shrinking the window
