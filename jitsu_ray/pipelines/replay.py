@@ -229,6 +229,7 @@ class Replayer:
         spool_dir: str | None = None,
         compact_every: int | None = None,
         compact_min_files: int = 8,
+        split_over_bytes: int | None = None,
     ) -> dict:
         """Low-latency streaming mode (§3.2): small windows (construct the
         Replayer with ``window_size~1000``), per-window commit latency
@@ -242,6 +243,17 @@ class Replayer:
         ``spool_dir`` as parquet and the stream advances. Spooled events
         are re-applied later by ``replay_spooled`` — correct because LWW
         merge is order-independent and tombstones are kept.
+
+        ``split_over_bytes``: auto partition SPLITTING — at each
+        auto-compaction trigger, run ``lake.maintain`` instead of a bare
+        compact: any active partition whose live bytes exceed the budget
+        is split (hash-refinement children), then byte-bounded tiered
+        compaction folds under the same budget and a keep_history=0
+        vacuum GCs replaced files (matching the immediate-GC disk bound
+        of the plain path). The streaming loop is the lake's ONLY
+        applier, so the split's no-concurrent-writer contract holds by
+        construction — this is where a lake created at N partitions
+        grows its topology while the stream keeps running.
 
         ``compact_every``: auto-compaction — every N committed windows,
         fold partitions holding >= ``compact_min_files`` files into one
@@ -287,7 +299,7 @@ class Replayer:
             self._run_streaming_loop(
                 start_hi, max_seq, max_attempts, backoff_sec, classify,
                 spool_dir, compact_every, compact_min_files, lat, spooled,
-                prefetcher, shutil, counts,
+                prefetcher, shutil, counts, split_over_bytes,
             )
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
@@ -310,12 +322,13 @@ class Replayer:
             "spooled": spooled,
             "compactions": counts["compactions"],
             "compact_errors": counts["compact_errors"],
+            "splits": counts.get("splits", 0),
         }
 
     def _run_streaming_loop(
         self, lo, max_seq, max_attempts, backoff_sec, classify, spool_dir,
         compact_every, compact_min_files, lat, spooled, prefetcher, shutil,
-        counts,
+        counts, split_over_bytes=None,
     ) -> None:
         nxt = None  # (lo, hi, future) of the prefetched next window
         while lo < max_seq:
@@ -387,9 +400,21 @@ class Replayer:
             if committed and compact_every and len(lat) % compact_every == 0:
                 try:
                     wm = self._safe_tombstone_watermark(hi, spooled, spool_dir)
-                    entry = self.lake.compact(
-                        min_files=compact_min_files, tombstone_watermark=wm
-                    )
+                    if split_over_bytes:
+                        out = self.lake.maintain(
+                            max_partition_bytes=split_over_bytes,
+                            min_files=compact_min_files,
+                            tombstone_watermark=wm,
+                            keep_history=0,
+                        )
+                        entry = out["compact"]
+                        counts["splits"] = counts.get("splits", 0) + len(
+                            out["splits"]
+                        )
+                    else:
+                        entry = self.lake.compact(
+                            min_files=compact_min_files, tombstone_watermark=wm
+                        )
                     counts["compactions"] += bool(entry.get("parts"))
                 except Exception:  # noqa: BLE001 — maintenance boundary
                     counts["compact_errors"] += 1

@@ -472,6 +472,33 @@ def test_streaming_auto_compaction_converges(ray_session, tmp_path):
     assert n_files < n_files2
 
 
+def test_streaming_auto_split_converges(ray_session, tmp_path):
+    """split_over_bytes: the stream (the lake's only applier) grows its
+    partition topology mid-run — oversized partitions split at the
+    auto-maintenance trigger — and the final state still equals a plain
+    replay into an unsplit lake."""
+    tbl = gen_changelog(n_events=4000, n_repos=15, seed=29)
+    log = str(tmp_path / "log")
+    write_changelog(log, tbl, rows_per_file=1000)
+
+    lake = LakeTable.create(str(tmp_path / "lake"), ["repo", "path"], 2)
+    rep = Replayer(log, lake, window_size=500)
+    m = rep.run_streaming(
+        backoff_sec=0.01, compact_every=3, compact_min_files=2,
+        split_over_bytes=50_000,
+    )
+    assert m["splits"] >= 1 and m["compact_errors"] == 0
+
+    lake2 = LakeTable.create(str(tmp_path / "lake2"), ["repo", "path"], 2)
+    Replayer(log, lake2, window_size=500).run_streaming(backoff_sec=0.01)
+    assert state_fingerprint(lake.read().take_all()) == state_fingerprint(
+        lake2.read().take_all()
+    )
+    # topology actually grew and windows landed in child partitions
+    assert len(lake.ledger.splits()) >= 1
+    assert len(lake.live_files()) > 2
+
+
 def test_streaming_compaction_spool_safe(ray_session, tmp_path):
     # a pending spooled window must LOWER the compaction tombstone
     # watermark: the spool holds a low-seq update for a key deleted at a
