@@ -118,16 +118,25 @@ class HeaderProbeDecoder(DecoderBackend):
         elif data[:2] == b"\xff\xd8":
             # walk JPEG markers to the first frame header (SOFn)
             i = 2
-            while i + 9 <= len(data):
+            while i + 10 <= len(data):
                 if data[i] != 0xFF:
                     i += 1
                     continue
                 marker = data[i + 1]
+                if marker == 0xFF:
+                    # legal fill byte (JPEG B.1.1.2: any number of 0xFF
+                    # may pad before a marker) — NOT a segment; skipping
+                    # just one keeps the next 0xFF pair in frame
+                    i += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
                 seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    # i+10 <= len guaranteed by the loop guard, so the
+                    # full h/w/channels read is in bounds (a truncated
+                    # SOF falls out of the loop -> ValueError below)
                     h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                     ch = data[i + 9]
                     break

@@ -217,6 +217,40 @@ def where_sql(where) -> str:
     return " AND ".join(parts) if parts else "TRUE"
 
 
+def _legacy_filter_identity(where, columns) -> str | None:
+    """The PRE-round-5 canonical form of the filter identity: conjuncts
+    in caller order, in-list values sorted but NOT deduped. Used only
+    to ACCEPT stored round tags written before the canonicalization
+    change; never recorded. Assumes ``where`` already passed
+    _norm_where's validation in _plan_target."""
+    if where is None and columns is None:
+        return None
+    norm = None
+    if where is not None:
+        norm = []
+        for c in where:
+            if len(c) == 2:
+                col, op = c
+                val = None
+            else:
+                col, op, val = c
+            op = " ".join(str(op).lower().split())
+            if op in ("in", "not in"):
+                norm.append([str(col), op, sorted(list(val), key=repr)])
+            else:
+                norm.append([str(col), op, val])
+        norm = norm or None
+    if norm is None and columns is None:
+        return None
+    return json.dumps(
+        {
+            "where": norm,
+            "columns": list(columns) if columns is not None else None,
+        },
+        sort_keys=True,
+    )
+
+
 def _visible_cols(lake) -> list[str]:
     from ..sinks.lake import OP_COL, PART_COL, SEQ_COL
 
@@ -503,11 +537,20 @@ def _plan_target(src, dst, resync, where, columns, src_lseq, to, src_id) -> dict
                 f"so resync=True cannot heal this replica: recreate it"
             )
     need_resync = bool(resync or foreign)
-    if not need_resync and prev is not None and prev.get("filter") != filt:
+    if (
+        not need_resync
+        and prev is not None
+        and prev.get("filter") != filt
+        and prev.get("filter") != _legacy_filter_identity(where, columns)
+    ):
         # the replica was maintained under a DIFFERENT filter/projection:
         # rows the old filter excluded have already had their diffs pass
         # by, so incremental catch-up under the new filter would silently
-        # miss them — rebuild from source state
+        # miss them — rebuild from source state. A stored tag in the
+        # PRE-round-5 canonical form (conjuncts in caller order,
+        # in-lists undeduped) of the SAME spec is accepted — upgrading
+        # must not force one spurious full resync per replica — while
+        # new tags always record the round-5 form.
         need_resync = True
     if not need_resync and prev is not None:
         if (

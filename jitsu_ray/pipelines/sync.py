@@ -123,6 +123,9 @@ def run_scheduler(
     ]
     if len({k for k, _, _ in items}) != len(items):
         raise ValueError("duplicate (source, collection) in schedules")
+    if not items:  # config-driven caller with zero enabled collections
+        return {"ticks": 0, "runs": 0, "synced": 0, "skipped": 0,
+                "busy": 0, "errors": [], "detail": {}}
     next_due: dict[str, datetime] = {k: datetime.min for k, _, _ in items}
     inflight: dict[str, Any] = {}
     totals = {"ticks": 0, "runs": 0, "synced": 0, "skipped": 0, "busy": 0,

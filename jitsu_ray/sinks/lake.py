@@ -76,6 +76,28 @@ from ..util import (
 )
 
 
+def _byte_bounded_groups(files: list[str], budget: int) -> list[list[str]]:
+    """Consecutive runs of ``files`` (ledger order) whose on-disk bytes
+    stay within ``budget`` — the shared grouping rule of size-tiered
+    compaction and byte-bounded splits. The first file of a run always
+    joins even when alone over budget, so an oversized file forms its
+    own singleton group (compaction passes it through; a split still
+    processes it file-at-a-time)."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if cur and cur_bytes + sz > budget:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def active_moduli(base: int, splits: list) -> dict[int, int]:
     """{active partition id: its routing modulus} under a split
     topology — the base partitions minus split parents plus their
@@ -1192,10 +1214,9 @@ class LakeTable:
             parts = sorted(set(live_a) | set(live_b))
             items = [
                 {
-                    "part": p,
                     "files_a": live_a.get(p, []),
-                    "files_b": live_b.get(p, []),
                     "route_a": False,
+                    "children": [{"part": p, "files_b": live_b.get(p, [])}],
                 }
                 for p in parts
             ]
@@ -1221,14 +1242,28 @@ class LakeTable:
                         return ia
                 return None
 
-            items = []
+            # ONE item (= one read + one LWW resolve of the parent's
+            # a-state) per a-parent, diffing all of its b-children from
+            # the same resolved table — a maintain() split at factor 16
+            # would otherwise re-read and re-resolve the parent 16x
+            by_parent: dict[int | None, list[dict]] = {}
             for c in sorted(set(b_act) | set(live_b)):
-                fa = live_a.get(a_part_of(c), [])
                 fb = live_b.get(c, [])
-                if fa or fb:
-                    items.append(
-                        {"part": c, "files_a": fa, "files_b": fb, "route_a": True}
+                pa_id = a_part_of(c)
+                if live_a.get(pa_id) or fb:
+                    by_parent.setdefault(pa_id, []).append(
+                        {"part": c, "files_b": fb}
                     )
+            items = [
+                {
+                    "files_a": live_a.get(pa_id, []),
+                    "route_a": True,
+                    "children": children,
+                }
+                for pa_id, children in sorted(
+                    by_parent.items(), key=lambda kv: (kv[0] is None, kv[0])
+                )
+            ]
         if not items:
             return ray.data.from_arrow(out_schema.empty_table())
         state_schema = pa.schema([target.field(c) for c in out_cols])
@@ -1239,72 +1274,90 @@ class LakeTable:
             outs = []
             for row in batch.to_pylist():
 
-                def state(files, route_to=None):
-                    if not files:
-                        return pl.from_arrow(state_schema.empty_table())
+                def load(files) -> pa.Table:
                     t = pq.ParquetDataset(files, schema=target).read(
                         columns=phys_cols
                     )
-                    r = resolve_arrow(t, key_cols)
-                    if route_to is not None:
-                        ids = _route(r, key_cols, base, splits_b)
-                        r = r.filter(pc.equal(ids, route_to))
-                    return pl.from_arrow(r.select(out_cols))
+                    return resolve_arrow(t, key_cols)
 
-                da = state(
-                    row["files_a"],
-                    route_to=row["part"] if row["route_a"] else None,
-                ).with_columns(pl.lit(True).alias("__a"))
-                db = state(row["files_b"]).with_columns(pl.lit(True).alias("__b"))
-                # nulls_equal: a null-keyed row present unchanged in both
-                # states must JOIN (and emit nothing), not split into a
-                # same-seq delete+insert pair whose LWW tie a downstream
-                # replication apply resolves nondeterministically
-                j = da.join(
-                    db,
-                    on=key_cols,
-                    how="full",
-                    suffix="__b",
-                    coalesce=True,
-                    nulls_equal=True,
+                # the parent's a-state is read and LWW-resolved ONCE,
+                # then sliced per child by b-topology routing
+                ra = load(row["files_a"]) if row["files_a"] else None
+                ids = (
+                    _route(ra, key_cols, base, splits_b)
+                    if ra is not None and row["route_a"]
+                    else None
                 )
-                in_a = pl.col("__a").fill_null(False)
-                in_b = pl.col("__b").fill_null(False)
-                changed = (
-                    pl.any_horizontal(
-                        [pl.col(c).ne_missing(pl.col(f"{c}__b")) for c in payload]
+                for child in row["children"]:
+                    if ra is None:
+                        da = pl.from_arrow(state_schema.empty_table())
+                    elif ids is not None:
+                        da = pl.from_arrow(
+                            ra.filter(pc.equal(ids, child["part"])).select(out_cols)
+                        )
+                    else:
+                        da = pl.from_arrow(ra.select(out_cols))
+                    db = (
+                        pl.from_arrow(load(child["files_b"]).select(out_cols))
+                        if child["files_b"]
+                        else pl.from_arrow(state_schema.empty_table())
                     )
-                    if payload
-                    else pl.lit(False)
-                )
-                j = j.with_columns(
-                    pl.when(~in_a)
-                    .then(pl.lit("insert"))
-                    .when(~in_b)
-                    .then(pl.lit("delete"))
-                    .when(changed)
-                    .then(pl.lit("update"))
-                    .otherwise(pl.lit(None, pl.String))
-                    .alias("change")
-                ).filter(pl.col("change").is_not_null())
-                if include_old:
-                    # new values plain (a-side nulls for delete come from
-                    # the join), old values as <c>__old siblings
-                    vals = [pl.col(f"{c}__b").alias(c) for c in payload] + [
-                        pl.col(c).alias(f"{c}__old") for c in payload
-                    ]
-                else:
-                    vals = [
-                        pl.when(pl.col("change") == "delete")
-                        .then(pl.col(c))
-                        .otherwise(pl.col(f"{c}__b"))
-                        .alias(c)
-                        for c in payload
-                    ]
-                outs.append(
-                    j.select([*key_cols, *vals, "change"]).to_arrow().cast(out_schema)
-                )
-            return pa.concat_tables(outs)
+                    da = da.with_columns(pl.lit(True).alias("__a"))
+                    db = db.with_columns(pl.lit(True).alias("__b"))
+                    # nulls_equal: a null-keyed row present unchanged in
+                    # both states must JOIN (and emit nothing), not split
+                    # into a same-seq delete+insert pair whose LWW tie a
+                    # downstream replication apply resolves
+                    # nondeterministically
+                    j = da.join(
+                        db,
+                        on=key_cols,
+                        how="full",
+                        suffix="__b",
+                        coalesce=True,
+                        nulls_equal=True,
+                    )
+                    in_a = pl.col("__a").fill_null(False)
+                    in_b = pl.col("__b").fill_null(False)
+                    changed = (
+                        pl.any_horizontal(
+                            [pl.col(c).ne_missing(pl.col(f"{c}__b")) for c in payload]
+                        )
+                        if payload
+                        else pl.lit(False)
+                    )
+                    j = j.with_columns(
+                        pl.when(~in_a)
+                        .then(pl.lit("insert"))
+                        .when(~in_b)
+                        .then(pl.lit("delete"))
+                        .when(changed)
+                        .then(pl.lit("update"))
+                        .otherwise(pl.lit(None, pl.String))
+                        .alias("change")
+                    ).filter(pl.col("change").is_not_null())
+                    if include_old:
+                        # new values plain (a-side nulls for delete come
+                        # from the join), old values as <c>__old siblings
+                        vals = [pl.col(f"{c}__b").alias(c) for c in payload] + [
+                            pl.col(c).alias(f"{c}__old") for c in payload
+                        ]
+                    else:
+                        vals = [
+                            pl.when(pl.col("change") == "delete")
+                            .then(pl.col(c))
+                            .otherwise(pl.col(f"{c}__b"))
+                            .alias(c)
+                            for c in payload
+                        ]
+                    outs.append(
+                        j.select([*key_cols, *vals, "change"])
+                        .to_arrow()
+                        .cast(out_schema)
+                    )
+            return (
+                pa.concat_tables(outs) if outs else out_schema.empty_table()
+            )
 
         return ray.data.from_items(items).map_batches(
             diff_partition, batch_size=1, batch_format="pyarrow"
@@ -1397,19 +1450,11 @@ class LakeTable:
             return {"kind": "compact", "parts": {}}
         tasks = []
         for p, fs in sorted(todo.items()):
-            if max_input_bytes is None:
-                groups = [fs]
-            else:
-                groups, cur, cur_bytes = [], [], 0
-                for f in fs:
-                    sz = os.path.getsize(f)
-                    if cur and cur_bytes + sz > max_input_bytes:
-                        groups.append(cur)
-                        cur, cur_bytes = [], 0
-                    cur.append(f)
-                    cur_bytes += sz
-                if cur:
-                    groups.append(cur)
+            groups = (
+                [fs]
+                if max_input_bytes is None
+                else _byte_bounded_groups(fs, max_input_bytes)
+            )
             full_fold = len(groups) == 1 and len(groups[0]) == len(fs)
             for t, grp in enumerate(groups):
                 if len(grp) < 2 and not full_fold:
@@ -1504,19 +1549,11 @@ class LakeTable:
         lake_dir = self.dir
         gen = self.ledger.next_seq()
 
-        if max_input_bytes is None:
-            groups = [[f] for f in live]
-        else:
-            groups, cur, cur_bytes = [], [], 0
-            for f in live:
-                sz = os.path.getsize(f)
-                if cur and cur_bytes + sz > max_input_bytes:
-                    groups.append(cur)
-                    cur, cur_bytes = [], 0
-                cur.append(f)
-                cur_bytes += sz
-            if cur:
-                groups.append(cur)
+        groups = (
+            [[f] for f in live]  # default: one routing task per file
+            if max_input_bytes is None
+            else _byte_bounded_groups(live, max_input_bytes)
+        )
 
         @ray.remote
         def split_group(gi: int, files: list[str]) -> list[tuple[int, int, dict]]:
@@ -1690,8 +1727,16 @@ class LakeTable:
         if remove:
             self.ledger.append(entry)
         removed_now = 0
-        # sweep this pass's files AND any earlier-recorded stragglers
-        for f in [*remove, *already]:
+        # sweep this pass's files, plus earlier-recorded stragglers that
+        # STILL EXIST (a crash between a vacuum row and its unlinks).
+        # The exists() filter matters on long-running lakes: `already`
+        # is the union of every historical vacuum row, and issuing two
+        # failing unlinks per long-gone file per maintenance pass would
+        # grow per-pass cost with lake age instead of with actual work.
+        stragglers = [
+            f for f in already if os.path.exists(os.path.join(self.dir, f))
+        ]
+        for f in [*remove, *stragglers]:
             for path in (f, f + ".bloom.npz"):
                 try:
                     os.unlink(os.path.join(self.dir, path))

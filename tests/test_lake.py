@@ -2233,6 +2233,46 @@ def test_where_spec_identity_and_literals(ray_session, tmp_path):
         where_sql([("score", "=", float("nan"))])
 
 
+def test_filter_identity_legacy_tag_accepted(ray_session, tmp_path):
+    """Upgrade path: a replica whose stored round tag carries the
+    PRE-round-5 filter identity (conjuncts in caller order, in-lists
+    undeduped) must NOT take a spurious full resync when the same spec
+    is passed again — and the next round re-records the new form."""
+    import glob
+    import json
+
+    from jitsu_ray.pipelines.replicate import (
+        _legacy_filter_identity,
+        replicate,
+    )
+
+    src = LakeTable.create(str(tmp_path / "src"), ["repo", "path"], 2)
+    src.apply_window(
+        make_ds([ev(1, "insert", "r1", "a", "c1", "py", "v1")]), 0, 1
+    )
+    dst = LakeTable.create(str(tmp_path / "dst"), ["repo", "path"], 2)
+    spec = [("repo", "!=", "zzz"), ("lang", "in", ["py", "go", "py"])]
+    assert replicate(src, dst, where=spec)["mode"] == "incremental"
+    # rewrite the stored tag to the legacy canonical form in place
+    legacy = _legacy_filter_identity(spec, None)
+    rewritten = 0
+    for f in sorted(glob.glob(os.path.join(dst.dir, "_ledger", "*.json"))):
+        with open(f) as fh:
+            e = json.load(fh)
+        rep = (e.get("metrics") or {}).get("replication")
+        if rep and rep.get("filter"):
+            assert rep["filter"] != legacy  # new form really differs
+            rep["filter"] = legacy
+            with open(f, "w") as fh:
+                json.dump(e, fh)
+            rewritten += 1
+    assert rewritten == 1
+    # same spec against the legacy tag: noop, not resync
+    assert replicate(src, dst, where=spec)["mode"] == "noop"
+    # a genuinely different spec still resyncs
+    assert replicate(src, dst, where=[("repo", "!=", "aaa")])["mode"] == "resync"
+
+
 def test_replica_keys_only_and_degenerate_specs(ray_session, tmp_path):
     """Review-fix pins: columns=[] is a KEYS-ONLY replica with its own
     filter identity (switching to full payload must resync, not ride the

@@ -266,6 +266,19 @@ def test_header_probe_decoder(ray_session):
     assert (m["width"], m["height"], m["channels"]) == (77, 55, 4)
     m = d.decode_one(jpg, "image/jpeg")
     assert (m["width"], m["height"], m["channels"]) == (22, 11, 3)
+    # legal 0xFF fill bytes before a marker (JPEG B.1.1.2) must not be
+    # parsed as a length-bearing segment
+    jpg_fill = (
+        b"\xff\xd8" + b"\xff\xff"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 7, 9) + b"\x01" + b"\x00" * 3
+    )
+    m = d.decode_one(jpg_fill, "image/jpeg")
+    assert (m["width"], m["height"], m["channels"]) == (9, 7, 1)
+    # truncated SOF raises the documented ValueError, never IndexError
+    truncated = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 11, 22)
+    with pytest.raises(ValueError, match="unrecognized"):
+        d.decode_one(truncated, "image/jpeg")
     with pytest.raises(ValueError, match="unrecognized"):
         d.decode_one(b"not an image", "application/octet-stream")
 

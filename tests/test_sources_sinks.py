@@ -675,6 +675,11 @@ def test_run_scheduler_fake_clock(tmp_path):
     assert out3["ticks"] == 2
     assert any("source down" in e for _, e in out3["errors"])
 
+    # zero enabled collections: clean no-op, not min()-of-empty crash
+    empty = run_scheduler([], store, sink2, max_ticks=3, clock=clock, sleep=sleep)
+    assert empty == {"ticks": 0, "runs": 0, "synced": 0, "skipped": 0,
+                     "busy": 0, "errors": [], "detail": {}}
+
 
 class _StubHandler:
     """Factory for a local stub HTTP server recording requests."""
