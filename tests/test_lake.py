@@ -1821,8 +1821,10 @@ def test_replica_random_interleaving_matches_source(ray_session, tmp_path):
 
     from jitsu_ray.pipelines.replicate import replicate
 
+    from jitsu_ray.sinks.lake import active_moduli
+
     keys = [(None, "n"), ("r1", "a"), ("r1", "b"), ("r2", "c")]
-    acts = ["window", "window", "late", "replicate", "resync"]
+    acts = ["window", "window", "late", "replicate", "resync", "split", "vacuum"]
 
     @settings(deadline=None, max_examples=6, suppress_health_check=list(HealthCheck))
     @given(st.data())
@@ -1833,6 +1835,22 @@ def test_replica_random_interleaving_matches_source(ray_session, tmp_path):
         seq = hi = 0
         for _ in range(data.draw(st.integers(3, 6))):
             act = data.draw(st.sampled_from(acts))
+            if act == "split":
+                # round 5: SOURCE partition splits between rounds must be
+                # invisible to replication (topology-aware diff pairing)
+                parts = sorted(active_moduli(3, src.ledger.splits()))
+                src.split_partition(
+                    data.draw(st.sampled_from(parts)),
+                    factor=data.draw(st.sampled_from([2, 3])),
+                )
+                continue
+            if act == "vacuum":
+                # deferred-GC fold then retention: an incremental round
+                # whose diff history was vacuumed must degrade to resync
+                # (and still converge), never diverge or crash
+                src.compact(min_files=1, tombstone_watermark=0, vacuum="defer")
+                src.vacuum(keep_history=data.draw(st.integers(0, 3)))
+                continue
             if act in ("window", "late"):
                 if act == "late" and hi < 2:
                     act = "window"
