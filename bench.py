@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_text_stats",
     "minhash_dedup_docs",
     "knn_cosine_topk",
+    "semantic_dedup",
     "session_windows",
     "doc_quality",
     "simhash_docs",

@@ -153,11 +153,14 @@ def kmeans_assign(
     vec_col: str,
     k: int = 10,
     iters: int = 2,
+    return_centroids: bool = False,
 ):
     """Fit deterministic k-means on ``ds[vec_col]`` and return a Dataset
     of ``(id_col, cluster int64)`` — one row per input row, the final
-    assignment under the fitted centroids. See module docstring for the
-    algorithm contract the SQL oracle mirrors.
+    assignment under the fitted centroids (with ``return_centroids`` a
+    ``(dataset, centroids ndarray)`` pair — semantic_dedup composes on
+    the fitted model without a second fit). See module docstring for
+    the algorithm contract the SQL oracle mirrors.
 
     PRECONDITION for oracle parity: ``id_col`` must be UNIQUE and
     NON-NULL. The SQL twin's per-point ``row_number() PARTITION BY id``
@@ -284,7 +287,8 @@ def kmeans_assign(
             {id_col: batch[id_col], "cluster": pa.array(a, pa.int64())}
         )
 
-    return ds.map_batches(assign_out, batch_format="pyarrow")
+    out = ds.map_batches(assign_out, batch_format="pyarrow")
+    return (out, cents) if return_centroids else out
 
 
 def kmeans_oracle_sql(
@@ -340,4 +344,97 @@ def kmeans_oracle_sql(
     )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT {id_col}, cluster FROM out"
+    )
+
+
+def semantic_dedup(
+    ds,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+    threshold: float = 0.4,
+    tile_rows: int = 4096,
+):
+    """SemDeDup-style semantic near-duplicate pruning (the published
+    Abbas et al. 2023 recipe shape): cluster the embedding space with
+    the deterministic k-means above, then WITHIN each semantic cluster
+    mark every vector that has a lower-``id_col`` neighbor at cosine
+    >= ``threshold`` as a duplicate — one representative (the smallest
+    id of each similar group's transitive "sees a smaller near twin"
+    chain) survives per near-duplicate set. Output: one row per input,
+    ``(id_col, cluster int64, is_dup bool)``.
+
+    Scale shape: the CLUSTER is the parallel unit, exactly as the
+    published recipe runs it — pairwise work is confined to one
+    cluster, so at corpus scale you pick k large enough (SemDeDup used
+    tens of thousands) that clusters stay pairwise-tractable, and the
+    one ``groupby(cluster)`` exchange moves each row once. Inside a
+    group the comparison is tiled numpy (``tile_rows`` x m blocks), so
+    task memory is O(m x tile), never O(m^2); compute is O(m^2 d / k)
+    in aggregate — the algorithm's own bound, not an implementation
+    artifact. Dedup rule "exists a smaller-id in-cluster neighbor" is
+    order-free and SQL-expressible (the driver oracle joins the Lloyd
+    CTEs), unlike keep-first-seen heuristics.
+
+    Float-parity note: cosine is computed in float64 (matching DuckDB's
+    list_cosine_similarity DOUBLE arithmetic to ~1e-15); pick a
+    ``threshold`` with real margin from the data's pair cosines when
+    hash-comparing against the SQL twin (the testdata's documented
+    >=1e-4 gap at 0.4)."""
+
+    # the fit runs here (init + Lloyd folds); the returned lazy
+    # assignment dataset is unused — with_cluster re-derives assignment
+    # in the same pass that carries the vectors to the prune groupby
+    _lazy_assigns, cents = kmeans_assign(
+        ds, id_col, vec_col, k=k, iters=iters, return_centroids=True
+    )
+    ref = ray.put(cents)
+
+    def with_cluster(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
+
+        cents_b = once_per_process("semdedup_cents", _ref)
+        vecs = _batch_vectors(batch, vec_col)
+        a = (
+            _assign(vecs, cents_b)
+            if len(vecs)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a, pa.int64()),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def prune_cluster(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(order)
+        v = _batch_vectors(g, vec_col).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0  # zero vectors: cosine 0 vs everything
+        v = v / norms[:, None]
+        m = len(v)
+        dup = np.zeros(m, dtype=bool)
+        for start in range(0, m, tile_rows):
+            end = min(start + tile_rows, m)
+            sims = v[start:end] @ v.T  # (tile, m)
+            tri = np.arange(m)[None, :] < np.arange(start, end)[:, None]
+            dup[start:end] = ((sims >= threshold) & tri).any(axis=1)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "cluster": g["cluster"],
+                "is_dup": pa.array(dup),
+            }
+        )
+
+    return (
+        ds.map_batches(with_cluster, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune_cluster, batch_format="pyarrow")
     )

@@ -1225,6 +1225,36 @@ SELECT vec_id, cluster FROM (
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shape semantic deduplication (ops/cluster.semantic_dedup,
+    the published Abbas et al. 2023 recipe): deterministic k-means
+    semantic clusters, then WITHIN each cluster a vector is a duplicate
+    iff a lower-id neighbor sits at cosine >= 0.4. The cluster is the
+    parallel unit (one groupby exchange; tiled numpy pairwise inside),
+    exactly how the recipe runs at corpus scale with large k. Threshold
+    0.4 inherits the >=1e-4 margin from every actual pair cosine in the
+    testdata (q_embedding_near_dup's verified gap — within-cluster pairs
+    are a subset of global pairs), so float64-vs-DuckDB summation noise
+    (~1e-15) cannot flip the oracle boundary."""
+    from .ops.cluster import semantic_dedup
+
+    ds = _read_sized(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, "vec_id", "embedding", k=10, iters=2, threshold=0.4)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH A AS ({SQL_KMEANS}),
+V AS (SELECT a.vec_id, a.cluster, e.embedding
+      FROM A a JOIN embeddings e USING (vec_id)),
+D AS (SELECT DISTINCT x.vec_id FROM V x JOIN V y
+        ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+       AND list_cosine_similarity(x.embedding, y.embedding) >= 0.4)
+SELECT v.vec_id, v.cluster,
+       (v.vec_id IN (SELECT vec_id FROM D)) AS is_dup
+FROM V v
+"""
+
+
 def q_normalize_docs(sf_dir: str):
     """Unicode pre-shingling normalization (ops/text.normalize_text):
     NFC + whitespace-run collapse + trim over documents.text, one fused
@@ -5048,6 +5078,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_users_by_type": q_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "normalize_docs": q_normalize_docs,
     "dedup_spans": q_dedup_spans,
@@ -5156,6 +5187,7 @@ ORACLES = {
     "top_docs_per_lang": SQL_TOP_PER_LANG,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "kmeans_clusters": SQL_KMEANS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
     "normalize_docs": SQL_NORMALIZE,
     "dedup_spans": SQL_DEDUP_SPANS,

@@ -319,6 +319,50 @@ def test_pil_decoder_real_path(ray_session):
     assert (m["width"], m["height"], m["channels"]) == (17, 9, 4)
 
 
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup composition: planted near-identical vectors are flagged
+    as duplicates of their smallest-id twin WITHIN their semantic
+    cluster; singletons survive; the tiled pairwise path (tile_rows
+    smaller than the cluster) matches the untiled result; zero vectors
+    never match anything (cosine treated as 0)."""
+    import ray.data
+
+    from jitsu_ray.ops.cluster import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((60, 8)).astype(np.float32)
+    m[7] = m[3] + 1e-3 * rng.standard_normal(8).astype(np.float32)  # near twin
+    m[42] = m[3]  # exact twin
+    m[50] = 0.0  # zero vector
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(v) for v in m], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(
+            ds, "vec_id", "embedding", k=4, iters=2, threshold=0.95
+        ).take_all()
+    }
+    assert len(out) == 60
+    # twins share a cluster with 3 and only the LARGER ids are dups
+    assert out[3][0] == out[7][0] == out[42][0]
+    assert not out[3][1] and out[7][1] and out[42][1]
+    assert not out[50][1]  # zero vector: no cosine >= 0.95 neighbor
+    # tiled execution identical
+    out_tiled = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(
+            ds, "vec_id", "embedding", k=4, iters=2, threshold=0.95,
+            tile_rows=2,
+        ).take_all()
+    }
+    assert out_tiled == out
+
+
 def test_embedding_near_dup_planted(ray_session):
     import ray.data
 
