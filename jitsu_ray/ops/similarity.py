@@ -410,3 +410,59 @@ def embedding_near_dup_auto(
     return embedding_near_dup_ivf(
         mat, threshold, n_centroids=n_centroids, sample_size=sample_size
     )
+
+
+def semantic_decontaminate(
+    ds,
+    eval_mat: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    return_max: bool = False,
+):
+    """Embedding-level benchmark decontamination — the SEMANTIC sibling
+    of ops/decontam's exact n-gram overlap check (the published
+    eval-similarity filtering step: drop training items whose embedding
+    is too close to any benchmark item, catching paraphrases the exact
+    grams miss). Flags every corpus row whose cosine against ANY
+    eval-set vector reaches ``threshold``.
+
+    Scale shape: the eval matrix is BENCHMARK-sized by definition, so
+    it broadcasts once (``ray.put`` + ``once_per_process``) and the
+    whole operator is ONE linear ``map_batches`` pass over the corpus —
+    zero shuffle, zero materialization, embarrassingly parallel at any
+    corpus size (the same broadcast-probe discipline as
+    decontaminate_exact_ngram). Output: ``(id_col, is_contaminated
+    bool)`` (+ ``max_eval_cosine`` float64 with ``return_max`` — keep
+    it OUT of hash-compared oracles; the bool is margin-safe, the float
+    is summation-order noisy).
+
+    Float-parity note: cosine in float64 (~1e-15 vs DuckDB DOUBLE);
+    choose ``threshold`` with real margin from the data's pair cosines
+    when oracle-comparing (testdata's verified >=1e-4 gap at 0.4)."""
+    import ray
+
+    evn = _normalize(np.ascontiguousarray(eval_mat, dtype=np.float64))
+    ref = ray.put(evn)
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..util import once_per_process
+
+        ev = once_per_process("semdecon_eval", _ref)
+        v = _to_matrix(batch[vec_col]).astype(np.float64)
+        if v.size:
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (v / norms) @ ev.T
+            mx = sims.max(axis=1) if ev.shape[0] else np.zeros(len(v))
+        else:
+            mx = np.zeros(0)
+        cols = {
+            id_col: batch[id_col],
+            "is_contaminated": pa.array(mx >= threshold),
+        }
+        if return_max:
+            cols["max_eval_cosine"] = pa.array(mx, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

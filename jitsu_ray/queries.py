@@ -2214,6 +2214,32 @@ ORDER BY a, b
 """
 
 
+def q_semantic_decontaminate(sf_dir: str):
+    """Semantic benchmark decontamination (ops/similarity.
+    semantic_decontaminate): the first 10 embeddings stand in for a
+    benchmark set; every remaining corpus vector is flagged when its
+    cosine against ANY eval vector reaches 0.4 (the margin-verified
+    threshold). One broadcast + one linear pass, zero shuffle — the
+    embedding sibling of decontaminate_ngram."""
+    from .ops.similarity import semantic_decontaminate
+
+    _, qmat = _load_queries(sf_dir)
+    ds = _read_sized(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).filter(expr="vec_id >= 10")
+    return semantic_decontaminate(ds, qmat, "vec_id", "embedding", threshold=0.4)
+
+
+SQL_SEMANTIC_DECON = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id < 10)
+SELECT d.vec_id,
+       EXISTS (SELECT 1 FROM q
+               WHERE list_cosine_similarity(d.embedding, q.embedding) >= 0.4)
+         AS is_contaminated
+FROM embeddings d WHERE d.vec_id >= 10
+"""
+
+
 def q_multimodal_decode(sf_dir: str):
     """Binary-media plumbing: documents' text bytes stand in for image
     payloads; FakeDecoder derives deterministic metadata (ops/multimodal
@@ -5079,6 +5105,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "normalize_docs": q_normalize_docs,
     "dedup_spans": q_dedup_spans,
@@ -5188,6 +5215,7 @@ ORACLES = {
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "kmeans_clusters": SQL_KMEANS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_decontaminate": SQL_SEMANTIC_DECON,
     "cluster_balanced_sample": SQL_CLUSTER_SAMPLE,
     "normalize_docs": SQL_NORMALIZE,
     "dedup_spans": SQL_DEDUP_SPANS,

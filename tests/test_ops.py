@@ -363,6 +363,44 @@ def test_semantic_dedup_planted(ray_session):
     assert out_tiled == out
 
 
+def test_semantic_decontaminate_planted(ray_session):
+    """Broadcast eval-similarity decontamination: a corpus vector that
+    is a near-copy of an eval vector is flagged; orthogonal vectors are
+    not; zero vectors never match; return_max exposes the float max
+    cosine for ranking (not for oracles)."""
+    import ray.data
+
+    from jitsu_ray.ops.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(3)
+    ev = rng.standard_normal((4, 16)).astype(np.float32)
+    corpus = rng.standard_normal((40, 16)).astype(np.float32)
+    corpus[5] = ev[2] * 3.0  # scaled copy => cosine 1
+    corpus[9] = ev[0] + 1e-3 * rng.standard_normal(16).astype(np.float32)
+    corpus[11] = 0.0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(v) for v in corpus], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            ray.data.from_arrow(tbl).repartition(3), ev,
+            threshold=0.9, return_max=True,
+        ).take_all()
+    }
+    assert out[5]["is_contaminated"] and out[9]["is_contaminated"]
+    assert not out[11]["is_contaminated"]
+    assert out[5]["max_eval_cosine"] > 0.999
+    flagged = {k for k, r in out.items() if r["is_contaminated"]}
+    # random 16-d gaussians essentially never hit cosine 0.9
+    assert flagged == {5, 9}
+
+
 def test_embedding_near_dup_planted(ray_session):
     import ray.data
 
