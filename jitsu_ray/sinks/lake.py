@@ -1371,6 +1371,7 @@ class LakeTable:
         tombstone_watermark: int = 0,
         max_input_bytes: int | None = None,
         vacuum: str = "immediate",
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Fold each partition's base+deltas into fewer base files.
 
@@ -1404,6 +1405,20 @@ class LakeTable:
         for :meth:`vacuum` to GC later under its grace window, keeping
         older ``as_of`` reads valid until an explicit retention pass.
 
+        ``cluster_by``: CLUSTERED rewrite (the lakehouse OPTIMIZE/
+        Z-ORDER idea, lexicographic): each fold's output is sorted by
+        these columns and cut into range-disjoint chunk files (sized by
+        ``max_input_bytes``, default 64 MB), so every file's ledger
+        zone map covers a narrow band of the clustering columns and
+        ``scan_range`` over them prunes most files — without it a
+        random-ordered base spans the whole domain and nothing ever
+        prunes. Use the partition's dominant range-scan column(s)
+        (``stats_cols`` entries, typically a time or score band). Safe
+        at any point: a fold holds one resolved row per key, so
+        intra-fold row order never decides an LWW tie; only the first
+        chunk carries the fold's ``replaces`` (the rest append — their
+        key sets are disjoint).
+
         Raw Ray tasks (not Dataset) by design: this is per-partition file
         maintenance with no cross-partition dataflow — each task reads
         only its own partition's files. One ledger row commits all
@@ -1421,7 +1436,7 @@ class LakeTable:
         @ray.remote
         def compact_fold(
             part: int, files: list[str], tier: int, tag: str, drop_tombs: bool
-        ) -> tuple[int, int, dict]:
+        ) -> tuple[int, int, list[dict]]:
             tbl = pq.ParquetDataset(files, schema=target).read()
             merged = resolve_keep_tombstones(tbl, key_cols)
             if drop_tombs and tombstone_watermark > 0:
@@ -1431,19 +1446,53 @@ class LakeTable:
                 )
                 merged = merged.filter(pc.invert(drop))
             part_dir = os.path.join(lake_dir, f"part={part:05d}")
-            rel = f"part={part:05d}/base-{tag}.parquet"
-            fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
-            os.close(fd)
-            pq.write_table(merged, tmp)
-            os.replace(tmp, os.path.join(lake_dir, rel))
-            _write_key_bloom(merged, key_cols, os.path.join(lake_dir, rel))
-            return part, tier, {
-                "file": rel,
-                "replaces": [os.path.relpath(f, lake_dir) for f in files],
-                "rows": merged.num_rows,
-                "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
-                "key_stats": _key_zone_stats(merged, zone_cols),
-            }
+            chunks = [merged]
+            if cluster_by and merged.num_rows:
+                # CLUSTERED rewrite: sort the fold by the clustering
+                # columns, then cut it into range-disjoint chunk files
+                # so each file's ledger zone map covers a NARROW band —
+                # scan_range then prunes most files instead of none
+                # (lexicographic Z-ordering; safe because the fold holds
+                # one resolved row per key, so intra-fold row order
+                # never decides an LWW tie)
+                merged = merged.sort_by([(c, "ascending") for c in cluster_by])
+                budget = max_input_bytes or (64 << 20)
+                n_chunks = max(1, -(-merged.nbytes // budget))
+                rows_per = -(-merged.num_rows // n_chunks)
+                chunks = [
+                    merged.slice(i, rows_per)
+                    for i in range(0, merged.num_rows, rows_per)
+                ]
+            infos = []
+            for j, chunk in enumerate(chunks):
+                rel = (
+                    f"part={part:05d}/base-{tag}.parquet"
+                    if len(chunks) == 1
+                    else f"part={part:05d}/base-{tag}-c{j:03d}.parquet"
+                )
+                fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".tmp")
+                os.close(fd)
+                chunk = chunk.combine_chunks()
+                pq.write_table(chunk, tmp)
+                os.replace(tmp, os.path.join(lake_dir, rel))
+                _write_key_bloom(chunk, key_cols, os.path.join(lake_dir, rel))
+                infos.append(
+                    {
+                        "file": rel,
+                        # only the first chunk replaces the inputs; the
+                        # rest append after it in the ledger replay
+                        # (disjoint key sets — order is irrelevant)
+                        "replaces": [
+                            os.path.relpath(f, lake_dir) for f in files
+                        ]
+                        if j == 0
+                        else [],
+                        "rows": chunk.num_rows,
+                        "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
+                        "key_stats": _key_zone_stats(chunk, zone_cols),
+                    }
+                )
+            return part, tier, infos
 
         todo = {p: fs for p, fs in self.live_files().items() if len(fs) >= min_files}
         if not todo:
@@ -1468,24 +1517,25 @@ class LakeTable:
         if not tasks:
             return {"kind": "compact", "parts": {}}
         results = ray.get(tasks)
-        by_part: dict[int, list[tuple[int, dict]]] = {}
-        for p, t, info in results:
-            by_part.setdefault(p, []).append((t, info))
+        by_part: dict[int, list[tuple[int, list[dict]]]] = {}
+        for p, t, infos in results:
+            by_part.setdefault(p, []).append((t, infos))
         parts_entry: dict[str, object] = {}
         for p, folds in sorted(by_part.items()):
-            infos = [info for _, info in sorted(folds)]
+            flat = [info for _, infos in sorted(folds) for info in infos]
             # single-fold partitions keep the legacy single-dict shape
-            parts_entry[str(p)] = infos[0] if len(infos) == 1 else infos
+            parts_entry[str(p)] = flat[0] if len(flat) == 1 else flat
         entry = {"kind": "compact", "parts": parts_entry}
         self.ledger.append(entry)
         if vacuum == "immediate":
-            for _, _, info in results:  # best-effort; ledger already excludes
-                for f in info["replaces"]:
-                    for path in (f, f + ".bloom.npz"):
-                        try:
-                            os.unlink(os.path.join(self.dir, path))
-                        except OSError:
-                            pass
+            for _, _, infos in results:  # best-effort; ledger already excludes
+                for info in infos:
+                    for f in info["replaces"]:
+                        for path in (f, f + ".bloom.npz"):
+                            try:
+                                os.unlink(os.path.join(self.dir, path))
+                            except OSError:
+                                pass
         # fold the ledger so the next apply/read replays O(rows since
         # here), not O(all windows) — long-running streaming lakes
         # otherwise reopen thousands of window JSONs per window
@@ -1635,6 +1685,7 @@ class LakeTable:
         tombstone_watermark: int = 0,
         keep_history: int | None = None,
         max_split_factor: int = 16,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """ONE policy-driven maintenance pass — the operational loop a
         long-running lake schedules instead of hand-picking mechanisms:
@@ -1679,6 +1730,7 @@ class LakeTable:
             tombstone_watermark=tombstone_watermark,
             max_input_bytes=max_input_bytes or max_partition_bytes,
             vacuum="defer",
+            cluster_by=cluster_by,
         )
         vac = self.vacuum(keep_history) if keep_history is not None else None
         return {"splits": splits_done, "compact": compact_entry, "vacuum": vac}

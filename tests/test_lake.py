@@ -1622,6 +1622,45 @@ def test_maintain_policy_pass(ray_session, tmp_path):
     assert _state(lake)[("r0", "p0")] == before[("r0", "p0")]
 
 
+def test_clustered_compaction_prunes_range_scans(ray_session, tmp_path):
+    """compact(cluster_by=...): the fold is sorted by the clustering
+    column and cut into range-disjoint chunk files, so a narrow
+    scan_range band prunes most files via the ledger zone maps —
+    before clustering every file spans the whole domain and nothing
+    prunes. State and band results are unchanged."""
+    import random
+
+    rnd = random.Random(7)
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), ["repo", "path"], 1, stats_cols=["commit"]
+    )
+    # 'commit' doubles as the scan column: random 0..9999 as strings of
+    # fixed width so lexicographic order == numeric order
+    rows = [
+        ev(i + 1, "insert", "r", f"p{i}", f"{rnd.randrange(10000):05d}",
+           "py", "x" * 200)
+        for i in range(600)
+    ]
+    lake.apply_window(make_ds(rows[:300]), 0, 300)
+    lake.apply_window(make_ds(rows[300:]), 300, 600)
+    before = {r["path"]: r["commit"] for r in lake.read().take_all()}
+
+    def band_paths():
+        out = lake.scan_range("commit", "02000", "02999").take_all()
+        return {r["path"]: r["commit"] for r in out}
+
+    unclustered = band_paths()
+    st = dict(lake.last_scan_stats)
+    assert st["files_full"] == st["files_total"]  # random order: no pruning
+
+    lake.compact(cluster_by=["commit"], max_input_bytes=40_000, vacuum="defer")
+    assert {r["path"]: r["commit"] for r in lake.read().take_all()} == before
+    assert band_paths() == unclustered
+    st2 = dict(lake.last_scan_stats)
+    assert st2["files_total"] > 2  # the fold really chunked
+    assert st2["files_full"] < st2["files_total"]  # and the band prunes
+
+
 def test_vacuum_retention_grace_window(ray_session, tmp_path):
     """vacuum(keep_history=N): files replaced by recent folds survive
     the grace window (old as_of keeps working); shrinking the window
