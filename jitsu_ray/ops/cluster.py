@@ -412,12 +412,14 @@ def semantic_dedup(
     def prune_cluster(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from .similarity import _normalize
+
         order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
         g = g.take(order)
-        v = _batch_vectors(g, vec_col).astype(np.float64)
-        norms = np.linalg.norm(v, axis=1)
-        norms[norms == 0] = 1.0  # zero vectors: cosine 0 vs everything
-        v = v / norms[:, None]
+        # zero vectors: cosine 0 vs everything (the shared _normalize
+        # zero-guard; the SQL twin pins the same semantics with an
+        # explicit NOT isnan() — see SQL_SEMANTIC_DEDUP)
+        v = _normalize(_batch_vectors(g, vec_col).astype(np.float64))
         m = len(v)
         dup = np.zeros(m, dtype=bool)
         for start in range(0, m, tile_rows):

@@ -21,8 +21,10 @@ import ray
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     n = len(col)
+    if n == 0:  # reshape(0, -1) raises on an empty flat buffer
+        return np.empty((0, 0), dtype=np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     return flat.reshape(n, -1)
 
 
@@ -451,12 +453,10 @@ def semantic_decontaminate(
         ev = once_per_process("semdecon_eval", _ref)
         v = _to_matrix(batch[vec_col]).astype(np.float64)
         if v.size:
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (v / norms) @ ev.T
+            sims = _normalize(v) @ ev.T
             mx = sims.max(axis=1) if ev.shape[0] else np.zeros(len(v))
         else:
-            mx = np.zeros(0)
+            mx = np.zeros(batch.num_rows)
         cols = {
             id_col: batch[id_col],
             "is_contaminated": pa.array(mx >= threshold),

@@ -1246,9 +1246,14 @@ SQL_SEMANTIC_DEDUP = f"""
 WITH A AS ({SQL_KMEANS}),
 V AS (SELECT a.vec_id, a.cluster, e.embedding
       FROM A a JOIN embeddings e USING (vec_id)),
-D AS (SELECT DISTINCT x.vec_id FROM V x JOIN V y
-        ON y.cluster = x.cluster AND y.vec_id < x.vec_id
-       AND list_cosine_similarity(x.embedding, y.embedding) >= 0.4)
+P AS (SELECT x.vec_id, list_cosine_similarity(x.embedding, y.embedding) AS c
+      FROM V x JOIN V y
+        ON y.cluster = x.cluster AND y.vec_id < x.vec_id),
+-- NOT isnan: a zero vector makes list_cosine_similarity 0/0 = NaN and
+-- DuckDB's total order puts NaN ABOVE every threshold; the engine's
+-- _normalize zero-guard treats a zero vector as cosine 0 (matches
+-- nothing), so the oracle must pin the same semantics explicitly
+D AS (SELECT DISTINCT vec_id FROM P WHERE (NOT isnan(c)) AND c >= 0.4)
 SELECT v.vec_id, v.cluster,
        (v.vec_id IN (SELECT vec_id FROM D)) AS is_dup
 FROM V v
@@ -2234,7 +2239,8 @@ SQL_SEMANTIC_DECON = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id < 10)
 SELECT d.vec_id,
        EXISTS (SELECT 1 FROM q
-               WHERE list_cosine_similarity(d.embedding, q.embedding) >= 0.4)
+               WHERE (NOT isnan(list_cosine_similarity(d.embedding, q.embedding)))
+                 AND list_cosine_similarity(d.embedding, q.embedding) >= 0.4)
          AS is_contaminated
 FROM embeddings d WHERE d.vec_id >= 10
 """

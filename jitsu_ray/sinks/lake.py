@@ -1427,6 +1427,18 @@ class LakeTable:
         """
         if vacuum not in ("immediate", "defer"):
             raise ValueError(f"vacuum must be 'immediate' or 'defer', got {vacuum!r}")
+        if cluster_by:
+            zone = set(self.key_cols) | set(self.stats_cols)
+            bad = [c for c in cluster_by if c not in zone]
+            if bad:
+                # fail fast: zone maps are only recorded for key/stats
+                # columns, so clustering on anything else pays the sort
+                # + extra files and prunes NOTHING, silently
+                raise ValueError(
+                    f"cluster_by columns {bad} are not zone-map columns; "
+                    f"usable: key_cols {self.key_cols} + stats_cols "
+                    f"{self.stats_cols} (declare stats_cols at create)"
+                )
         target = self.full_arrow_schema()
         key_cols = self.key_cols
         zone_cols = self.key_cols + self.stats_cols
@@ -1476,22 +1488,26 @@ class LakeTable:
                 pq.write_table(chunk, tmp)
                 os.replace(tmp, os.path.join(lake_dir, rel))
                 _write_key_bloom(chunk, key_cols, os.path.join(lake_dir, rel))
-                infos.append(
-                    {
-                        "file": rel,
-                        # only the first chunk replaces the inputs; the
-                        # rest append after it in the ledger replay
-                        # (disjoint key sets — order is irrelevant)
-                        "replaces": [
-                            os.path.relpath(f, lake_dir) for f in files
-                        ]
-                        if j == 0
-                        else [],
-                        "rows": chunk.num_rows,
-                        "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
-                        "key_stats": _key_zone_stats(chunk, zone_cols),
-                    }
-                )
+                info = {
+                    "file": rel,
+                    # only the first chunk replaces the inputs; later
+                    # chunks ANCHOR to their predecessor (insert_after)
+                    # so the whole chunk run sits at the fold's replay
+                    # position — a bare append would leapfrog newer
+                    # tiers/concurrent deltas and flip equal-seq LWW
+                    # ties back to pre-repair values
+                    "replaces": [
+                        os.path.relpath(f, lake_dir) for f in files
+                    ]
+                    if j == 0
+                    else [],
+                    "rows": chunk.num_rows,
+                    "bytes": os.path.getsize(os.path.join(lake_dir, rel)),
+                    "key_stats": _key_zone_stats(chunk, zone_cols),
+                }
+                if j > 0:
+                    info["insert_after"] = infos[-1]["file"]
+                infos.append(info)
             return part, tier, infos
 
         todo = {p: fs for p, fs in self.live_files().items() if len(fs) >= min_files}
@@ -1786,7 +1802,12 @@ class LakeTable:
         # failing unlinks per long-gone file per maintenance pass would
         # grow per-pass cost with lake age instead of with actual work.
         stragglers = [
-            f for f in already if os.path.exists(os.path.join(self.dir, f))
+            f
+            for f in already
+            # either path counts: a crash between the parquet unlink and
+            # the sidecar unlink must not orphan the .bloom.npz forever
+            if os.path.exists(os.path.join(self.dir, f))
+            or os.path.exists(os.path.join(self.dir, f + ".bloom.npz"))
         ]
         for f in [*remove, *stragglers]:
             for path in (f, f + ".bloom.npz"):

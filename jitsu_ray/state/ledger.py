@@ -215,7 +215,12 @@ class Ledger:
             PREFIX (size-tiered compaction) must not leapfrog newer
             deltas — and a delta committed concurrently with a
             compaction (after its file scan, before its ledger row)
-            must stay ordered after the base that folded older state."""
+            must stay ordered after the base that folded older state.
+            ``insert_after`` (clustered-compaction chunk files j >= 1,
+            replaces=[]) anchors the file directly AFTER its named
+            sibling for the same reason: appending a later chunk at the
+            list's end would leapfrog newer tiers/deltas and flip
+            equal-seq ties back to pre-repair values."""
             cur = parts.setdefault(pi, [])
             replaced = set(info["replaces"])
             new_list: list[str] = []
@@ -228,7 +233,11 @@ class Ledger:
                 else:
                     new_list.append(f)
             if not inserted and info.get("file"):
-                new_list.append(info["file"])
+                anchor = info.get("insert_after")
+                if anchor is not None and anchor in new_list:
+                    new_list.insert(new_list.index(anchor) + 1, info["file"])
+                else:
+                    new_list.append(info["file"])
             parts[pi] = new_list
             s = seen.setdefault(pi, set())
             s.difference_update(replaced)

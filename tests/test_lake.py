@@ -1661,6 +1661,68 @@ def test_clustered_compaction_prunes_range_scans(ray_session, tmp_path):
     assert st2["files_full"] < st2["files_total"]  # and the band prunes
 
 
+def test_clustered_chunks_preserve_tie_order(ray_session, tmp_path):
+    """Clustered-compaction chunk files j >= 1 anchor to their
+    predecessor in the ledger replay (insert_after): a key repaired at
+    an EQUAL seq by a later forced window must keep the repair value
+    even when the old version lands in a chunk that, naively appended,
+    would replay AFTER the repair file and win the last-arrival tie."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), ["repo", "path"], 1, stats_cols=["commit"]
+    )
+    # pX gets the LARGEST clustering value so it sorts into the LAST chunk
+    rows = [
+        ev(i + 1, "insert", "r", f"p{i:03d}", f"{i:05d}", "py", "x" * 200)
+        for i in range(200)
+    ]
+    rows[100] = ev(101, "insert", "r", "pX", "99999", "py", "v-old")
+    lake.apply_window(make_ds(rows[:100]), 0, 100)
+    lake.apply_window(make_ds(rows[100:]), 100, 200)
+    # forced same-seq repair: last arrival wins the tie
+    lake.apply_window(
+        make_ds([ev(101, "insert", "r", "pX", "99999", "py", "v-new")]),
+        0, 1, force=True,
+    )
+    assert _state(lake)[("r", "pX")][2] == "v-new"
+    # budget sized so the two NORMAL windows (holding pX v-old) fold in
+    # one CHUNKED tier while the forced repair file stays its own
+    # single-file tier AFTER them in ledger order — the hazard shape
+    entry = lake.compact(
+        cluster_by=["commit"], max_input_bytes=11_000, vacuum="defer"
+    )
+    [infos] = entry["parts"].values()
+    assert isinstance(infos, list) and len(infos) >= 2  # fold chunked
+    assert len(infos[0]["replaces"]) == 2  # ...and folded ONLY w1+w2
+    assert all(i.get("insert_after") for i in infos[1:])
+    assert _state(lake)[("r", "pX")][2] == "v-new"
+    # the anchor is LOAD-BEARING: strip insert_after from the committed
+    # row and the replay appends late chunks after the repair file,
+    # flipping the equal-seq tie back to v-old (the bug this fixes)
+    import glob as _glob
+    import json as _json
+
+    rows_by_kind = {}
+    for p in _glob.glob(os.path.join(lake.dir, "_ledger", "*.json")):
+        rows_by_kind.setdefault(_json.load(open(p))["kind"], []).append(p)
+    [row_path] = rows_by_kind["compact"]
+    # compact() auto-checkpoints, and the checkpoint froze the correct
+    # file order — drop it so the strip below actually replays the row
+    for ck in rows_by_kind.get("checkpoint", []):
+        os.unlink(ck)
+    raw = _json.load(open(row_path))
+    stripped = _json.loads(_json.dumps(raw))
+    for i in list(stripped["parts"].values())[0]:
+        i.pop("insert_after", None)
+    _json.dump(stripped, open(row_path, "w"))
+    assert _state(lake)[("r", "pX")][2] == "v-old"  # bug reproduced
+    _json.dump(raw, open(row_path, "w"))  # restore
+    assert _state(lake)[("r", "pX")][2] == "v-new"
+    # and the whole state survives a fresh checkpoint fold
+    lake.ledger.checkpoint()
+    assert _state(lake)[("r", "pX")][2] == "v-new"
+    assert len(_state(lake)) == 200
+
+
 def test_vacuum_retention_grace_window(ray_session, tmp_path):
     """vacuum(keep_history=N): files replaced by recent folds survive
     the grace window (old as_of keeps working); shrinking the window
