@@ -158,6 +158,28 @@ def main(argv=None):
     vr.add_argument("--sum", dest="sums", required=True,
                     help="comma-separated numeric value cols")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one policy pass: auto-split oversized partitions, "
+             "size-tiered compact (optionally clustered), vacuum",
+    )
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--max-partition-bytes", type=int, default=None,
+                    help="split any active partition whose live bytes "
+                         "exceed this (default: no splitting)")
+    mt.add_argument("--max-input-bytes", type=int, default=None,
+                    help="byte budget per compaction fold (defaults to "
+                         "--max-partition-bytes)")
+    mt.add_argument("--min-files", type=int, default=4)
+    mt.add_argument("--watermark", type=int, default=0,
+                    help="tombstone watermark (see compact)")
+    mt.add_argument("--keep-history", type=int, default=None,
+                    help="vacuum grace window in ledger rows "
+                         "(omit: no vacuum — GC stays deferred)")
+    mt.add_argument("--cluster-by", default=None,
+                    help="comma-separated zone-map columns for a "
+                         "clustered rewrite (key or stats columns)")
+
     q = sub.add_parser(
         "query", help="run a named pipeline from the query registry"
     )
@@ -220,6 +242,28 @@ def main(argv=None):
         lake = LakeTable.open(args.lake)
         entry = lake.compact(min_files=1, tombstone_watermark=args.watermark)
         print(json.dumps({"compacted_parts": len(entry.get("parts", {}))}))
+    elif args.cmd == "maintain":
+        lake = LakeTable.open(args.lake)
+        out = lake.maintain(
+            max_partition_bytes=args.max_partition_bytes,
+            max_input_bytes=args.max_input_bytes,
+            min_files=args.min_files,
+            tombstone_watermark=args.watermark,
+            keep_history=args.keep_history,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        )
+        print(
+            json.dumps(
+                {
+                    "splits": [
+                        {"parent": s["parent"], "children": s["children"]}
+                        for s in out["splits"]
+                    ],
+                    "compacted_parts": len(out["compact"].get("parts", {})),
+                    "vacuumed": (out["vacuum"] or {}).get("removed_now", 0),
+                }
+            )
+        )
     elif args.cmd == "report":
         lake = LakeTable.open(args.lake)
         rep = lake.ingest_report()

@@ -1859,3 +1859,42 @@ def test_cli_query_list_and_validation():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r.returncode != 0 and "unknown query" in r.stderr
+
+
+def test_cli_maintain_subcommand(tmp_path):
+    """`python -m jitsu_ray maintain` runs the full policy pass (split +
+    clustered tiered compact + vacuum) against an on-disk lake from a
+    fresh process, proving the operational surface end to end."""
+    import json as _json
+    import subprocess
+    import sys
+
+    build = f"""
+import warnings; warnings.filterwarnings("ignore")
+import ray; ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from jitsu_ray.testgen import gen_changelog, write_changelog
+from jitsu_ray import replay_changelog
+tbl = gen_changelog(n_events=3000, n_repos=10, seed=5)
+write_changelog(r"{tmp_path}/log", tbl, rows_per_file=1000)
+replay_changelog(r"{tmp_path}/log", r"{tmp_path}/lake", num_partitions=2,
+                 window_size=1000, compact_every=0, compact_at_end=False)
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", build],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "jitsu_ray", "maintain",
+            "--lake", str(tmp_path / "lake"),
+            "--max-partition-bytes", "20000", "--min-files", "2",
+            "--keep-history", "0", "--cluster-by", "repo",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["splits"] and out["compacted_parts"] >= 1
